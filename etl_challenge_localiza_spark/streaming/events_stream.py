@@ -1,0 +1,86 @@
+"""Structured Streaming over the events table (SURVEY.md §2.9: the
+reference is batch-only; this is the Spark-native streaming extension).
+
+Two shapes:
+
+- :func:`run_streaming_hourly` — tumbling 1-hour window aggregate in
+  COMPLETE mode with an availableNow trigger and a memory sink. On a
+  finite input this produces exactly the batch ``events_hourly`` result
+  (the registry pairs it with the same SQL oracle). On a real cluster
+  the memory sink becomes a Delta/Kafka/parquet sink and availableNow
+  becomes a continuous trigger.
+- :func:`hourly_stream_with_watermark` — the production shape: APPEND
+  mode with a 2-hour watermark, so state for closed windows is dropped
+  and late events beyond the watermark are discarded. Returned
+  un-started so callers choose trigger/sink (tests drive it with
+  availableNow; windows still inside the watermark at end-of-input are
+  withheld, which is correct append semantics, not data loss).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns→µs ts
+    conversion as the batch reader (sources.readers.load_table)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource needs a directory basePath; select the one file
+    # via pathGlobFilter so the stream watches the table's directory.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
+    return stream.withColumn("ts", F.timestamp_micros(micros))
+
+
+def _hourly_agg(stream: DataFrame) -> DataFrame:
+    return (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def run_streaming_hourly(spark: SparkSession, sf_dir: str, timeout_sec: int = 300) -> DataFrame:
+    """Run the finite stream to completion; return the result as a
+    batch DataFrame (from the memory sink's table)."""
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        _hourly_agg(_event_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def hourly_stream_with_watermark(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Append-mode-ready windowed aggregate with late-data handling."""
+    return _hourly_agg(_event_stream(spark, sf_dir).withWatermark("ts", watermark))
