@@ -21,6 +21,18 @@ from ..functions.timeparse import parse_timestamp_auto
 DEDUP_KEYS = ["timestamp", "receiving_address", "transaction_type", "amount"]
 
 
+def numeric_coerce(col: str) -> F.Column:
+    """P10: ``pd.to_numeric(errors="coerce")`` equivalent.
+
+    pandas conflates NaN with null (``isna``/``dropna`` treat them the
+    same), while Spark keeps NaN as a real double — so the literal
+    string "nan" must coerce to NULL here, not NaN, for the not-null
+    drop (flows/pipeline.py:151) to behave identically.
+    """
+    c = F.col(col).try_cast("double")
+    return F.nanvl(c, F.lit(None).cast("double"))
+
+
 def clean_transactions(df: DataFrame, deterministic_order_col: str | None = None) -> DataFrame:
     """Full clean/standardize pass (flows/pipeline.py:112-160).
 
@@ -59,11 +71,11 @@ def clean_transactions(df: DataFrame, deterministic_order_col: str | None = None
     df = parse_timestamp_auto(df, "timestamp")
 
     if "amount" in df.columns:
-        df = df.withColumn("amount", F.col("amount").try_cast("double"))
+        df = df.withColumn("amount", numeric_coerce("amount"))
     else:
         df = df.withColumn("amount", F.lit(None).cast("double"))
     if "risk_score" in df.columns:
-        df = df.withColumn("risk_score", F.col("risk_score").try_cast("double"))
+        df = df.withColumn("risk_score", numeric_coerce("risk_score"))
 
     df = df.na.drop(subset=["timestamp", "transaction_type", "amount"])
     df = df.filter(F.col("amount") >= 0)

@@ -26,6 +26,8 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cleaning import numeric_coerce
+
 PROFILE_COLUMNS = [
     "timestamp",
     "transaction_type",
@@ -62,7 +64,7 @@ def dq_profile(df: DataFrame) -> dict:
     if "amount" in cols:
         amount_dtype = dict(df.dtypes)["amount"]
         if amount_dtype not in ("double", "float") and not amount_dtype.startswith("decimal"):
-            df = df.withColumn("amount", F.col("amount").try_cast("double"))
+            df = df.withColumn("amount", numeric_coerce("amount"))
 
     aggs = [F.count(F.lit(1)).cast("long").alias("__total")]
     for c in PROFILE_COLUMNS:
@@ -119,7 +121,7 @@ def dq_profile_df(df: DataFrame) -> DataFrame:
     if "amount" in cols:
         amount_dtype = dict(df.dtypes)["amount"]
         if amount_dtype not in ("double", "float") and not amount_dtype.startswith("decimal"):
-            df = df.withColumn("amount", F.col("amount").try_cast("double"))
+            df = df.withColumn("amount", numeric_coerce("amount"))
 
     aggs = [F.count(F.lit(1)).cast("long").alias("total_rows")]
     for c in PROFILE_COLUMNS:

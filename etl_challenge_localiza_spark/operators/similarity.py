@@ -61,9 +61,9 @@ def embedding_norms_by_label(emb: DataFrame, round_digits: int = 6) -> DataFrame
 
 def brp_lsh_ann_pairs(
     emb: DataFrame,
-    bucket_length: float = 0.5,
+    bucket_length: float = 1.0,
     num_hash_tables: int = 3,
-    max_distance: float = 0.8,
+    max_distance: float = 1.2,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate near-neighbour PAIRS via random-projection LSH.

@@ -56,6 +56,9 @@ def run_pipeline(
     - post-gate failure: curated outputs are STILL published
       (flows/pipeline.py:256-261).
     """
+    from ..session import tune
+
+    tune(spark)
     input_csv = input_csv or os.getenv("INPUT_CSV", "./input/df_fraud_credit.csv")
     pre_thresh = MIN_CONFORMITY_PRE if min_conformity_pre is None else min_conformity_pre
     post_thresh = MIN_CONFORMITY_POST if min_conformity_post is None else min_conformity_post

@@ -515,16 +515,21 @@ def q_region_priority_rollup(spark, sf_dir):
 
 
 @register(
-    "customers_without_orders",
+    "customers_no_p_orders",
     oracle="""
 select c_custkey, c_name from customer c
-where not exists (select 1 from orders o where o.o_custkey = c.c_custkey)
+where not exists (
+  select 1 from orders o
+  where o.o_custkey = c.c_custkey and o.o_orderstatus = 'P')
 """,
 )
-def q_customers_without_orders(spark, sf_dir):
-    """Anti join (NOT EXISTS). Spark broadcasts the smaller side's keys."""
+def q_customers_no_p_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS): customers with no pending-status order.
+    The filter sits under the join, so only 'P' keys build the hash set."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "P"
+    )
     return customer.join(
         orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
     ).select("c_custkey", "c_name")

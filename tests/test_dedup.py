@@ -1,0 +1,67 @@
+"""Unit tests for content dedup operators (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from etl_challenge_localiza_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+OTHER = "completely different words compose this unrelated document body here now"
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE, "en", "s0", len(BASE)),
+        (2, BASE, "en", "s0", len(BASE)),   # exact dup of 1
+        (3, NEAR, "en", "s0", len(NEAR)),   # near dup of 1
+        (4, OTHER, "en", "s0", len(OTHER)),
+    ]
+    return spark.createDataFrame(rows, DOC_COLS)
+
+
+def test_exact_dedup_groups(spark):
+    out = {r["keeper_doc_id"]: r["n_copies"] for r in exact_dedup_groups(_docs(spark)).collect()}
+    assert out[1] == 2  # docs 1+2 collapse, keeper is min id
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0          # identical
+    assert 0.5 < pairs[(1, 3)] < 1.0     # one word changed
+    assert (1, 4) not in pairs           # unrelated
+
+
+def test_minhash_near_dup(spark):
+    # 8 bands × 2 rows: recall for the j≈0.57 near pair is ~96%, and
+    # the outcome is deterministic for the fixed seeded hashes.
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in minhash_near_dup_pairs(
+            _docs(spark), num_hashes=16, bands=8, threshold=0.2
+        ).collect()
+    }
+    # identical docs always collide in every band; verified jaccard exact
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs
+    assert (1, 3) in pairs
+    assert 0.5 < pairs[(1, 3)] < 1.0
+
+
+def test_simhash_near_dup(spark):
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(_docs(spark), max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text → identical simhash
+    assert (1, 4) not in pairs or pairs[(1, 4)] > 10

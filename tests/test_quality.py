@@ -1,0 +1,76 @@
+"""Unit tests for the DQ profile + gates (SURVEY.md §2.4, §2.7)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_challenge_localiza_spark.operators.quality import (
+    QualityGateError,
+    check_gate,
+    dq_profile,
+    dq_profile_df,
+)
+
+COLS = ["timestamp", "transaction_type", "amount", "receiving_address", "location_region", "risk_score"]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, COLS)
+
+
+def test_profile_counts_and_double_counting(spark):
+    rows = [
+        ("1", "sale", "10", "a", "r", "1"),
+        (None, None, None, None, None, None),  # violates 3 not-null rules
+        ("3", "sale", "-5", "a", "r", "1"),    # negative amount
+    ]
+    m = dq_profile(_df(spark, rows))
+    assert m["total_rows"] == 3
+    assert m["nulls"] == {c: 1 for c in COLS}
+    assert m["rules"]["timestamp_not_null"]["violations"] == 1
+    assert m["rules"]["amount_non_negative"]["violations"] == 1
+    # a single row's 3 null rules all count (SURVEY.md §7.4.5)
+    assert m["failed_rows_estimate"] == 4
+    assert m["conformity_rate"] == pytest.approx(max(0.0, 1 - 4 / (3 + 1e-9)))
+
+
+def test_profile_amount_coercion_only(spark):
+    # pre-clean nuance: amount is coerced, timestamp is NOT
+    # (flows/pipeline.py:100-102): junk timestamps are not violations.
+    rows = [("junkts", "sale", "xx", "a", "r", "1")]
+    m = dq_profile(_df(spark, rows))
+    assert m["rules"]["timestamp_not_null"]["violations"] == 0
+    assert m["rules"]["amount_not_null"]["violations"] == 1  # 'xx' coerced→null
+
+
+def test_profile_empty_input(spark):
+    df = spark.createDataFrame([], schema="timestamp string, transaction_type string, amount string")
+    m = dq_profile(df)
+    assert m["total_rows"] == 0
+    assert m["conformity_rate"] == 1.0  # epsilon keeps it defined (§7.4.7)
+
+
+def test_profile_missing_columns(spark):
+    df = spark.createDataFrame([("x",)], ["other"])
+    m = dq_profile(df)
+    assert m["nulls"] == {}
+    assert m["rules"]["timestamp_not_null"] is None
+    assert m["failed_rows_estimate"] == 0
+    assert m["conformity_rate"] == 1.0
+
+
+def test_profile_df_matches_dict(spark):
+    rows = [("1", "sale", "-1", "a", None, "2"), (None, "x", "5", "b", "r", None)]
+    m = dq_profile(_df(spark, rows))
+    row = dq_profile_df(_df(spark, rows)).first()
+    assert row["total_rows"] == m["total_rows"]
+    assert row["failed_rows_estimate"] == m["failed_rows_estimate"]
+    assert row["conformity_rate"] == m["conformity_rate"]
+    assert row["nulls_location_region"] == m["nulls"]["location_region"]
+
+
+def test_gates():
+    check_gate({"conformity_rate": 0.99}, 0.98, "pre")  # passes
+    check_gate({"conformity_rate": None}, 0.98, "pre")  # None → skip (reference if-guard)
+    with pytest.raises(QualityGateError):
+        check_gate({"conformity_rate": 0.97}, 0.98, "pre")

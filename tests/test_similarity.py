@@ -1,0 +1,51 @@
+"""Unit tests for similarity search (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_challenge_localiza_spark.operators.similarity import (
+    brp_lsh_ann_pairs,
+    embedding_norms_by_label,
+    knn_cosine,
+)
+
+EMB_COLS = "vec_id long, embedding array<float>, label int"
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),   # closest to 0
+        (2, [0.0, 1.0, 0.0], 1),   # orthogonal
+        (3, [0.7, 0.7, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0], 2),  # opposite
+    ]
+    return spark.createDataFrame(rows, EMB_COLS)
+
+
+def test_knn_cosine_ordering(spark):
+    out = knn_cosine(_emb(spark), query_vec_id=0, k=3).collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 2]
+    assert out[0]["cos_sim"] == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), abs=1e-6)
+    assert out[2]["cos_sim"] == 0.0
+
+
+def test_norms_by_label(spark):
+    out = {r["label"]: r for r in embedding_norms_by_label(_emb(spark)).collect()}
+    assert out[0]["n_vectors"] == 2
+    assert out[2]["avg_norm"] == pytest.approx(1.0)
+    assert out[1]["avg_norm"] == pytest.approx((1.0 + math.sqrt(0.98)) / 2, abs=1e-6)
+
+
+def test_brp_lsh_finds_close_pair(spark):
+    # vec 0 and 1 are at euclidean distance sqrt(0.01+0.01)≈0.141
+    pairs = {
+        (r["vec_id_a"], r["vec_id_b"]): r["euclidean_dist"]
+        for r in brp_lsh_ann_pairs(_emb(spark), max_distance=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] == pytest.approx(math.sqrt(0.02), abs=1e-5)
+    assert (0, 4) not in pairs  # distance 2.0 > threshold
