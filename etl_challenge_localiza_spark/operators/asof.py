@@ -1,0 +1,72 @@
+"""As-of (point-in-time) join — a time-series operator Spark lacks as a
+built-in (SURVEY.md §2.9 'custom operators'; DuckDB/kdb expose it
+natively as ASOF JOIN).
+
+Spark-first implementation: the classic union + keyed-window
+carry-forward, NOT a range cross-join:
+
+1. tag right rows (state) and left rows (probes), union them;
+2. one window over (key ORDER BY time, state-first) carries the most
+   recent state payload forward with last_value(ignoreNulls);
+3. keep probe rows.
+
+Cost at 100 TB: ONE shuffle of |left|+|right| on the key (vs the
+unbounded blow-up of a naive t_left >= t_right join then max-filter),
+and the window sort is per-key. Skewed keys can be salted upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach ``payload_cols`` from the latest right
+    row with the same key and right_time <= left_time (inclusive).
+
+    ``how='inner'`` drops left rows with no prior right row;
+    ``'left'`` keeps them with NULL payload.
+    """
+    l_tag = left.select(
+        F.col(left_key).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(0).alias("__is_state"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in payload_cols) + ">"
+        ).alias("__payload"),
+    )
+    r_tag = right.select(
+        F.col(right_key).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(1).alias("__is_state"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in left.columns) + ">"
+        ).alias("__left"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
+    )
+    # state rows sort before probe rows at equal time → inclusive <=
+    w = (
+        Window.partitionBy("__key")
+        .orderBy(F.col("__t").asc(), F.col("__is_state").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        l_tag.unionByName(r_tag)
+        .withColumn("__state", F.last("__payload", ignorenulls=True).over(w))
+        .filter(F.col("__is_state") == 0)
+    )
+    out = carried.select("__left.*", "__state.*")
+    if how == "inner":
+        out = carried.filter(F.col("__state").isNotNull()).select("__left.*", "__state.*")
+    return out

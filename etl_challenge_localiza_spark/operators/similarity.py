@@ -59,6 +59,47 @@ def embedding_norms_by_label(emb: DataFrame, round_digits: int = 6) -> DataFrame
     )
 
 
+def euclidean_sq(a, b) -> F.Column:
+    """Σ (aᵢ−bᵢ)² with double accumulation in element order."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (here: the first ``n_centroids`` stored vectors as fixed,
+    deterministic seeds — production would use KMeans.fit, same
+    assignment plan).
+
+    Centroids are broadcast; assignment is a scan + per-row argmin via
+    a tiny window (no shuffle of the vector corpus beyond the argmin's
+    key partitioning). This is the partitioning step that makes ANN
+    search sub-linear: queries probe only their centroid's bucket.
+    Returns (vec_id, centroid_id, dist) — exact, engine-portable.
+    """
+    from pyspark.sql import Window
+
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(F.sqrt(euclidean_sq("embedding", "c_emb")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "dist")
+    )
+
+
 def brp_lsh_ann_pairs(
     emb: DataFrame,
     bucket_length: float = 1.0,

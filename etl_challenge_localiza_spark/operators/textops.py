@@ -74,6 +74,40 @@ def doc_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Exact TF-IDF with top-k terms per document.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed);
+    exact integer counts + a fixed-form double expression → engine-
+    portable. One explode pass feeds both tf (groupBy doc,token) and
+    df (distinct doc per token); N is a broadcast scalar subquery.
+
+    At 100 TB this is the exact (verification) path; the approximate
+    production path is HashingTF+IDF from pyspark.ml over the same
+    token arrays.
+    """
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    df_ = (
+        tok.dropDuplicates(["doc_id", "token"])
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n_docs = docs.select(F.count(F.lit(1)).alias("n")).first()["n"]
+    idf = F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0))) + F.lit(1.0)
+    scored = tf.join(df_, "token").withColumn(
+        "tfidf", F.round(F.col("tf").cast("double") * idf, 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-token language-ID heuristic: count marker hits per
     language, guess = argmax with a fixed priority order on ties

@@ -818,3 +818,244 @@ def q_streaming_hourly(spark, sf_dir):
     from .streaming.events_stream import run_streaming_hourly
 
     return run_streaming_hourly(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Advanced relational / time-series / vector operators
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_latest_order",
+    oracle="""
+with o as (
+  select o_custkey, o_orderdate, o_orderkey, o_totalprice
+  from orders
+  qualify row_number() over (
+    partition by o_custkey, o_orderdate order by o_orderkey desc) = 1
+)
+select e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+from events e
+asof join o on e.user_id = o.o_custkey and e.ts >= o.o_orderdate
+""",
+    headline=True,
+)
+def q_asof_latest_order(spark, sf_dir):
+    """As-of join: each event picks up the customer's most recent order
+    state at event time (union + keyed-window carry-forward — one
+    shuffle, no range blow-up). Orders are pre-deduped per
+    (custkey, date) keeping max orderkey so the pick is deterministic."""
+    from pyspark.sql import Window
+
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    o = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    )
+    return asof_join(
+        ev, o,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        payload_cols=["o_orderkey", "o_totalprice"],
+        how="inner",
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+with flagged as (
+  select user_id, event_id, ts,
+         case when epoch_us(ts) - lag(epoch_us(ts)) over w is null
+                or epoch_us(ts) - lag(epoch_us(ts)) over w > 1800000000
+              then 1 else 0 end as new_session
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+with_id as (
+  select user_id, ts,
+         cast(sum(new_session) over (partition by user_id order by ts, event_id
+              rows between unbounded preceding and current row) as bigint) as session_id
+  from flagged
+)
+select user_id, session_id,
+       cast(count(*) as bigint) as n_events,
+       min(ts) as session_start,
+       max(ts) as session_end,
+       cast(max(epoch_us(ts)) - min(epoch_us(ts)) as double) / 1000000.0 as duration_s
+from with_id
+group by user_id, session_id
+""",
+    headline=True,
+)
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap), exact integer-µs gap
+    arithmetic. Batch analog of streaming session_window."""
+    from .operators.sessions import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+with tok as (select doc_id, unnest({SQL_TOKS}) as token from documents),
+tf as (select doc_id, token, cast(count(*) as bigint) as tf from tok group by 1, 2),
+df as (select token, cast(count(distinct doc_id) as bigint) as df from tok group by 1),
+n as (select cast(count(*) as double) as n from documents),
+scored as (
+  select tf.doc_id, tf.token, tf.tf, df.df,
+         round(cast(tf.tf as double) * (ln((n.n + 1.0) / (cast(df.df as double) + 1.0)) + 1.0), 6) as tfidf
+  from tf join df using (token), n
+)
+select doc_id, token, tf, df, tfidf,
+       cast(row_number() over (partition by doc_id order by tfidf desc, token) as bigint) as rank
+from scored
+qualify rank <= 3
+""",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Exact TF-IDF, top-3 terms per document (smoothed ln idf)."""
+    from .operators.textops import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "ivf_assignments",
+    oracle="""
+with c as (select vec_id as centroid_id,
+                  list_transform(embedding, x -> cast(x as double)) as ce
+           from embeddings where vec_id < 8),
+s as (
+  select e.vec_id, c.centroid_id,
+         round(sqrt(list_sum(list_transform(
+             list_zip(list_transform(e.embedding, x -> cast(x as double)), c.ce),
+             p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) as dist
+  from embeddings e, c
+)
+select vec_id, centroid_id, dist
+from s
+qualify row_number() over (partition by vec_id order by dist, centroid_id) = 1
+""",
+)
+def q_ivf_assignments(spark, sf_dir):
+    """IVF coarse quantization: nearest-centroid assignment over 8
+    deterministic seed centroids (the bucketing step of IVF-ANN)."""
+    from .operators.similarity import ivf_assign
+
+    return ivf_assign(load_table(spark, sf_dir, "embeddings"), n_centroids=8)
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+select event_type,
+       quantile_cont(value, 0.5) as p50,
+       quantile_cont(value, 0.9) as p90,
+       quantile_cont(value, 0.99) as p99,
+       cast(count(*) as bigint) as n
+from events group by event_type
+""",
+)
+def q_value_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles (verified bit-identical
+    to DuckDB's quantile_cont). The 100 TB path swaps in
+    percentile_approx — see approx_event_stats."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+@register("approx_event_stats")  # rows-only: sketch internals are engine-specific
+def q_approx_event_stats(spark, sf_dir):
+    """The sketch-based scale path: approx_count_distinct (HLL++) and
+    percentile_approx per event type, with exact counterparts for
+    error inspection."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").cast("long").alias("approx_users"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.percentile_approx("value", 0.9).alias("approx_p90"),
+        F.expr("percentile(value, 0.9)").alias("exact_p90"),
+    )
+
+
+@register(
+    "user_event_type_pivot",
+    oracle="""
+select user_id,
+       cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as click,
+       cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as error,
+       cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as purchase,
+       cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as signup,
+       cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as view
+from events group by user_id
+""",
+)
+def q_user_event_type_pivot(spark, sf_dir):
+    """Pivot: per-user event-type counts as columns (explicit value
+    list so the output schema is static — required at scale anyway to
+    avoid a pre-pass)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
+@register(
+    "lang_source_cube",
+    oracle="""
+select coalesce(lang, 'ALL') as lang_group,
+       coalesce(source, 'ALL') as source_group,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars
+from documents group by cube(lang, source)
+""",
+)
+def q_lang_source_cube(spark, sf_dir):
+    """CUBE: all grouping-set combinations over (lang, source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang_group"),
+            F.coalesce("source", F.lit("ALL")).alias("source_group"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+@register(
+    "custkeys_f_except_o",
+    oracle="""
+select o_custkey from orders where o_orderstatus = 'F'
+except
+select o_custkey from orders where o_orderstatus = 'O'
+""",
+)
+def q_custkeys_f_except_o(spark, sf_dir):
+    """Set operation (EXCEPT — distinct difference in both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)
