@@ -1059,3 +1059,64 @@ def q_custkeys_f_except_o(spark, sf_dir):
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.subtract(o)
+
+
+@register(
+    "salted_revenue_by_region",
+    oracle="""
+select r_name,
+       cast(sum(cast(o_totalprice as decimal(14,2))) as double) as revenue,
+       cast(count(*) as bigint) as n_orders
+from orders
+join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name
+""",
+)
+def q_salted_revenue_by_region(spark, sf_dir):
+    """Skew-mitigated variant of revenue_by_region: the orders⋈customer
+    join is salted (fact side salted on xxhash64(o_orderkey) % 8, dim
+    side replicated ×8, shuffle-hash forced so the salt actually
+    spreads partitions). The oracle is the PLAIN join — salting must
+    be result-invariant, and this query proves it on every run."""
+    from .operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = salted_join(
+        orders, customer,
+        fact_key="o_custkey", dim_key="c_custkey",
+        salt_source="o_orderkey", n_salts=8, force_shuffle=True,
+    )
+    dec = F.col("o_totalprice").cast("decimal(14,2)")
+    return (
+        joined.join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.sum(dec).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "stateful_user_totals",
+    oracle="""
+select user_id,
+       cast(count(*) as bigint) as n_events,
+       round(sum(value), 2) as total_value
+from events group by user_id
+""",
+)
+def q_stateful_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running totals over the event stream. With availableNow on
+    a finite input the final state equals the batch aggregate — which
+    is the oracle."""
+    from .streaming.stateful import run_stateful_user_totals
+
+    return run_stateful_user_totals(spark, sf_dir)

@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2.9: 'applyInPandasWithState for custom stateful
+operators').
+
+Per-user running totals: for each micro-batch, each user's state
+(event count, value sum) is loaded, updated with the batch's Arrow
+frames, and re-emitted — the building block for streaming feature
+stores / per-entity counters that windowed aggregates can't express.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n_events long, total_value double"
+
+
+def _update_user_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 2)))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def running_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Attach the stateful per-user totals operator to an event stream."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stateful_user_totals(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Run the stateful operator over the finite events stream
+    (availableNow) and return the final per-user totals."""
+    from .events_stream import _event_stream
+
+    name = f"stateful_totals_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join("/tmp", f"ckpt_{name}")
+    q = (
+        running_user_totals(_event_stream(spark, sf_dir).select("user_id", "value"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    # update-mode memory sink may hold one row per state update; keep
+    # the final emission per user.
+    out = spark.table(name)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,66 @@
+"""Property-based tests (SURVEY.md §5.2.5) — hypothesis generates the
+dirty inputs, one Spark job per example (examples kept low: each is a
+real distributed job).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_challenge_localiza_spark.operators.cleaning import clean_transactions
+from etl_challenge_localiza_spark.operators.quality import dq_profile
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+COLS = ["timestamp", "transaction_type", "amount", "receiving_address", "location_region", "risk_score"]
+
+cell = st.one_of(
+    st.none(),
+    st.just(""),
+    st.just("nan"),
+    st.just("None"),
+    st.just("0"),
+    st.sampled_from(["sale", "SALE", " Sale ", "refund"]),
+    st.integers(min_value=0, max_value=2**40).map(str),
+    st.floats(allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6).map(
+        lambda f: f"{f:.4f}"
+    ),
+    st.text(alphabet="abcxyz ", min_size=0, max_size=8),
+)
+
+rows_strategy = st.lists(st.tuples(*[cell] * 6), min_size=0, max_size=25)
+
+SLOW = settings(
+    max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_conformity_rate_bounded(spark, rows):
+    df = spark.createDataFrame(rows, schema=", ".join(f"{c} string" for c in COLS))
+    m = dq_profile(df)
+    assert 0.0 <= m["conformity_rate"] <= 1.0
+    assert m["failed_rows_estimate"] >= 0
+
+
+@given(rows=rows_strategy)
+@SLOW
+def test_clean_invariants(spark, rows):
+    df = spark.createDataFrame(rows, schema=", ".join(f"{c} string" for c in COLS))
+    out = clean_transactions(df).collect()
+    for r in out:
+        # survivors satisfy every rule the reference enforces
+        assert r["timestamp"] is not None
+        assert r["transaction_type"] is not None
+        assert r["transaction_type"] == r["transaction_type"].strip().lower()
+        assert r["amount"] is not None and r["amount"] >= 0
+        assert r["location_region"] != "0"
+    # dedup key uniqueness (D1)
+    keys = [
+        (r["timestamp"], r["receiving_address"], r["transaction_type"], r["amount"])
+        for r in out
+    ]
+    assert len(keys) == len(set(keys))

@@ -1,0 +1,78 @@
+"""Storage-layout scale techniques: bucketed co-located joins and
+partition pruning. These are plan-level guarantees — the point is what
+does NOT happen (no shuffle, no full scan), asserted on the executed
+plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_challenge_localiza_spark.sources.readers import load_table
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf0001, no_broadcast):
+    """Writing both join sides bucketed+sorted on the key lets the
+    sort-merge join run with ZERO Exchange (the 100 TB co-location
+    strategy for repeated fact⋈fact joins)."""
+    orders = load_table(spark, sf0001, "orders")
+    customer = load_table(spark, sf0001, "customer")
+    import shutil
+
+    spark.sql("drop table if exists b_orders")
+    spark.sql("drop table if exists b_customer")
+    # the default in-memory catalog forgets tables across sessions but
+    # leaves their directories — clear them so saveAsTable can recreate
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_customer"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .format("parquet").saveAsTable("b_orders")
+    )
+    (
+        customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .format("parquet").saveAsTable("b_customer")
+    )
+    joined = spark.table("b_orders").join(
+        spark.table("b_customer"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    assert joined.count() == orders.count()  # every order has a customer
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # the unbucketed equivalent DOES shuffle both sides
+    plain = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    plain.count()
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plain_plan
+
+
+def test_partition_pruning(spark, sf0001, tmp_path):
+    """A filter on the partition column must prune the scan to that
+    partition's files only."""
+    ev = load_table(spark, sf0001, "events")
+    path = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    read = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    n_click = read.count()
+    assert n_click == ev.filter(F.col("event_type") == "click").count()
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "click" in plan, plan
+    # pruned scan reads only the one partition directory
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*click[^\]]*\]", plan)
+    assert m, plan
