@@ -22,7 +22,7 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     (user_id, session_id, n_events, session_start, session_end,
     duration_s).
     """
-    us = F.unix_micros("ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = int(gap_minutes) * 60 * 1_000_000
     with_flag = events.withColumn(
@@ -44,7 +44,10 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             (
-                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).cast("double")
+                (
+                    F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+                    - F.min(F.unix_micros(F.col("ts").cast("timestamp")))
+                ).cast("double")
                 / F.lit(1_000_000.0)
             ).alias("duration_s"),
         )

@@ -275,8 +275,13 @@ def q_epoch_ms_roundtrip(spark, sf_dir):
     from .functions.timeparse import parse_timestamp_auto
 
     ev = load_table(spark, sf_dir, "events")
-    df = ev.select("event_id", F.unix_millis("ts").alias("timestamp"))
-    return parse_timestamp_auto(df, "timestamp")
+    df = ev.select(
+        "event_id",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("timestamp"),
+    )
+    out = parse_timestamp_auto(df, "timestamp")
+    # NTZ output to match the (timezone-free) table convention
+    return out.withColumn("timestamp", F.col("timestamp").cast("timestamp_ntz"))
 
 
 # ---------------------------------------------------------------------------
@@ -1120,3 +1125,54 @@ def q_stateful_user_totals(spark, sf_dir):
     from .streaming.stateful import run_stateful_user_totals
 
     return run_stateful_user_totals(spark, sf_dir)
+
+
+@register(
+    "label_centroids",
+    oracle="""
+with g as (select label, embedding,
+                  unnest(generate_series(1, len(embedding))) as pos
+           from embeddings)
+select label, cast(pos as int) as pos,
+       round(avg(cast(embedding[pos] as double)), 5) as centroid_val
+from g group by label, pos
+""",
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label mean vector (long format: one row per (label, dim)).
+    posexplode → hash aggregate; the centroid computation used by IVF
+    training / class prototypes. Cross-row float avg → rounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 5).alias("centroid_val"))
+    )
+
+
+@register("hashing_tfidf_norms")  # rows-only: hashing buckets are Spark-ML-specific
+def q_hashing_tfidf_norms(spark, sf_dir):
+    """The production TF-IDF path at scale: pyspark.ml HashingTF
+    (fixed-width feature hashing, no vocabulary shuffle) + IDF fit.
+    Output: per-doc L2 norm of the tf-idf vector (deterministic for a
+    fixed bucket count). The exact explode-based tfidf_top_terms query
+    is this operator's accuracy oracle."""
+    from pyspark.ml.feature import IDF, HashingTF
+
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=1024).transform(docs)
+    model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    out = model.transform(tf)
+    from pyspark.ml.functions import vector_to_array
+
+    arr = vector_to_array(F.col("tfidf"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+        )
+    )
+    return out.select("doc_id", F.round(norm, 6).alias("tfidf_l2_norm"))

@@ -50,7 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
-        df = df.withColumn("ts", F.timestamp_micros(micros))
+        # NTZ so events timestamps carry the same (timezone-free)
+        # semantics as every other table and as DuckDB's read of the
+        # file — collected values are naive either way.
+        df = df.withColumn("ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
     return df
 
 

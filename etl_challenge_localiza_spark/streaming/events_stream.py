@@ -43,7 +43,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
-    return stream.withColumn("ts", F.timestamp_micros(micros))
+    return stream.withColumn("ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
 
 
 def _hourly_agg(stream: DataFrame) -> DataFrame:
@@ -82,5 +82,12 @@ def run_streaming_hourly(spark: SparkSession, sf_dir: str, timeout_sec: int = 30
 def hourly_stream_with_watermark(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:
-    """Append-mode-ready windowed aggregate with late-data handling."""
-    return _hourly_agg(_event_stream(spark, sf_dir).withWatermark("ts", watermark))
+    """Append-mode-ready windowed aggregate with late-data handling.
+
+    Watermarks require TIMESTAMP (not NTZ) event time — with the UTC
+    session the cast is instant-preserving.
+    """
+    stream = _event_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return _hourly_agg(stream.withWatermark("ts", watermark))
