@@ -428,7 +428,9 @@ def q_events_hourly(spark, sf_dir):
     form in streaming.events_stream produces identical results)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        # date_trunc always yields LTZ; cast back to the NTZ convention
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+        "event_type",
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
