@@ -122,8 +122,14 @@ def minhash_near_dup_pairs(
     Returns (doc_id_a, doc_id_b, jaccard).
     """
     rows = num_hashes // bands
-    sh = doc_shingles(docs, n).cache()
-    sig = minhash_signatures(sh, num_hashes)
+    # signatures don't need distinct shingles (min over a multiset ==
+    # min over its set), so they aggregate straight off the explode —
+    # partial min-aggs run map-side and the distinct-shingle exchange
+    # is skipped entirely on this path.
+    sh_raw = docs.select(
+        "doc_id", F.explode(shingles(tokens("text"), n)).alias("shingle")
+    )
+    sig = minhash_signatures(sh_raw, num_hashes)
 
     band_structs = F.array(
         *[
@@ -151,10 +157,21 @@ def minhash_near_dup_pairs(
         .dropDuplicates(["a_doc_id", "b_doc_id"])
     )
 
-    # exact verify on candidates only
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("a_doc_id"), F.col("shingle").alias("a_sh"))
-    b = sh.select(F.col("doc_id").alias("b_doc_id"), F.col("shingle").alias("b_sh"))
+    # exact verify on candidates only: shrink the shingle sets to
+    # candidate docs first (semi joins), THEN intersect — at scale the
+    # candidate set is a tiny fraction of the corpus.
+    cand = cand.cache()
+    cand_docs = cand.select(F.col("a_doc_id").alias("doc_id")).union(
+        cand.select(F.col("b_doc_id").alias("doc_id"))
+    ).distinct()
+    sh_cand = (
+        sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .dropDuplicates(["doc_id", "shingle"])
+        .cache()
+    )
+    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh_cand.select(F.col("doc_id").alias("a_doc_id"), F.col("shingle").alias("a_sh"))
+    b = sh_cand.select(F.col("doc_id").alias("b_doc_id"), F.col("shingle").alias("b_sh"))
     ca = cand.join(a, "a_doc_id")
     inter = (
         ca.join(b, (ca["b_doc_id"] == b["b_doc_id"]) & (ca["a_sh"] == b["b_sh"]))

@@ -123,3 +123,27 @@ def run_pipeline(
     df_raw.unpersist()
     df_clean.unpersist()
     return result
+
+
+def main() -> int:
+    """CLI entry mirroring the reference's ``python flows/pipeline.py``
+    (flows/pipeline.py:267-268): env-configured input, gates fail the
+    process with a non-zero exit."""
+    import sys
+
+    from ..session import get_spark
+
+    spark = get_spark(app_name="local_etl_case")
+    try:
+        run_pipeline(spark)
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    except QualityGateError as e:
+        print(str(e), file=sys.stderr)
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
