@@ -92,15 +92,26 @@ def parse_epoch(col: Column | str, unit: str) -> Column:
         int_path = lng * F.lit(mult)
         dbl_path = F.round(dbl * F.lit(float(mult))).cast("long")
     micros = F.when(lng.isNotNull(), int_path).otherwise(dbl_path)
+    # Clamp to the Python/pandas-representable window (years 1..9999):
+    # pandas raises OutOfBoundsDatetime on such epochs (the reference
+    # would crash, flows/pipeline.py:137 passes no errors=); we extend
+    # the coerce-to-null policy instead so one absurd cell can't kill a
+    # 100 TB batch.
+    lo, hi = -62_135_596_800_000_000, 253_402_300_800_000_000
+    micros = F.when(micros.between(lo, hi - 1), micros)
     return F.timestamp_micros(micros)
 
 
 def parse_timestamp_string(col: Column | str) -> Column:
     """P8: datetime-string path — null on failure (errors="coerce",
     flows/pipeline.py:138-139). try_to_timestamp keeps coerce semantics
-    even under ANSI mode."""
+    even under ANSI mode. Spark parses bare huge years ('10000') that
+    pandas coerces to NaT — the same years-1..9999 clamp as the epoch
+    path keeps both the parity and collectability."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_to_timestamp(c.cast("string"))
+    ts = F.try_to_timestamp(c.cast("string"))
+    lo, hi = -62_135_596_800_000_000, 253_402_300_800_000_000
+    return F.when(F.unix_micros(ts).between(lo, hi - 1), ts)
 
 
 def parse_timestamp_auto(df: DataFrame, col: str = "timestamp") -> DataFrame:

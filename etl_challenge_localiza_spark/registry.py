@@ -1178,3 +1178,152 @@ def q_hashing_tfidf_norms(spark, sf_dir):
         )
     )
     return out.select("doc_id", F.round(norm, 6).alias("tfidf_l2_norm"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus compositions: end-to-end dedup, contamination, corpus stats
+# ---------------------------------------------------------------------------
+
+#: shared CTE text: blocked 3-gram jaccard pairs over documents
+#: (same logic as the ngram_jaccard_pairs query).
+SQL_JACCARD_CTES = f"""
+t as (select doc_id, lang, source, {SQL_TOKS} as toks from documents),
+g as (select doc_id, lang, source, toks,
+             unnest(generate_series(1, len(toks) - 2)) as g
+      from t),
+sh as (
+  select distinct doc_id, lang, source,
+         array_to_string(toks[g:g+2], ' ') as shingle
+  from g
+),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select a.doc_id as da, b.doc_id as db, count(*) as ni
+  from sh a
+  join sh b on a.shingle = b.shingle and a.lang = b.lang
+           and a.source = b.source and a.doc_id < b.doc_id
+  group by 1, 2
+),
+jaccard_pairs as (
+  select da, db,
+         cast(ni as double) / cast(sa.n + sb.n - ni as double) as jaccard
+  from inter
+  join sizes sa on da = sa.doc_id
+  join sizes sb on db = sb.doc_id
+)
+"""
+
+
+@register(
+    "dedup_corpus",
+    oracle=f"""
+with {SQL_JACCARD_CTES},
+exact_drop as (
+  select doc_id from (
+    select doc_id, row_number() over (partition by md5(text) order by doc_id) as rn
+    from documents) where rn > 1
+),
+near_drop as (select distinct db as doc_id from jaccard_pairs where jaccard >= 0.2)
+select d.doc_id, d.lang, d.source, d.n_chars
+from documents d
+where not exists (select 1 from exact_drop x where x.doc_id = d.doc_id)
+  and not exists (select 1 from near_drop x where x.doc_id = d.doc_id)
+""",
+)
+def q_dedup_corpus(spark, sf_dir):
+    """End-to-end corpus dedup: drop exact duplicates (keep lowest
+    doc_id per md5) AND the higher-id side of every blocked near-dup
+    pair. The anti joins broadcast the (tiny) drop lists — at 100 TB
+    the drop lists are the output of the LSH stage, still a small
+    fraction of the corpus."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact_drop = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    near_drop = (
+        ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+        .select(F.col("doc_id_b").alias("doc_id"))
+        .distinct()
+    )
+    drop = exact_drop.union(near_drop).distinct()
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "benchmark_contamination",
+    oracle=f"""
+with t as (select doc_id, source, {SQL_TOKS} as toks from documents),
+g as (select doc_id, source, toks,
+             unnest(generate_series(1, len(toks) - 4)) as g
+      from t),
+sh as (
+  select distinct doc_id, source,
+         array_to_string(toks[g:g+4], ' ') as shingle
+  from g
+),
+bench as (select shingle from sh where source = 'src0'),
+train as (select doc_id, shingle from sh where source <> 'src0')
+select train.doc_id as doc_id,
+       cast(count(distinct train.shingle) as bigint) as n_shared_5grams
+from train join bench on train.shingle = bench.shingle
+group by train.doc_id
+""",
+)
+def q_benchmark_contamination(spark, sf_dir):
+    """Benchmark-contamination check: training docs (source != src0)
+    sharing any 5-gram with the benchmark set (source = src0). The
+    benchmark shingle set is small → broadcast semi-structure; at
+    100 TB the benchmark side stays broadcastable while the training
+    side streams through."""
+    from .functions.text import shingles, tokens
+    from .operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", "source", F.explode(shingles(tokens("text"), 5)).alias("shingle")
+    ).dropDuplicates(["doc_id", "source", "shingle"])
+    bench = sh.filter(F.col("source") == "src0").select("shingle").distinct()
+    train = sh.filter(F.col("source") != "src0")
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").cast("long").alias("n_shared_5grams"))
+    )
+
+
+@register(
+    "corpus_token_stats",
+    oracle=f"""
+with tok as (select unnest({SQL_TOKS}) as token from documents)
+select cast(count(*) as bigint) as total_tokens,
+       cast(count(distinct token) as bigint) as unique_tokens,
+       cast(count(distinct token) as double) / count(*) as type_token_ratio,
+       (select cast(count(*) as bigint) from documents) as total_docs
+from tok
+""",
+)
+def q_corpus_token_stats(spark, sf_dir):
+    """Whole-corpus token statistics (the sizing numbers every corpus
+    pipeline reports): totals, vocabulary, type-token ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .functions.text import tokens
+
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    n_docs = docs.count()
+    return tok.agg(
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.count_distinct("token").cast("long").alias("unique_tokens"),
+        (F.count_distinct("token").cast("double") / F.count(F.lit(1))).alias(
+            "type_token_ratio"
+        ),
+        F.lit(n_docs).cast("long").alias("total_docs"),
+    )
