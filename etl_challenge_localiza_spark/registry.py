@@ -1327,3 +1327,55 @@ def q_corpus_token_stats(spark, sf_dir):
         ),
         F.lit(n_docs).cast("long").alias("total_docs"),
     )
+
+
+@register(
+    "events_followup_pairs",
+    oracle="""
+select a.event_id as event_id_a, b.event_id as event_id_b
+from events a
+join events b
+  on a.user_id = b.user_id
+ and epoch_us(b.ts) >= epoch_us(a.ts)
+ and epoch_us(b.ts) < epoch_us(a.ts) + 1800000000
+ and a.event_id <> b.event_id
+""",
+    headline=True,
+)
+def q_events_followup_pairs(spark, sf_dir):
+    """Range join: same-user event pairs within a 30-minute window,
+    via time-bucketization (≤2 bucket copies per interval row, plain
+    hash join on (key, bucket)) instead of a per-key cross product.
+    The oracle is the naive range join — result equivalence proven."""
+    from .operators.rangejoin import events_within_window_pairs
+
+    return events_within_window_pairs(load_table(spark, sf_dir, "events"), 30)
+
+
+@register(
+    "status_priority_grouping_sets",
+    oracle="""
+select coalesce(o_orderstatus, 'ALL') as status,
+       coalesce(o_orderpriority, 'ALL') as priority,
+       cast(count(*) as bigint) as n_orders
+from orders
+group by grouping sets ((o_orderstatus), (o_orderpriority), ())
+""",
+)
+def q_status_priority_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (neither rollup nor cube): per-status,
+    per-priority, and grand-total rows from one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+    )
