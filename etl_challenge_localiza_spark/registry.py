@@ -1379,3 +1379,98 @@ def q_status_priority_grouping_sets(spark, sf_dir):
             "n_orders",
         )
     )
+
+
+@register(
+    "near_dup_components",
+    oracle=f"""
+with recursive {SQL_JACCARD_CTES},
+exact_pairs as (
+  select keeper as a, doc_id as b from (
+    select doc_id, min(doc_id) over (partition by md5(text)) as keeper
+    from documents
+  ) where doc_id <> keeper
+),
+e0 as (
+  select da as a, db as b from jaccard_pairs where jaccard >= 0.2
+  union
+  select a, b from exact_pairs
+),
+e as (select a, b from e0 union select b as a, a as b from e0),
+reach(node, r) as (
+  select a, a from e
+  union
+  select e.b, reach.r from reach join e on e.a = reach.node
+)
+select cast(node as bigint) as doc_id, cast(min(r) as bigint) as component
+from reach group by node
+""",
+)
+def q_near_dup_components(spark, sf_dir):
+    """Duplicate CLUSTERS from duplicate PAIRS: connected components
+    (iterative min-label propagation, driver-checked fixpoint) over the
+    union of exact-dup and blocked near-dup edges. The oracle is a
+    recursive CTE — the same fixpoint computed declaratively."""
+    from pyspark.sql import Window
+
+    from .operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    w = Window.partitionBy("h")
+    exact = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    comp = connected_components(near.union(exact))
+    return comp.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@register(
+    "session_window_stats",
+    oracle="""
+with flagged as (
+  select user_id, event_id, ts,
+         case when epoch_us(ts) - lag(epoch_us(ts)) over w is null
+                or epoch_us(ts) - lag(epoch_us(ts)) over w > 1800000000
+              then 1 else 0 end as new_session
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+with_id as (
+  select user_id, ts,
+         sum(new_session) over (partition by user_id order by ts, event_id
+             rows between unbounded preceding and current row) as session_id
+  from flagged
+)
+select user_id,
+       min(ts) as session_start,
+       max(ts) + interval 30 minutes as session_end_padded,
+       cast(count(*) as bigint) as n_events
+from with_id
+group by user_id, session_id
+""",
+)
+def q_session_window_stats(spark, sf_dir):
+    """Spark's NATIVE session_window (gap-merged event-time sessions,
+    also valid in Structured Streaming with state) — proven equivalent
+    to the manual islands sessionization, whose SQL is the oracle.
+    session_window.end = last event + gap, hence 'padded'."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end_padded"),
+            "n_events",
+        )
+    )
