@@ -85,3 +85,82 @@ def extract_features(
             )
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "asset_id long, kind string, payload binary, width int, height int"
+
+
+def resize_assets(
+    assets: DataFrame,
+    target: tuple[int, int] = (32, 32),
+    resizer: Callable[[bytes, tuple[int, int]], bytes] | None = None,
+) -> DataFrame:
+    """Resize stub: same Arrow-batched shape as a real PIL/opencv
+    resize. The default deterministic fake truncates/pads the payload
+    to target_w*target_h bytes (a real resizer plugs in via
+    ``resizer``; None raises NotImplementedError at execution, marking
+    the codec-less environment).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = target
+        for pdf in batches:
+            if resizer is not None:
+                out = [resizer(bytes(p), target) for p in pdf["payload"]]
+            else:
+                raise NotImplementedError(
+                    "real image resize requires codec libraries not present "
+                    "in this environment; pass a resizer callable"
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "width": [w] * len(pdf),
+                    "height": [h] * len(pdf),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def fake_resizer(payload: bytes, target: tuple[int, int]) -> bytes:
+    """Deterministic stand-in: truncate/zero-pad to w*h bytes."""
+    n = target[0] * target[1]
+    return payload[:n].ljust(n, b"\0")
+
+
+FRAME_SCHEMA = "asset_id long, frame_index int, frame_payload binary, frame_sha string"
+
+
+def sample_frames(
+    assets: DataFrame, n_frames: int = 4, frame_bytes: int = 64
+) -> DataFrame:
+    """Frame-sampling stub for video-shaped payloads: emit ``n_frames``
+    evenly spaced byte windows per asset (1→N row explosion through
+    Arrow — the real shape of video decode output). Deterministic, so
+    the row multiplication and schema handling are fully testable
+    without a codec.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "asset_id": [],
+                "frame_index": [],
+                "frame_payload": [],
+                "frame_sha": [],
+            }
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = raw[i * step : i * step + frame_bytes]
+                    rows["asset_id"].append(aid)
+                    rows["frame_index"].append(i)
+                    rows["frame_payload"].append(frame)
+                    rows["frame_sha"].append(hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(run, schema=FRAME_SCHEMA)

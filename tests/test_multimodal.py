@@ -41,3 +41,34 @@ def test_real_decoder_is_stubbed(spark):
     df = extract_features(_assets(spark), decoder=None)
     with pytest.raises(PythonException, match="NotImplementedError"):
         df.collect()
+
+
+def test_resize_stub_shapes(spark):
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        fake_resizer,
+        resize_assets,
+    )
+
+    out = resize_assets(_assets(spark), target=(8, 4), resizer=fake_resizer).first()
+    assert len(bytes(out["payload"])) == 32
+    assert (out["width"], out["height"]) == (8, 4)
+
+
+def test_resize_real_path_stubbed(spark):
+    from etl_challenge_localiza_spark.operators.multimodal import resize_assets
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        resize_assets(_assets(spark), resizer=None).collect()
+
+
+def test_frame_sampling_explodes_rows(spark):
+    from etl_challenge_localiza_spark.operators.multimodal import sample_frames
+
+    rows = sample_frames(_assets(spark), n_frames=4, frame_bytes=3).collect()
+    assert len(rows) == 4  # 1 asset → 4 frames
+    assert [r["frame_index"] for r in rows] == [0, 1, 2, 3]
+    raw = "héllo wörld".encode()
+    assert bytes(rows[0]["frame_payload"]) == raw[:3]
+    import hashlib as _h
+
+    assert rows[0]["frame_sha"] == _h.sha256(raw[:3]).hexdigest()

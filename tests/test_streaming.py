@@ -22,3 +22,58 @@ def test_watermark_stream_builds_and_is_streaming(spark, sf0001):
     df = hourly_stream_with_watermark(spark, sf0001)
     assert df.isStreaming
     assert set(df.columns) == {"hour_start", "event_type", "n_events", "sum_value"}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Drive the append-mode watermark stream over two micro-batches:
+    an event later than (max event time − watermark) must be dropped,
+    and closed windows must emit exactly once."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(eid, hour, minute):
+        return (eid, dt.datetime(2024, 1, 1, hour, minute), 1, "click", 1.0, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    batch1 = spark.createDataFrame([ev(1, 0, 10), ev(2, 0, 20), ev(3, 6, 0)], cols)
+    batch2 = spark.createDataFrame([ev(4, 0, 30), ev(5, 6, 30)], cols)
+
+    sink = str(tmp_path / "sink")
+
+    def run_batch(df, run_id):
+        # each availableNow run processes only files not yet committed
+        # to the shared checkpoint → deterministic micro-batch split;
+        # the parquet file sink supports checkpoint recovery.
+        df.coalesce(1).write.parquet(f"{src}/run{run_id}")
+        stream = (
+            spark.readStream.schema(df.schema)
+            .parquet(src + "/run*")
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch(batch1, 1)
+    run_batch(batch2, 2)
+    out = {r["ws"].hour: r["n"] for r in spark.read.parquet(sink).collect()}
+    # batch1 advances the watermark to 06:00−2h = 04:00, closing the
+    # 00:00 window with its 2 on-time events; batch2's event_id=4
+    # (00:30) is behind the watermark → dropped, never re-emitted.
+    assert out.get(0) == 2, out
+    # the 06:00 window stays open at end-of-input (within watermark) —
+    # correct append semantics: absent, not lost.
+    assert 6 not in out
