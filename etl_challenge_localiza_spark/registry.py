@@ -1725,3 +1725,32 @@ def q_doc_string_features(spark, sf_dir):
         (F.instr(text, "spark") > 0).alias("has_spark"),
         F.upper(F.substring(text, 1, 10)).alias("head_upper"),
     )
+
+
+@register(
+    "q4_late_order_priority",
+    oracle="""
+select o_orderpriority, cast(count(*) as bigint) as n_orders
+from orders o
+where exists (
+  select 1 from lineitem l
+  where l.l_orderkey = o.o_orderkey
+    and l.l_shipdate > o.o_orderdate + interval 60 days)
+group by o_orderpriority
+""",
+)
+def q_q4_late_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS as a LEFT SEMI join with a
+    cross-side inequality (orders with any lineitem shipped >60 days
+    after the order date). The semi join short-circuits per key —
+    no fact-side duplication, no distinct needed."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li["l_orderkey"] == orders["o_orderkey"]) & (
+        li["l_shipdate"] > F.expr("o_orderdate + interval 60 days")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )

