@@ -15,11 +15,16 @@ thin adapter over its query registry.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_challenge_localiza_spark.registry import QUERIES
+# make the package importable regardless of the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_challenge_localiza_spark.registry import QUERIES  # noqa: E402
 
 SF0001_DIR = "/root/testdata/sf0.001"
 

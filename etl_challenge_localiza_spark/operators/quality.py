@@ -153,6 +153,31 @@ def dq_profile_df(df: DataFrame) -> DataFrame:
     )
 
 
+def observed_profile(df: DataFrame, name: str = "dq") -> DataFrame:
+    """Zero-extra-pass DQ telemetry via ``DataFrame.observe``: the
+    metrics accumulate DURING whatever action consumes the returned
+    frame (a write, a count), instead of costing a separate scan.
+
+    Use for monitoring alongside a sink; the gating profile
+    (:func:`dq_profile`) stays a dedicated action because the gate must
+    decide BEFORE the publish runs (flows/pipeline.py:235). Read the
+    result from ``spark.listenerBus`` observations or
+    ``df.observe``'s QueryExecutionListener; in tests, via
+    ``Observation`` objects.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    cols = set(df.columns)
+    aggs = [F.count(F.lit(1)).alias("total_rows")]
+    for c in PROFILE_COLUMNS:
+        if c in cols:
+            aggs.append(_null_count(c).alias(f"nulls_{c}"))
+    observed = df.observe(obs, *aggs)
+    observed._dq_observation = obs  # handle for the caller
+    return observed
+
+
 def check_gate(metrics: dict, threshold: float, phase: str) -> None:
     """C3/C4 driver-side control flow (flows/pipeline.py:235,256).
 

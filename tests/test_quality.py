@@ -74,3 +74,17 @@ def test_gates():
     check_gate({"conformity_rate": None}, 0.98, "pre")  # None → skip (reference if-guard)
     with pytest.raises(QualityGateError):
         check_gate({"conformity_rate": 0.97}, 0.98, "pre")
+
+
+def test_observed_profile_single_pass(spark):
+    """observe() collects the DQ counters during the consuming action —
+    no second scan."""
+    from etl_challenge_localiza_spark.operators.quality import observed_profile
+
+    rows = [("1", "sale", "10", "a", None, "1"), (None, "x", "5", None, "r", "2")]
+    df = observed_profile(_df(spark, rows))
+    df.write.format("noop").mode("overwrite").save()  # the one action
+    got = df._dq_observation.get
+    assert got["total_rows"] == 2
+    assert got["nulls_timestamp"] == 1
+    assert got["nulls_location_region"] == 1
