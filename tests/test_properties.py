@@ -64,3 +64,33 @@ def test_clean_invariants(spark, rows):
         for r in out
     ]
     assert len(keys) == len(set(keys))
+
+
+epoch_units = st.sampled_from(
+    [("s", 1), ("ms", 10**3), ("us", 10**6), ("ns", 10**9)]
+)
+
+
+@given(
+    unit_mult=epoch_units,
+    secs=st.lists(
+        st.integers(min_value=10**9, max_value=2 * 10**9), min_size=1, max_size=10
+    ),
+)
+@SLOW
+def test_epoch_roundtrip_property(spark, unit_mult, secs):
+    """Any batch of integer epochs in any unit parses to the exact
+    instants (unit auto-detected from the batch median)."""
+    import datetime as dt
+
+    unit, mult = unit_mult
+    from etl_challenge_localiza_spark.functions.timeparse import parse_timestamp_auto
+
+    df = spark.createDataFrame([(str(s * mult),) for s in secs], ["timestamp"])
+    out = [r["timestamp"] for r in parse_timestamp_auto(df, "timestamp").collect()]
+    want = [
+        dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None)
+        for s in secs
+    ]
+    got = [t.replace(tzinfo=None) for t in out]
+    assert sorted(got) == sorted(want), (unit, secs)
