@@ -1754,3 +1754,51 @@ def q_q4_late_order_priority(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
     )
+
+
+@register(
+    "order_window_analytics",
+    oracle="""
+select o_orderkey, o_custkey,
+       cast(row_number() over w as bigint) as seq,
+       cast(rank() over (partition by o_custkey order by o_orderstatus) as bigint) as status_rank,
+       cast(dense_rank() over (partition by o_custkey order by o_orderstatus) as bigint) as status_dense_rank,
+       cast(ntile(4) over w as bigint) as quartile,
+       cume_dist() over w as cume,
+       lag(o_orderkey) over w as prev_orderkey,
+       lead(o_orderkey) over w as next_orderkey,
+       first_value(o_orderkey) over w as first_orderkey,
+       cast(sum(cast(o_totalprice as decimal(14,2))) over (
+            partition by o_custkey order by o_orderdate, o_orderkey
+            rows between unbounded preceding and current row) as double) as running_revenue
+from orders
+window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+""",
+)
+def q_order_window_analytics(spark, sf_dir):
+    """Window-function breadth in one pass: ranking (row_number, rank,
+    dense_rank, ntile, cume_dist), navigation (lag, lead, first_value)
+    and a decimal-exact running sum — all sharing ONE window partition
+    spec, so Catalyst plans a single sort+Window over one exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_status = Window.partitionBy("o_custkey").orderBy("o_orderstatus")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(w).cast("long").alias("seq"),
+        F.rank().over(w_status).cast("long").alias("status_rank"),
+        F.dense_rank().over(w_status).cast("long").alias("status_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(w_run)
+        .cast("double")
+        .alias("running_revenue"),
+    )
