@@ -1802,3 +1802,37 @@ def q_order_window_analytics(spark, sf_dir):
         .cast("double")
         .alias("running_revenue"),
     )
+
+
+@register(
+    "order_date_math",
+    oracle="""
+select o_orderkey,
+       cast(extract(year from o_orderdate) as bigint) as order_year,
+       cast(extract(month from o_orderdate) as bigint) as order_month,
+       cast(extract(day from o_orderdate) as bigint) as order_day,
+       cast(extract(quarter from o_orderdate) as bigint) as order_quarter,
+       o_orderdate + interval 90 days as due_date,
+       cast(last_day(o_orderdate) as timestamp) as month_end,
+       cast(date_diff('day', o_orderdate, timestamp '2000-01-01') as bigint) as days_to_y2k
+from orders
+""",
+)
+def q_order_date_math(spark, sf_dir):
+    """Date/time scalar-function surface (extract, interval
+    arithmetic, last_day, day difference) — an explicit absence in the
+    reference (SURVEY.md §2.8), standard in any analytics engine."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("order_year"),
+        F.month(d).cast("long").alias("order_month"),
+        F.dayofmonth(d).cast("long").alias("order_day"),
+        F.quarter(d).cast("long").alias("order_quarter"),
+        F.expr("o_orderdate + interval 90 days").alias("due_date"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+    )
