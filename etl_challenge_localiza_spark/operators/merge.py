@@ -1,0 +1,52 @@
+"""Batch MERGE / upsert — the CDC building block (Delta/Iceberg MERGE
+INTO, emulated on plain parquet since no table format is available in
+this environment; the operator's plan shape is identical).
+
+Semantics (keyed upsert):
+- key matched  → take the update row's values
+- not matched  → insert the update row
+- delete flag  → drop the target row
+
+Plan shape: ONE full-outer join on the key; at scale the join
+benefits from both sides being bucketed on the key (zero-exchange,
+see sources.sinks.write_bucketed) — the same layout Delta's
+optimized-write keeps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Return the merged table (target upserted with updates).
+
+    ``delete_col``: optional boolean column on ``updates``; true rows
+    delete the matching target key instead of upserting.
+    """
+    value_cols = [c for c in target.columns if c != key]
+    u = updates
+    if delete_col is not None:
+        deletes = u.filter(F.col(delete_col)).select(F.col(key).alias("__delk"))
+        u = u.filter(~F.col(delete_col)).drop(delete_col)
+        target = target.join(
+            deletes, target[key] == deletes["__delk"], "left_anti"
+        )
+    t = target.select(F.col(key).alias("__tk"), *[F.col(c).alias(f"__t_{c}") for c in value_cols])
+    s = u.select(F.col(key).alias("__sk"), *[F.col(c).alias(f"__s_{c}") for c in value_cols])
+    joined = t.join(s, t["__tk"] == s["__sk"], "full_outer")
+    return joined.select(
+        F.coalesce("__sk", "__tk").alias(key),
+        *[
+            F.when(F.col("__sk").isNotNull(), F.col(f"__s_{c}"))
+            .otherwise(F.col(f"__t_{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+    )

@@ -108,6 +108,44 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram language-model scoring — the LM-based
+    quality filter: score each document by its average Laplace-smoothed
+    bigram log-probability under the corpus's own counts.
+
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V);
+    lm_score(doc) = round(Σ ln P / n_bigrams, 6).
+
+    All counts are exact integers; the per-doc sum of logs is rounded
+    (cross-row accumulation order is engine-dependent). Three hash
+    aggregates + two broadcast-ish joins — no UDFs.
+    """
+    from ..functions.text import shingles, tokens
+
+    tok = tokens("text")
+    bg = docs.select(
+        "doc_id", F.explode(shingles(tok, 2)).alias("bigram")
+    ).withColumn("w1", F.split("bigram", " ").getItem(0))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = (
+        docs.select(F.explode(tok).alias("w")).select("w").distinct().count()
+    )
+    lnp = F.log(
+        (F.col("n2").cast("double") + F.lit(1.0))
+        / (F.col("n1").cast("double") + F.lit(float(vocab)))
+    )
+    return (
+        bg.join(c2, "bigram")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum(lnp) / F.count(F.lit(1)), 6).alias("lm_score"),
+        )
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-token language-ID heuristic: count marker hits per
     language, guess = argmax with a fixed priority order on ties

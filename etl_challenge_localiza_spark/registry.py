@@ -1836,3 +1836,62 @@ def q_order_date_math(spark, sf_dir):
         .cast("long")
         .alias("days_to_y2k"),
     )
+
+
+@register(
+    "merge_upsert_events",
+    oracle="""
+with t as (select event_id, value from events),
+u as (
+  select event_id, value * 2 as value from events where event_type = 'purchase'
+  union all
+  select event_id + 10000000, 1.0 from events where event_type = 'purchase'
+)
+select coalesce(u.event_id, t.event_id) as event_id,
+       case when u.event_id is not null then u.value else t.value end as value
+from t full outer join u on t.event_id = u.event_id
+""",
+)
+def q_merge_upsert_events(spark, sf_dir):
+    """CDC MERGE/upsert: purchases double their value (matched →
+    update), shifted ids insert as new rows; everything else is kept.
+    One full-outer join — the Delta MERGE plan shape on plain frames.
+    (×2 on a 2-dp double is exact: power-of-two multiply.)"""
+    from .operators.merge import merge_upsert
+
+    ev = load_table(spark, sf_dir, "events")
+    target = ev.select("event_id", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    updates = purchases.select("event_id", (F.col("value") * 2).alias("value")).union(
+        purchases.select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    return merge_upsert(target, updates, "event_id")
+
+
+@register(
+    "bigram_lm_scores",
+    oracle=f"""
+with t as (select doc_id, {SQL_TOKS} as toks from documents),
+g as (select doc_id, toks, unnest(generate_series(1, len(toks) - 1)) as i from t),
+bg as (select doc_id, array_to_string(toks[i:i+1], ' ') as bigram, toks[i] as w1 from g),
+c2 as (select bigram, count(*) as n2 from bg group by bigram),
+c1 as (select w1, count(*) as n1 from bg group by w1),
+v as (select cast(count(distinct w) as double) as vocab
+      from (select unnest(toks) as w from t))
+select bg.doc_id,
+       cast(count(*) as bigint) as n_bigrams,
+       round(sum(ln((cast(n2 as double) + 1.0) / (cast(n1 as double) + v.vocab)))
+             / count(*), 6) as lm_score
+from bg join c2 using (bigram) join c1 using (w1), v
+group by bg.doc_id
+""",
+)
+def q_bigram_lm_scores(spark, sf_dir):
+    """LM-based corpus quality filter: per-doc mean Laplace-smoothed
+    bigram log-probability under corpus-trained counts."""
+    from .operators.textops import bigram_lm_score
+
+    return bigram_lm_score(load_table(spark, sf_dir, "documents"))
