@@ -1895,3 +1895,28 @@ def q_bigram_lm_scores(spark, sf_dir):
     from .operators.textops import bigram_lm_score
 
     return bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cheapest_part_per_brand",
+    oracle="""
+select p_partkey, p_name, p_brand, p_retailprice
+from part p
+where p_retailprice = (
+  select min(p2.p_retailprice) from part p2 where p2.p_brand = p.p_brand)
+""",
+)
+def q_cheapest_part_per_brand(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q2 shape): rows matching their
+    group's minimum. Spark decorrelates this into the window-min +
+    filter written here — same plan the optimizer would produce from
+    the subquery form, expressed directly."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        part.withColumn("__min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("__min_price"))
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+    )
