@@ -56,28 +56,58 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     block_cols: tuple[str, ...] = ("lang", "source"),
+    max_df: int = 100,
 ) -> DataFrame:
     """Blocked n-gram Jaccard near-duplicate pairs.
 
     jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets,
     computed with exact integer counts (engine-portable doubles).
     Returns (doc_id_a, doc_id_b, jaccard) with a < b, jaccard ≥ threshold.
+
+    Scale design (no self-join): a shingle shared by k docs in a block
+    would emit k(k-1)/2 rows from a shingle self-join — quadratic in the
+    hottest key. Instead:
+
+    1. hot shingles (block doc-frequency > ``max_df``) are dropped via a
+       BROADCAST anti join — the hot list is tiny by Zipf's law, and a
+       shingle shared by >max_df docs is boilerplate, not near-dup
+       signal (standard df-capped jaccard, same cap mirrored in the
+       oracle SQL);
+    2. surviving shingles are grouped into a per-(block, shingle) doc-id
+       list — bounded at ``max_df`` entries, so the collect is safe;
+    3. pairs are generated JVM-side from each sorted list with a
+       higher-order ``transform``/``flatten`` (≤ max_df²/2 per key by
+       construction) and counted — one hash aggregate, no join.
+
+    Both |A|, |B| and |A∩B| are computed over the CAPPED shingle
+    universe so the jaccard stays a well-defined set similarity.
     """
-    sh = doc_shingles(docs, n, block_cols).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh = doc_shingles(docs, n, block_cols)
+    key = [*block_cols, "shingle"]
+    df_counts = sh.groupBy(*key).agg(F.count(F.lit(1)).alias("df"))
+    hot = df_counts.filter(F.col("df") > max_df).select(*key)
+    sh = sh.join(F.broadcast(hot), key, "left_anti")
 
-    a = sh.select(*[F.col(c).alias(f"a_{c}") for c in sh.columns])
-    b = sh.select(*[F.col(c).alias(f"b_{c}") for c in sh.columns])
-    join_cond = F.col("a_shingle") == F.col("b_shingle")
-    for c in block_cols:
-        join_cond = join_cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
-    join_cond = join_cond & (F.col("a_doc_id") < F.col("b_doc_id"))
-
-    inter = (
-        a.join(b, join_cond)
-        .groupBy("a_doc_id", "b_doc_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    by_shingle = sh.groupBy(*key).agg(
+        F.sort_array(F.collect_list("doc_id")).alias("docs")
     )
+    sizes = (
+        by_shingle.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    pairs = by_shingle.filter(F.size("docs") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(docs, (a, i) -> "
+                "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                "b -> struct(a, b))))"
+            )
+        ).alias("p")
+    )
+    inter = pairs.groupBy(
+        F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id")
+    ).agg(F.count(F.lit(1)).alias("n_inter"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "a_doc_id").withColumnRenamed("n_shingles", "n_a"), "a_doc_id")
         .join(sizes.withColumnRenamed("doc_id", "b_doc_id").withColumnRenamed("n_shingles", "n_b"), "b_doc_id")

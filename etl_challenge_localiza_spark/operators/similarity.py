@@ -70,33 +70,61 @@ def euclidean_sq(a, b) -> F.Column:
     )
 
 
+def centroid_literal(emb: DataFrame, n_centroids: int = 8) -> F.Column:
+    """Collect the centroid set (a MODEL PARAMETER — ``n_centroids``
+    rows by construction, like KMeans.fit cluster centers) into an
+    array-of-structs literal usable in per-row expressions.
+
+    The ``vec_id < n`` filter pushes into the parquet scan, so this is
+    a tiny driver action, not a data collect.
+    """
+    rows = (
+        emb.filter(F.col("vec_id") < n_centroids)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("centroid_id"),
+                # float32 → exact double literals, identical to an
+                # in-engine cast('double') of the stored floats
+                F.array(*[F.lit(float(x)) for x in r.embedding]).alias("c_emb"),
+            )
+            for r in sorted(rows, key=lambda r: r.vec_id)
+        ]
+    )
+
+
 def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid (here: the first ``n_centroids`` stored vectors as fixed,
     deterministic seeds — production would use KMeans.fit, same
     assignment plan).
 
-    Centroids are broadcast; assignment is a scan + per-row argmin via
-    a tiny window (no shuffle of the vector corpus beyond the argmin's
-    key partitioning). This is the partitioning step that makes ANN
-    search sub-linear: queries probe only their centroid's bucket.
-    Returns (vec_id, centroid_id, dist) — exact, engine-portable.
+    ZERO-SHUFFLE assignment: centroids ride along as an array-of-structs
+    literal and the argmin is a per-row ``array_min`` over (dist,
+    centroid_id) structs — the corpus is scanned once, never exchanged
+    (the old crossJoin×centroids + Window.partitionBy(vec_id) shape
+    shuffled n_centroids× the corpus). This is the partitioning step
+    that makes ANN search sub-linear: queries probe only their
+    centroid's bucket. Returns (vec_id, centroid_id, dist) — exact,
+    engine-portable.
     """
-    from pyspark.sql import Window
-
-    cents = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    cents = centroid_literal(emb, n_centroids)
+    # struct ordering is lexicographic → min = (lowest dist, then lowest
+    # centroid_id): identical tie semantics to the oracle's row_number.
+    best = F.array_min(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                F.round(F.sqrt(euclidean_sq(F.col("embedding"), c["c_emb"])), 6).alias("dist"),
+                c["centroid_id"].alias("centroid_id"),
+            ),
+        )
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(F.sqrt(euclidean_sq("embedding", "c_emb")), 6).alias("dist"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "dist")
+    return emb.select("vec_id", best.alias("b")).select(
+        "vec_id", F.col("b.centroid_id").alias("centroid_id"), F.col("b.dist").alias("dist")
     )
 
 

@@ -347,9 +347,10 @@ group by r_name
     headline=True,
 )
 def q_revenue_by_region(spark, sf_dir):
-    """Star join: fact (orders) ⋈ three dims, all broadcast — the fact
-    side never shuffles for the join; only the final 5-group aggregate
-    exchanges a handful of rows per partition."""
+    """Star join: fact (orders) ⋈ customer ⋈ two fixed-cardinality dims.
+    Only nation (25 rows) and region (5 rows) carry broadcast hints —
+    customer scales linearly with SF, so orders⋈customer is left to AQE
+    (broadcast at small SF, shuffle hash join at scale)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -357,7 +358,7 @@ def q_revenue_by_region(spark, sf_dir):
     dec = F.col("o_totalprice").cast("decimal(14,2)")
     n = F.count(F.lit(1))
     return (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name")
@@ -496,13 +497,15 @@ group by rollup(r_name, o_orderpriority)
 """,
 )
 def q_region_priority_rollup(spark, sf_dir):
-    """Hierarchical ROLLUP totals over the star join."""
+    """Hierarchical ROLLUP totals over the star join. Broadcast hints
+    only on fixed-cardinality dims (nation/region); orders⋈customer is
+    AQE-decided because customer scales with SF."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .rollup("r_name", "o_orderpriority")
@@ -693,10 +696,18 @@ with t as (select doc_id, lang, source, {SQL_TOKS} as toks from documents),
 g as (select doc_id, lang, source, toks,
              unnest(generate_series(1, len(toks) - 2)) as g
       from t),
-sh as (
+sh_all as (
   select distinct doc_id, lang, source,
          array_to_string(toks[g:g+2], ' ') as shingle
   from g
+),
+hot as (select lang, source, shingle from sh_all
+        group by 1, 2, 3 having count(*) > 100),
+sh as (
+  select a.* from sh_all a
+  where not exists (select 1 from hot h
+                    where h.lang = a.lang and h.source = a.source
+                      and h.shingle = a.shingle)
 ),
 sizes as (select doc_id, count(*) as n from sh group by doc_id),
 inter as (
@@ -718,9 +729,11 @@ where cast(ni as double) / cast(sa.n + sb.n - ni as double) >= 0.2
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Blocked 3-gram Jaccard near-duplicate pairs (block = lang+source;
-    exact rational jaccard → engine-identical doubles)."""
+    exact rational jaccard → engine-identical doubles; shingles with
+    block doc-frequency > 100 dropped on BOTH sides — df-capped
+    jaccard, the quadratic-hot-key guard)."""
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2, max_df=100
     )
 
 
@@ -1191,10 +1204,18 @@ t as (select doc_id, lang, source, {SQL_TOKS} as toks from documents),
 g as (select doc_id, lang, source, toks,
              unnest(generate_series(1, len(toks) - 2)) as g
       from t),
-sh as (
+sh_all as (
   select distinct doc_id, lang, source,
          array_to_string(toks[g:g+2], ' ') as shingle
   from g
+),
+hot as (select lang, source, shingle from sh_all
+        group by 1, 2, 3 having count(*) > 100),
+sh as (
+  select a.* from sh_all a
+  where not exists (select 1 from hot h
+                    where h.lang = a.lang and h.source = a.source
+                      and h.shingle = a.shingle)
 ),
 sizes as (select doc_id, count(*) as n from sh group by doc_id),
 inter as (
@@ -1535,9 +1556,10 @@ limit 10
     headline=True,
 )
 def q_q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape: selective dim filter (broadcast) → fact join →
-    aggregate → top-10 (TakeOrderedAndProject). Both date predicates
-    push into their respective scans."""
+    """TPC-H Q3 shape: selective filters pushed into all three scans →
+    shuffle joins (both sides scale with SF, so no broadcast hints —
+    AQE may still broadcast at small SF) → aggregate → top-10
+    (TakeOrderedAndProject)."""
     customer = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1550,7 +1572,7 @@ def q_q3_shipping_priority(spark, sf_dir):
     dec = lambda c: F.col(c).cast("decimal(12,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])),
+        li.join(orders.join(customer, orders["o_custkey"] == customer["c_custkey"]),
                 li["l_orderkey"] == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(dec("l_extendedprice") * disc).cast("double").alias("revenue"))
@@ -1579,9 +1601,10 @@ group by n_name
     headline=True,
 )
 def q_q5_local_supplier_volume(spark, sf_dir):
-    """TPC-H Q5 shape: 6-way join with the region filter reducing the
-    dims before broadcast; the customer-nation = supplier-nation
-    constraint rides the join, not a post-filter."""
+    """TPC-H Q5 shape: 6-way join. Broadcast hints only on nation (25
+    rows) and region (filtered to 1 row) — orders/customer/supplier all
+    scale with SF and are left to AQE. The customer-nation =
+    supplier-nation constraint rides the join, not a post-filter."""
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
@@ -1594,10 +1617,10 @@ def q_q5_local_supplier_volume(spark, sf_dir):
     dec = lambda c: F.col(c).cast("decimal(12,2)")
     disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
     return (
-        li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(
-            F.broadcast(supplier),
+            supplier,
             (li["l_suppkey"] == supplier["s_suppkey"])
             & (customer["c_nationkey"] == supplier["s_nationkey"]),
         )
