@@ -65,4 +65,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # fell out of the loop with labels still moving: a component
+        # whose diameter exceeds max_iter would get WRONG (split)
+        # labels — refuse to return silently-unconverged results
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (a component's diameter exceeds max_iter); "
+            "raise max_iter"
+        )
+    both.unpersist()
     return labels

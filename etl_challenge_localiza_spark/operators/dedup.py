@@ -189,16 +189,16 @@ def minhash_near_dup_pairs(
 
     # exact verify on candidates only: shrink the shingle sets to
     # candidate docs first (semi joins), THEN intersect — at scale the
-    # candidate set is a tiny fraction of the corpus.
-    cand = cand.cache()
+    # candidate set is a tiny fraction of the corpus. No cache(): the
+    # reused subtrees resolve to ReusedExchange under AQE, and cached
+    # blocks from a lazy-returned frame would never be unpersisted
+    # (they accumulate across repeated invocations).
     cand_docs = cand.select(F.col("a_doc_id").alias("doc_id")).union(
         cand.select(F.col("b_doc_id").alias("doc_id"))
     ).distinct()
-    sh_cand = (
-        sh_raw.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .dropDuplicates(["doc_id", "shingle"])
-        .cache()
-    )
+    sh_cand = sh_raw.join(
+        F.broadcast(cand_docs), "doc_id", "left_semi"
+    ).dropDuplicates(["doc_id", "shingle"])
     sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh_cand.select(F.col("doc_id").alias("a_doc_id"), F.col("shingle").alias("a_sh"))
     b = sh_cand.select(F.col("doc_id").alias("b_doc_id"), F.col("shingle").alias("b_sh"))

@@ -93,10 +93,14 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
     )
-    n_docs = docs.select(F.count(F.lit(1)).alias("n")).first()["n"]
-    idf = F.log((F.lit(float(n_docs)) + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0))) + F.lit(1.0)
-    scored = tf.join(df_, "token").withColumn(
-        "tfidf", F.round(F.col("tf").cast("double") * idf, 6)
+    # N rides along as a broadcast 1-row aggregate (cross join) instead
+    # of a driver-side .first() — keeps the whole query ONE job.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+    idf = F.log((F.col("__n_docs") + F.lit(1.0)) / (F.col("df").cast("double") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf").cast("double") * idf, 6))
     )
     from pyspark.sql import Window
 
@@ -128,16 +132,20 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     ).withColumn("w1", F.split("bigram", " ").getItem(0))
     c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    # |V| as a broadcast 1-row aggregate instead of a driver-side
+    # .count() pre-action — the whole score is ONE job.
     vocab = (
-        docs.select(F.explode(tok).alias("w")).select("w").distinct().count()
+        docs.select(F.explode(tok).alias("w"))
+        .agg(F.count_distinct("w").cast("double").alias("__vocab"))
     )
     lnp = F.log(
         (F.col("n2").cast("double") + F.lit(1.0))
-        / (F.col("n1").cast("double") + F.lit(float(vocab)))
+        / (F.col("n1").cast("double") + F.col("__vocab"))
     )
     return (
         bg.join(c2, "bigram")
         .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -444,7 +444,7 @@ def q_events_hourly(spark, sf_dir):
 select event_type,
        cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k,
        cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as double)
-         / count(json_extract_string(props, '$.k')) as avg_k,
+         / count(cast(json_extract_string(props, '$.k') as bigint)) as avg_k,
        cast(count(*) as bigint) as n_events
 from events group by event_type
 """,
@@ -922,6 +922,7 @@ def q_user_sessions(spark, sf_dir):
 
 @register(
     "tfidf_top_terms",
+    headline=True,
     oracle=f"""
 with tok as (select doc_id, unnest({SQL_TOKS}) as token from documents),
 tf as (select doc_id, token, cast(count(*) as bigint) as tf from tok group by 1, 2),
@@ -1237,6 +1238,7 @@ jaccard_pairs as (
 
 @register(
     "dedup_corpus",
+    headline=True,
     oracle=f"""
 with {SQL_JACCARD_CTES},
 exact_drop as (
@@ -1339,15 +1341,16 @@ def q_corpus_token_stats(spark, sf_dir):
     from .functions.text import tokens
 
     tok = docs.select(F.explode(tokens("text")).alias("token"))
-    n_docs = docs.count()
+    # doc count rides along as a broadcast 1-row aggregate instead of a
+    # driver-side .count() pre-action — the stats are ONE job.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
     return tok.agg(
         F.count(F.lit(1)).cast("long").alias("total_tokens"),
         F.count_distinct("token").cast("long").alias("unique_tokens"),
         (F.count_distinct("token").cast("double") / F.count(F.lit(1))).alias(
             "type_token_ratio"
         ),
-        F.lit(n_docs).cast("long").alias("total_docs"),
-    )
+    ).crossJoin(F.broadcast(n_docs))
 
 
 @register(
@@ -1404,6 +1407,7 @@ def q_status_priority_grouping_sets(spark, sf_dir):
 
 @register(
     "near_dup_components",
+    headline=True,
     oracle=f"""
 with recursive {SQL_JACCARD_CTES},
 exact_pairs as (
@@ -1802,7 +1806,13 @@ def q_order_window_analytics(spark, sf_dir):
     """Window-function breadth in one pass: ranking (row_number, rank,
     dense_rank, ntile, cume_dist), navigation (lag, lead, first_value)
     and a decimal-exact running sum — all sharing ONE window partition
-    spec, so Catalyst plans a single sort+Window over one exchange."""
+    spec, so Catalyst plans a single sort+Window over one exchange.
+
+    Hash-stability invariant (pinned by
+    tests/test_analytics.py::test_order_window_total_order_invariant):
+    (o_orderdate, o_orderkey) is a TOTAL order (o_orderkey unique), so
+    the order-sensitive functions are deterministic; the o_orderstatus
+    window uses only tie-invariant functions (rank/dense_rank)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -1863,6 +1873,7 @@ def q_order_date_math(spark, sf_dir):
 
 @register(
     "merge_upsert_events",
+    headline=True,
     oracle="""
 with t as (select event_id, value from events),
 u as (

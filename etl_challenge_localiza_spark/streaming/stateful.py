@@ -32,7 +32,10 @@ def _update_user_totals(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 2)))
+    # keep the UNROUNDED running total in state — rounding belongs only
+    # in the emitted row, else multi-batch triggers compound per-batch
+    # rounding error and drift from the exact batch aggregate
+    state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
     )

@@ -58,3 +58,18 @@ def test_top3_plans_take_ordered(spark):
     ls = last_sale_per_address(_df(spark))
     plan = top3_recent_sales(ls)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort (SURVEY.md §4.2)
+
+
+def test_order_window_total_order_invariant(spark, sf0001):
+    """order_window_analytics hash-stability rests on the window order
+    (o_orderdate, o_orderkey) being a TOTAL order within each o_custkey
+    partition — i.e. o_orderkey unique — so row_number/ntile/lag/lead/
+    first_value are deterministic and engine-portable (the remaining
+    functions, rank/dense_rank/cume_dist over o_orderstatus, are
+    tie-invariant by definition). Pin the invariant so a data change
+    can't silently flake the oracle."""
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    orders = load_table(spark, sf0001, "orders")
+    n = orders.count()
+    assert orders.select("o_orderkey").distinct().count() == n
