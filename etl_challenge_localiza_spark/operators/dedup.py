@@ -68,28 +68,37 @@ def ngram_jaccard_pairs(
     would emit k(k-1)/2 rows from a shingle self-join — quadratic in the
     hottest key. Instead:
 
-    1. hot shingles (block doc-frequency > ``max_df``) are dropped via a
-       BROADCAST anti join — the hot list is tiny by Zipf's law, and a
-       shingle shared by >max_df docs is boilerplate, not near-dup
-       signal (standard df-capped jaccard, same cap mirrored in the
-       oracle SQL);
-    2. surviving shingles are grouped into a per-(block, shingle) doc-id
-       list — bounded at ``max_df`` entries, so the collect is safe;
-    3. pairs are generated JVM-side from each sorted list with a
+    1. shingle doc-frequencies come from ONE ``count_distinct(doc_id)``
+       aggregate over the RAW (pre-distinct) explode stream — partial
+       aggregation runs map-side, and no per-doc distinct shuffle is
+       paid for this pass;
+    2. hot shingles (block doc-frequency > ``max_df``) are dropped via a
+       BROADCAST anti join on the raw stream — the hot list is tiny by
+       Zipf's law, and a shingle shared by >max_df docs is boilerplate,
+       not near-dup signal (standard df-capped jaccard, same cap
+       mirrored in the oracle SQL);
+    3. surviving shingles are grouped into a per-(block, shingle)
+       distinct doc-id set with ``collect_set`` — bounded at ``max_df``
+       entries by step 2, so the collect is safe, and it subsumes the
+       per-doc distinct (no separate dropDuplicates shuffle);
+    4. pairs are generated JVM-side from each sorted set with a
        higher-order ``transform``/``flatten`` (≤ max_df²/2 per key by
        construction) and counted — one hash aggregate, no join.
 
     Both |A|, |B| and |A∩B| are computed over the CAPPED shingle
-    universe so the jaccard stays a well-defined set similarity.
+    universe so the jaccard stays a well-defined set similarity. Net:
+    two full shuffles of the shingle stream (df pass + set pass), no
+    self-join, no cache.
     """
-    sh = doc_shingles(docs, n, block_cols)
+    cols = ["doc_id", *block_cols]
+    raw = docs.select(*cols, F.explode(shingles(tokens("text"), n)).alias("shingle"))
     key = [*block_cols, "shingle"]
-    df_counts = sh.groupBy(*key).agg(F.count(F.lit(1)).alias("df"))
+    df_counts = raw.groupBy(*key).agg(F.count_distinct("doc_id").alias("df"))
     hot = df_counts.filter(F.col("df") > max_df).select(*key)
-    sh = sh.join(F.broadcast(hot), key, "left_anti")
+    ok = raw.join(F.broadcast(hot), key, "left_anti")
 
-    by_shingle = sh.groupBy(*key).agg(
-        F.sort_array(F.collect_list("doc_id")).alias("docs")
+    by_shingle = ok.groupBy(*key).agg(
+        F.sort_array(F.collect_set("doc_id")).alias("docs")
     )
     sizes = (
         by_shingle.select(F.explode("docs").alias("doc_id"))
@@ -173,29 +182,42 @@ def minhash_near_dup_pairs(
     buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # candidate pairs via ONE aggregation instead of a bucket self-join:
+    # group each (band, bucket) into its sorted member set and expand
+    # pairs JVM-side. A bucket with k members yields k(k-1)/2 pairs
+    # either way (the self-join concentrates the same key in one task),
+    # but the aggregate needs only one shuffle of the bucket stream and
+    # its exchange is REUSED by the candidate-doc listing below. A
+    # pathological mega-bucket means mass-identical docs — run exact
+    # dedup first (dedup_corpus does).
+    by_bucket = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
     cand = (
-        buckets.alias("x")
-        .join(
-            buckets.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        by_bucket.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(docs, (a, i) -> "
+                    "transform(slice(docs, i + 2, size(docs) - i - 1), "
+                    "b -> struct(a, b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("x.doc_id").alias("a_doc_id"), F.col("y.doc_id").alias("b_doc_id")
-        )
+        .select(F.col("p.a").alias("a_doc_id"), F.col("p.b").alias("b_doc_id"))
         .dropDuplicates(["a_doc_id", "b_doc_id"])
     )
 
     # exact verify on candidates only: shrink the shingle sets to
     # candidate docs first (semi joins), THEN intersect — at scale the
     # candidate set is a tiny fraction of the corpus. No cache(): the
-    # reused subtrees resolve to ReusedExchange under AQE, and cached
-    # blocks from a lazy-returned frame would never be unpersisted
-    # (they accumulate across repeated invocations).
-    cand_docs = cand.select(F.col("a_doc_id").alias("doc_id")).union(
-        cand.select(F.col("b_doc_id").alias("doc_id"))
-    ).distinct()
+    # shared subtrees resolve to ReusedExchange, and cached blocks from
+    # a lazy-returned frame would never be unpersisted (they accumulate
+    # across repeated invocations).
+    cand_docs = (
+        by_bucket.select(F.explode("docs").alias("doc_id")).distinct()
+    )
     sh_cand = sh_raw.join(
         F.broadcast(cand_docs), "doc_id", "left_semi"
     ).dropDuplicates(["doc_id", "shingle"])
