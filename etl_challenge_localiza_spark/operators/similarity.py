@@ -3,7 +3,7 @@
 - :func:`knn_cosine` — exact brute-force top-k for one query vector.
   Linear scan, JVM-side higher-order functions, TakeOrderedAndProject
   for the top-k (no global sort). This is the correctness baseline.
-- :func:`cosine_self_join_topk` — exact all-pairs top-k per vector,
+- :func:`cosine_nn_within_label` — exact nearest neighbour per vector,
   restricted by a blocking column to stay sub-quadratic.
 - :func:`brp_lsh_ann_pairs` — approximate pair search via
   pyspark.ml BucketedRandomProjectionLSH (random hyperplane buckets;
@@ -55,6 +55,55 @@ def embedding_norms_by_label(emb: DataFrame, round_digits: int = 6) -> DataFrame
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
             F.round(F.avg("norm"), round_digits).alias("avg_norm"),
+        )
+    )
+
+
+def cosine_nn_within_label(emb: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Exact nearest neighbour (by cosine) for every vector WITHIN its
+    label block — the kNN-graph construction step of embedding-based
+    near-dup detection (threshold the edges downstream).
+
+    Scale design: the self-join is BLOCKED on label (the standard
+    guard against all-pairs, mirroring the (lang, source) text blocks),
+    and the per-vector argmax is a ``max(struct(...))`` aggregate —
+    partial aggregation runs inside the join stage's tasks, so the
+    pair stream itself is never shuffled; only one row per vec_id per
+    task reaches the exchange. Vectors whose label block has size 1
+    have no neighbour and are absent (matches the oracle join).
+
+    Similarity is rounded before the argmax so ranking ties are
+    engine-stable; ties break to the LOWEST neighbour vec_id (the
+    struct max compares -vec_id after cos_sim).
+    """
+    a = emb.select(
+        F.col("label").alias("__lbl"),
+        F.col("vec_id").alias("__vid"),
+        F.col("embedding").alias("__emb"),
+    )
+    b = emb.select(
+        F.col("label").alias("__lbl_b"),
+        F.col("vec_id").alias("__vid_b"),
+        F.col("embedding").alias("__emb_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__lbl") == F.col("__lbl_b")) & (F.col("__vid") != F.col("__vid_b")),
+    )
+    best = F.max(
+        F.struct(
+            F.round(cosine(F.col("__emb"), F.col("__emb_b")), round_digits).alias("cos_sim"),
+            (-F.col("__vid_b")).alias("__neg_id"),
+            F.col("__vid_b").alias("nn_vec_id"),
+        )
+    )
+    return (
+        pairs.groupBy(F.col("__vid").alias("vec_id"))
+        .agg(best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.nn_vec_id").cast("long").alias("nn_vec_id"),
+            F.col("b.cos_sim").alias("cos_sim"),
         )
     )
 

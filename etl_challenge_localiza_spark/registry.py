@@ -1954,3 +1954,297 @@ def q_cheapest_part_per_brand(spark, sf_dir):
         .filter(F.col("p_retailprice") == F.col("__min_price"))
         .select("p_partkey", "p_name", "p_brand", "p_retailprice")
     )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+select c_custkey, c_name,
+       cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2))) as double) as revenue,
+       cast(c_acctbal as double) as c_acctbal, n_name
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+join nation on c_nationkey = n_nationkey
+where l_returnflag = 'R'
+  and o_orderdate >= timestamp '1996-01-01'
+  and o_orderdate < timestamp '1996-04-01'
+group by c_custkey, c_name, c_acctbal, n_name
+order by revenue desc, c_custkey
+limit 20
+""",
+)
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    Date predicate pushes into the orders scan, returnflag into
+    lineitem; broadcast hint ONLY on nation (25 rows) — the
+    customer/orders/lineitem joins are AQE-decided."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
+        & (F.col("o_orderdate") < F.expr("timestamp_ntz'1996-04-01 00:00:00'"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(dec("l_extendedprice") * disc).cast("double").alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+select round(
+  100.0 * cast(sum(case when p_type = 'PROMO'
+        then cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2))
+        else cast(0 as decimal(12,2)) end) as double)
+  / cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2))) as double),
+  6) as promo_revenue_pct
+from lineitem join part on l_partkey = p_partkey
+where l_shipdate >= timestamp '1996-01-01'
+  and l_shipdate < timestamp '1996-02-01'
+""",
+)
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one month — conditional
+    aggregation over a fact⋈dim join. Both sums are decimal-exact; only
+    the final ratio is a double (round 6 → engine-identical). The
+    shipdate range pushes into the lineitem scan; part is AQE-decided
+    (it scales with SF)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp_ntz'1996-02-01 00:00:00'"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    rev = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+select c_custkey, c_name, o_orderkey, o_orderdate,
+       cast(o_totalprice as double) as o_totalprice,
+       cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty
+from customer
+join orders on c_custkey = o_custkey
+join lineitem on o_orderkey = l_orderkey
+where o_orderkey in (
+  select l_orderkey from lineitem group by l_orderkey
+  having sum(cast(l_quantity as decimal(12,2))) > 260)
+group by c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+order by o_totalprice desc, o_orderkey
+limit 100
+""",
+)
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers with very large orders (HAVING
+    subquery → aggregate + semi join). The quantity pre-aggregate is
+    tiny (one row per qualifying order) and is broadcast-semi-joined
+    into lineitem; at scale AQE picks the strategy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    decq = F.col("l_quantity").cast("decimal(12,2)")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(decq).alias("__sq"))
+        .filter(F.col("__sq") > 260)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(decq).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"), "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "q19_discounted_revenue",
+    oracle="""
+select cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2))) as double) as revenue
+from lineitem join part on p_partkey = l_partkey
+where (p_brand = 'Brand#1' and p_size between 1 and 15 and l_quantity between 1 and 20)
+   or (p_brand = 'Brand#3' and p_size between 10 and 30 and l_quantity between 10 and 30)
+   or (p_brand = 'Brand#5' and p_size between 20 and 50 and l_quantity between 20 and 40)
+""",
+)
+def q_q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-clause predicate over a
+    fact⋈dim join. Catalyst extracts the common join key and pushes
+    the per-side conjuncts (p_brand/p_size to part, l_quantity to
+    lineitem) below the join as partial filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    rev = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    clause = lambda brand, s_lo, s_hi, q_lo, q_hi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    return j.filter(
+        clause("Brand#1", 1, 15, 1, 20)
+        | clause("Brand#3", 10, 30, 10, 30)
+        | clause("Brand#5", 20, 50, 20, 40)
+    ).agg(F.sum(rev).cast("double").alias("revenue"))
+
+
+@register(
+    "cosine_nn_per_vector",
+    oracle="""
+with p as (
+  select a.vec_id, b.vec_id as nn,
+         round(
+           list_dot_product(list_transform(a.embedding, x -> cast(x as double)),
+                            list_transform(b.embedding, x -> cast(x as double)))
+           / sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double)))
+                * list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double)))),
+           6) as cs
+  from embeddings a
+  join embeddings b on a.label = b.label and a.vec_id <> b.vec_id
+)
+select vec_id, cast(nn as bigint) as nn_vec_id, cs as cos_sim
+from p
+qualify row_number() over (partition by vec_id order by cs desc, nn asc) = 1
+""",
+)
+def q_cosine_nn_per_vector(spark, sf_dir):
+    """Embedding near-dup building block: exact cosine nearest
+    neighbour per vector within its label block (kNN-graph edge set —
+    threshold downstream for near-dup pairs). Blocked self-join +
+    struct-max argmax; the pair stream partially aggregates inside the
+    join stage, so only one row per vector reaches the exchange."""
+    from .operators.similarity import cosine_nn_within_label
+
+    return cosine_nn_within_label(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "events_sliding_counts",
+    oracle="""
+select ws as window_start,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cast(value as decimal(12,2))) as double) as sum_value
+from (
+  select e.value,
+         unnest(generate_series(
+           time_bucket(interval '15 minutes', ts) - interval '45 minutes',
+           time_bucket(interval '15 minutes', ts),
+           interval '15 minutes')) as ws
+  from events e
+) t
+group by ws
+""",
+)
+def q_events_sliding_counts(spark, sf_dir):
+    """Sliding-window aggregate (1-hour windows every 15 minutes):
+    each event lands in 4 overlapping windows. Spark's window() emits
+    the per-event window copies BEFORE the partial aggregate, so the
+    shuffle still carries one row per (window, partition) — the oracle
+    mirrors the expansion with generate_series."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "user_rolling_hour_stats",
+    oracle="""
+select event_id, user_id,
+       cast(count(*) over w as bigint) as n_last_hour,
+       cast(sum(cast(value as decimal(12,2))) over w as double) as sum_last_hour
+from events
+window w as (partition by user_id order by epoch_us(ts)
+             range between 3600000000 preceding and current row)
+""",
+)
+def q_user_rolling_hour_stats(spark, sf_dir):
+    """RANGE-frame window: per event, count + exact decimal sum of the
+    same user's events in the trailing hour (microsecond epoch range
+    frame). Range frames are tie-insensitive — all peers inside the
+    value range join the frame regardless of sort order — so the
+    result is deterministic and engine-portable. One shuffle on
+    user_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
+@register(
+    "streaming_sliding_counts",
+    oracle="""
+select ws as window_start,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cast(value as decimal(12,2))) as double) as sum_value
+from (
+  select e.value,
+         unnest(generate_series(
+           time_bucket(interval '15 minutes', ts) - interval '45 minutes',
+           time_bucket(interval '15 minutes', ts),
+           interval '15 minutes')) as ws
+  from events e
+) t
+group by ws
+""",
+)
+def q_streaming_sliding_counts(spark, sf_dir):
+    """Structured Streaming SLIDING-window aggregate (1 h windows every
+    15 min, availableNow, complete mode → memory sink). Produces
+    exactly the batch events_sliding_counts result — same oracle."""
+    from .streaming.events_stream import run_streaming_sliding
+
+    return run_streaming_sliding(spark, sf_dir)

@@ -79,6 +79,43 @@ def run_streaming_hourly(spark: SparkSession, sf_dir: str, timeout_sec: int = 30
     return spark.table(name)
 
 
+def run_streaming_sliding(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Sliding-window streaming aggregate: 1-hour windows every 15
+    minutes (each event belongs to 4 overlapping windows), COMPLETE
+    mode with availableNow. On the finite input this equals the batch
+    ``events_sliding_counts`` result — the registry pairs it with the
+    identical SQL oracle."""
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _event_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def hourly_stream_with_watermark(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -76,3 +76,28 @@ def test_pandas_udf_cosine_matches_jvm_fold(spark):
     ).collect()
     for r in rows:
         assert r["py"] == pytest.approx(r["jvm"], abs=1e-12), r
+
+
+def test_cosine_nn_within_label_planted(spark):
+    """Planted geometry: within label 'x', v1 is v0's nearest neighbour
+    (and vice versa); v10 in a singleton label emits no row; exact
+    duplicate vectors tie at cos=1.0 and break to the LOWEST vec_id."""
+    from etl_challenge_localiza_spark.operators.similarity import (
+        cosine_nn_within_label,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "x"),
+        (1, [0.9, 0.1], "x"),   # closest to v0
+        (2, [0.0, 1.0], "x"),
+        (10, [1.0, 1.0], "solo"),
+        (20, [1.0, 2.0], "dup"),
+        (21, [1.0, 2.0], "dup"),
+        (22, [2.0, 4.0], "dup"),  # same direction: cos=1.0 with both
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = {r["vec_id"]: (r["nn_vec_id"], r["cos_sim"]) for r in cosine_nn_within_label(emb).collect()}
+    assert 10 not in out                      # singleton label: no neighbour
+    assert out[0][0] == 1 and out[1][0] == 0  # mutual NN in 'x'
+    assert out[22] == (20, 1.0)               # tie at 1.0 -> lowest vec_id
+    assert out[20] == (21, 1.0)               # 21 before 22 on the tie
