@@ -2248,3 +2248,306 @@ def q_streaming_sliding_counts(spark, sf_dir):
     from .streaming.events_stream import run_streaming_sliding
 
     return run_streaming_sliding(spark, sf_dir)
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+select supp_nation, cust_nation, l_year,
+       cast(sum(rev) as double) as revenue
+from (
+  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+         cast(extract(year from l_shipdate) as bigint) as l_year,
+         cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2)) as rev
+  from lineitem
+  join supplier on s_suppkey = l_suppkey
+  join orders on o_orderkey = l_orderkey
+  join customer on c_custkey = o_custkey
+  join nation n1 on s_nationkey = n1.n_nationkey
+  join nation n2 on c_nationkey = n2.n_nationkey
+  where ((n1.n_name = 'NATION_1' and n2.n_name = 'NATION_2')
+      or (n1.n_name = 'NATION_2' and n2.n_name = 'NATION_1'))
+    and l_shipdate >= timestamp '1996-01-01' and l_shipdate < timestamp '1999-01-01'
+) t
+group by supp_nation, cust_nation, l_year
+""",
+)
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral shipping volume between two nations by
+    year. Five joins; nation appears TWICE (supplier side + customer
+    side) — both broadcast-hinted (25 rows each, fixed cardinality);
+    the fact⋈fact joins are AQE-decided. The disjunctive nation-pair
+    predicate can only be applied after both nation joins; Catalyst
+    still pushes the IN-list half of it into each broadcast side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp_ntz'1999-01-01 00:00:00'"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("__n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("__n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    return (
+        li.join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q12_linestatus_priority",
+    oracle="""
+select l_linestatus,
+       cast(sum(case when o_orderpriority in ('1-URGENT','2-HIGH') then 1 else 0 end) as bigint) as high_line_count,
+       cast(sum(case when o_orderpriority in ('1-URGENT','2-HIGH') then 0 else 1 end) as bigint) as low_line_count
+from orders join lineitem on o_orderkey = l_orderkey
+where l_shipdate >= timestamp '1996-01-01' and l_shipdate < timestamp '1997-01-01'
+group by l_linestatus
+""",
+)
+def q_q12_linestatus_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode → linestatus; the driver schema has no
+    l_shipmode): urgent-vs-other order counts per line status for one
+    ship year. Conditional counting via sum(case) — a single join +
+    one aggregation; the shipdate range pushes into the lineitem
+    scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp_ntz'1997-01-01 00:00:00'"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    oracle="""
+select c_count, cast(count(*) as bigint) as custdist
+from (
+  select c_custkey, cast(count(o_orderkey) as bigint) as c_count
+  from customer left join orders
+    on c_custkey = o_custkey and o_orderpriority <> '5-LOW'
+  group by c_custkey
+) t
+group by c_count
+""",
+)
+def q_q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    LEFT OUTER join with an extra join-condition filter (priority <>
+    '5-LOW' must live IN the join condition, not a WHERE, to keep
+    order-less customers at count 0), then a double aggregation.
+    count(o_orderkey) counts non-nulls, so unmatched customers land in
+    the c_count=0 bucket in both engines."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = customer.join(
+        orders,
+        (customer["c_custkey"] == orders["o_custkey"])
+        & (orders["o_orderpriority"] != "5-LOW"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("long").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+with t as (
+  select sum(cast(c_acctbal as decimal(14,2))) as s, count(*) as n
+  from customer where c_acctbal > 0.0
+)
+select c_mktsegment,
+       cast(count(*) as bigint) as numcust,
+       cast(sum(cast(c_acctbal as decimal(14,2))) as double) as totacctbal
+from customer, t
+where cast(c_acctbal as decimal(14,2)) * n > s
+  and not exists (select 1 from orders
+                  where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+group by c_mktsegment
+""",
+)
+def q_q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape (country-code → mktsegment): customers with
+    above-average positive balance and no URGENT orders. The global
+    average is a 1-row aggregate cross-joined in (broadcast — never a
+    driver collect), and the comparison is cross-multiplied
+    (bal·n > Σbal) so it stays in EXACT decimal arithmetic — no
+    engine-dependent float division on the filter boundary. The
+    "has no urgent orders" test is a left-anti join on the
+    pre-filtered orders side (filter pushes below the join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bal = F.col("c_acctbal").cast("decimal(14,2)")
+    stats = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal).alias("__s"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        customer.crossJoin(F.broadcast(stats))
+        .filter(bal * F.col("__n") > F.col("__s"))
+        .join(orders, customer["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(bal).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "embedding_top_pairs",
+    oracle="""
+select a.vec_id as vec_a, b.vec_id as vec_b, a.label,
+       round(
+         list_dot_product(list_transform(a.embedding, x -> cast(x as double)),
+                          list_transform(b.embedding, x -> cast(x as double)))
+         / sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double)))
+              * list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double)))),
+         6) as cos_sim
+from embeddings a
+join embeddings b on a.label = b.label and a.vec_id < b.vec_id
+order by cos_sim desc, vec_a, vec_b
+limit 20
+""",
+)
+def q_embedding_top_pairs(spark, sf_dir):
+    """Global top-20 most-similar embedding pairs within label blocks —
+    the "surface the worst near-dup suspects" report. Blocked
+    self-join (never all-pairs) + TakeOrderedAndProject: each task
+    keeps a 20-row heap, only those reach the driver-side merge — no
+    global sort. Tiebreak (cos desc, vec_a, vec_b) is total."""
+    from .operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label").alias("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("__ea"),
+    )
+    b = emb.select(
+        F.col("label").alias("__lbl_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("__eb"),
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("__lbl_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+select distinct user_id, event_type from events
+""",
+)
+def q_streaming_dedup_events(spark, sf_dir):
+    """Structured Streaming dropDuplicates on (user_id, event_type)
+    (APPEND mode, availableNow, memory sink): each key's first-seen row
+    passes, the rest hit the dedup state store. Projecting only the
+    key columns makes the result deterministic — exactly DISTINCT on
+    the batch table."""
+    from .streaming.events_stream import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)
+
+
+@register(
+    "lineitem_moment_stats",
+    oracle="""
+with m as (
+  select l_returnflag,
+         cast(count(*) as double) as n,
+         cast(sum(cast(l_quantity as decimal(12,2))) as double) as sx,
+         cast(sum(cast(l_quantity as decimal(12,2)) * cast(l_quantity as decimal(12,2))) as double) as sxx,
+         cast(sum(cast(l_extendedprice as decimal(12,2))) as double) as sy,
+         cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) as syy,
+         cast(sum(cast(l_quantity as decimal(12,2)) * cast(l_extendedprice as decimal(12,2))) as double) as sxy
+  from lineitem group by l_returnflag
+)
+select l_returnflag,
+       cast(n as bigint) as n_rows,
+       round((n * sxx - sx * sx) / (n * (n - 1)), 9) as var_qty,
+       round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 9) as std_qty,
+       round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) as corr_qty_price
+from m
+""",
+)
+def q_lineitem_moment_stats(spark, sf_dir):
+    """Distributed second-moment statistics (variance / stddev /
+    correlation) per return flag — computed from EXACT decimal power
+    sums, not the engines' native var/corr aggregates. Native streaming
+    (co)moment aggregates accumulate doubles in partition order, so
+    their low bits are engine- and plan-dependent; decimal Σx, Σx²,
+    Σxy are exact under any aggregation order, and the final var/corr
+    formula is one fixed double expression tree. Even so, compilers may
+    fuse multiply-adds in the product-difference terms (observed: DuckDB
+    differs from the JVM by 1 ulp on corr), so the outputs are rounded
+    to 9 dp on both sides. One shuffle (the groupBy); everything
+    JVM-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    var_x = (n * sxx - sx * sx) / (n * (n - F.lit(1)))
+    var_y_num = n * syy - sy * sy
+    return m.select(
+        "l_returnflag",
+        n.cast("long").alias("n_rows"),
+        F.round(var_x, 9).alias("var_qty"),
+        F.round(F.sqrt(var_x), 9).alias("std_qty"),
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * var_y_num), 9
+        ).alias("corr_qty_price"),
+    )

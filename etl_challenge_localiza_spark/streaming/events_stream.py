@@ -116,6 +116,46 @@ def run_streaming_sliding(
     return spark.table(name)
 
 
+def run_streaming_dedup(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` over the event
+    stream keyed on (user_id, event_type) — the training-pipeline
+    "emit each key once" shape. APPEND mode: each key's FIRST-seen row
+    passes, later ones are swallowed by the dedup state store.
+
+    Only the key columns are projected, so the output is deterministic
+    (which physical row wins per key doesn't matter) and equals
+    ``select distinct user_id, event_type`` on the batch table — the
+    registry pairs it with exactly that oracle.
+
+    Scale note: keys here are low-cardinality so state stays bounded;
+    for unbounded keys (e.g. event_id) production code adds
+    ``withWatermark`` + ``dropDuplicatesWithinWatermark`` so state is
+    evicted — covered by the watermark variant in
+    :func:`hourly_stream_with_watermark`.
+    """
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        _event_stream(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def hourly_stream_with_watermark(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:
