@@ -2551,3 +2551,352 @@ def q_lineitem_moment_stats(spark, sf_dir):
             (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * var_y_num), 9
         ).alias("corr_qty_price"),
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+with rev as (
+  select l_suppkey as supplier_no,
+         cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2))) as double) as total_revenue
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01' and l_shipdate < timestamp '1996-04-01'
+  group by l_suppkey
+)
+select s_suppkey, s_name, total_revenue
+from supplier join rev on s_suppkey = supplier_no
+where total_revenue = (select max(total_revenue) from rev)
+""",
+)
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue.
+    The scalar max is a 1-row aggregate broadcast back onto the revenue
+    frame (never a driver collect); the double equality is safe because
+    both sides of it come from the SAME exact-decimal sum cast once to
+    double. Ties (multiple suppliers at the max) are all returned, as
+    in the spec."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp_ntz'1996-04-01 00:00:00'"))
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
+            )
+            .cast("double")
+            .alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(supplier, F.col("supplier_no") == supplier["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_brand_supplier_counts",
+    oracle="""
+select p_brand, p_size,
+       cast(count(distinct l_suppkey) as bigint) as supplier_cnt
+from lineitem
+join part on p_partkey = l_partkey
+where l_suppkey not in (select s_suppkey from supplier where s_acctbal < 1000.0)
+group by p_brand, p_size
+""",
+)
+def q_q16_brand_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (partsupp → lineitem supply facts): distinct
+    supplier count per (brand, size), excluding a supplier denylist
+    (low-balance stand-in for the spec's complaint suppliers). The
+    denylist is a broadcast anti join — NOT IN on a subquery — and the
+    distinct count shuffles once on the group key with partial
+    distinct aggregation map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_order_revenue",
+    oracle="""
+with pavg as (
+  select l_partkey as pk,
+         cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*) as avg_qty
+  from lineitem group by l_partkey
+)
+select cast(cast(sum(cast(l_extendedprice as decimal(12,2))) as double) / 7.0 as double) as avg_yearly
+from lineitem join pavg on l_partkey = pk
+where l_quantity < 0.2 * avg_qty
+""",
+)
+def q_q17_small_order_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue locked in small orders — lines whose
+    quantity is below 20% of their part's average. The correlated
+    scalar subquery becomes a per-part aggregate joined back to the
+    fact (one shuffle each side, co-partitioned on l_partkey, so AQE
+    plans a shuffle hash join with no extra exchange). avg_qty is
+    exact-sum/count so the 0.2·avg boundary is the same double in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(pavg, li["l_partkey"] == pavg["pk"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "heavy_hitter_customers",
+    oracle="""
+with spend as (
+  select o_custkey, sum(cast(o_totalprice as decimal(14,2))) as cust_spend
+  from orders group by o_custkey
+), tot as (
+  select sum(cust_spend) as total_spend, count(*) as n_cust from spend
+)
+select o_custkey as custkey,
+       cast(cust_spend as double) as spend
+from spend, tot
+where cust_spend * n_cust > 2 * total_spend
+""",
+)
+def q_heavy_hitter_customers(spark, sf_dir):
+    """TPC-H Q11 shape: heavy hitters — customers spending more than
+    2× the average customer. The global (total, count) is a 1-row
+    aggregate broadcast onto the per-customer frame, and the threshold
+    test is cross-multiplied (spend·n > 2·total) so it stays in EXACT
+    decimal/integer arithmetic — no float division at the filter
+    boundary, and the 2×-average criterion is scale-invariant (a fixed
+    fraction-of-total empties out as customer count grows). At 100 TB
+    this is the canonical 'fraction-of-total HAVING' plan: two
+    aggregations, one broadcast, zero driver actions."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("cust_spend")
+    )
+    tot = spend.agg(
+        F.sum("cust_spend").alias("__total"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        spend.crossJoin(F.broadcast(tot))
+        .filter(F.col("cust_spend") * F.col("__n") > 2 * F.col("__total"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("cust_spend").cast("double").alias("spend"),
+        )
+    )
+
+
+@register(
+    "deterministic_split",
+    oracle="""
+with tagged as (
+  select *,
+         case when substr(md5(cast(doc_id as varchar)), 1, 1) between '0' and 'b' then 'train'
+              when substr(md5(cast(doc_id as varchar)), 1, 1) between 'c' and 'd' then 'val'
+              else 'test' end as split
+  from documents
+)
+select split,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars,
+       cast(count(distinct lang) as bigint) as n_langs
+from tagged group by split
+""",
+)
+def q_deterministic_split(spark, sf_dir):
+    """Deterministic train/val/test split — the training-pipeline
+    primitive that must give the SAME assignment on every engine, every
+    run, at any parallelism. Each doc hashes by md5(doc_id); the first
+    hex nibble buckets 12/2/2 → 75/12.5/12.5%. Content-hash splitting
+    is embarrassingly parallel (no shuffle for the assignment itself;
+    one shuffle for the per-split stats) and stable under re-runs and
+    repartitioning, unlike rand()-based splits."""
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.between("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+select doc_id, lang, source, n_chars
+from documents
+where substr(md5(cast(doc_id as varchar)), 1, 1) between '0' and '3'
+""",
+)
+def q_stratified_sample_docs(spark, sf_dir):
+    """Deterministic ~25% corpus sample (hash-threshold on md5 first
+    nibble ∈ {0..3}). Because the predicate is per-row on a content
+    hash, the sample is reproducible across engines and cluster sizes
+    — the property rand()-sampling lacks — and composes with
+    stratification (the hash is uniform within every lang stratum, so
+    each stratum is sampled at the same rate). Zero shuffles: a pure
+    filter over the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return docs.filter(nib.between("0", "3")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "doc_length_buckets",
+    oracle="""
+with q as (
+  select quantile_cont(n_chars, 0.25) as q1,
+         quantile_cont(n_chars, 0.50) as q2,
+         quantile_cont(n_chars, 0.75) as q3
+  from documents
+)
+select case when n_chars <= q1 then 'p00_25'
+            when n_chars <= q2 then 'p25_50'
+            when n_chars <= q3 then 'p50_75'
+            else 'p75_100' end as bucket,
+       cast(count(*) as bigint) as n_docs,
+       cast(min(n_chars) as bigint) as min_chars,
+       cast(max(n_chars) as bigint) as max_chars
+from documents, q
+group by 1
+""",
+)
+def q_doc_length_buckets(spark, sf_dir):
+    """Quantile length-bucketing — assign every document to a global
+    length quartile (the curriculum/packing primitive). The three
+    quartile boundaries are ONE 1-row percentile aggregate broadcast
+    onto the corpus (Spark `percentile` is bit-identical to DuckDB
+    `quantile_cont`, both linear-interpolating); bucketing is then a
+    per-row case expression. Two aggregations + one broadcast, no
+    driver action."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.expr("percentile(n_chars, 0.25)").alias("q1"),
+        F.expr("percentile(n_chars, 0.50)").alias("q2"),
+        F.expr("percentile(n_chars, 0.75)").alias("q3"),
+    )
+    nc = F.col("n_chars")
+    bucket = (
+        F.when(nc <= F.col("q1"), "p00_25")
+        .when(nc <= F.col("q2"), "p25_50")
+        .when(nc <= F.col("q3"), "p50_75")
+        .otherwise("p75_100")
+    )
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "stopword_scrub_stats",
+    oracle="""
+select doc_id,
+       cast(len(regexp_extract_all(text, '\\b(the|a|data|spark)\\b')) as bigint) as n_hits,
+       cast(length(regexp_replace(text, '\\b(the|a|data|spark)\\b', '<tok>', 'g')) as bigint) as scrubbed_len
+from documents
+""",
+)
+def q_stopword_scrub_stats(spark, sf_dir):
+    """Regex token scrubbing — the PII-redaction shape (here aimed at
+    stopword tokens, since the synthetic corpus has no emails/URLs):
+    per document, count pattern hits and measure the text length after
+    replacing every hit with a `<tok>` sentinel. Pure per-row JVM
+    regexp (whole-stage codegen, zero shuffles). The pattern sticks to
+    the `\\b`+alternation subset that Java regex and RE2 interpret
+    identically; DuckDB needs the 'g' flag to match Spark's
+    replace-all semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    pat = r"\b(the|a|data|spark)\b"
+    # Spark SQL string literals process backslash escapes ('\b' would be
+    # a backspace char), so the expr form needs the backslashes doubled;
+    # the Column-API regexp_replace takes the pattern verbatim.
+    pat_sql = pat.replace("\\", "\\\\")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{pat_sql}', 0)"))
+        .cast("long")
+        .alias("n_hits"),
+        F.length(F.regexp_replace("text", pat, "<tok>")).cast("long").alias(
+            "scrubbed_len"
+        ),
+    )
+
+
+@register(
+    "corpus_mix_weighted",
+    oracle="""
+with w as (
+  select *, (cast(substr(source, 4) as integer) % 3) + 1 as weight
+  from documents
+)
+select source,
+       cast(max(weight) as bigint) as weight,
+       cast(count(*) * max(weight) as bigint) as n_rows_out,
+       cast(sum(n_chars) * max(weight) as bigint) as chars_out
+from w group by source
+""",
+)
+def q_corpus_mix_weighted(spark, sf_dir):
+    """Weighted corpus mixing — upsample each source by an integer
+    epoch weight (the data-mixture primitive: 'see web 1×, books 3×').
+    The Spark side REALLY replicates rows via explode(sequence(1, w))
+    — a narrow, shuffle-free row multiplier that scales to 100 TB
+    because no data moves, each task expands its own rows — then
+    aggregates the mixed corpus per source. The oracle computes the
+    same totals arithmetically (count·w), pinning the replication
+    factor exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.substring("source", 4, 10).cast("int") % 3) + 1
+    mixed = docs.withColumn("weight", w).withColumn(
+        "__copy", F.explode(F.sequence(F.lit(1), F.col("weight")))
+    )
+    return mixed.groupBy("source").agg(
+        F.max("weight").cast("long").alias("weight"),
+        F.count(F.lit(1)).cast("long").alias("n_rows_out"),
+        F.sum("n_chars").cast("long").alias("chars_out"),
+    )
