@@ -2900,3 +2900,146 @@ def q_corpus_mix_weighted(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows_out"),
         F.sum("n_chars").cast("long").alias("chars_out"),
     )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+select o_year,
+       cast(sum(case when nation = 'NATION_3' then rev else cast(0.00 as decimal(12,2)) end) as double)
+         / cast(sum(rev) as double) as mkt_share
+from (
+  select cast(extract(year from o_orderdate) as bigint) as o_year,
+         cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2)) as rev,
+         n_name as nation
+  from lineitem
+  join orders on l_orderkey = o_orderkey
+  join supplier on l_suppkey = s_suppkey
+  join nation on s_nationkey = n_nationkey
+) t
+group by o_year
+""",
+)
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of supply revenue per order
+    year. The share is a ratio of two EXACT decimal sums (conditional
+    numerator via sum(case)), each cast once to double, then ONE
+    division — deterministic across engines and aggregation orders.
+    Supplier and nation joins are broadcast-size-decided (nation
+    hinted: fixed 25 rows); the fact⋈fact join is left to AQE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(12,2)")
+    zero = F.lit("0.00").cast("decimal(12,2)")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            rev.alias("rev"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_3", F.col("rev")).otherwise(zero))
+            .cast("double")
+            / F.sum("rev").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "seq_packing",
+    oracle="""
+with ordered as (
+  select doc_id, lang, n_chars,
+         coalesce(sum(n_chars) over (
+           partition by lang order by doc_id
+           rows between unbounded preceding and 1 preceding), 0) as chars_before
+  from documents
+)
+select lang,
+       cast(floor(chars_before / 4096.0) as bigint) as pack_id,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as pack_chars,
+       cast(min(doc_id) as bigint) as first_doc
+from ordered
+group by lang, pack_id
+""",
+)
+def q_seq_packing(spark, sf_dir):
+    """Sequence packing — assign documents to fixed-budget training
+    packs (4096 chars standing in for a token budget) by the running
+    total of everything packed before them, per language stream. The
+    pack id is integer floor-division of an EXACT integer prefix sum
+    (rows-frame window over a total order), so assignment is
+    deterministic and engine-portable. One shuffle on lang; the window
+    and the pack rollup reuse the same partitioning. This is the
+    standard 'greedy fill' approximation — a doc can straddle a
+    boundary, which real packers split; assignment-by-prefix-sum is
+    the distributed-friendly core."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("chars_before"),
+    )
+    return (
+        # explicit floor on both sides: DuckDB's double→bigint cast
+        # rounds-half-away while Spark's truncates
+        ordered.withColumn(
+            "pack_id", F.floor(F.col("chars_before") / F.lit(4096.0)).cast("long")
+        )
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("pack_chars"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+    )
+
+
+@register(
+    "lang_cap_resample",
+    oracle="""
+select doc_id, lang, n_chars
+from (
+  select doc_id, lang, n_chars,
+         row_number() over (partition by lang
+                            order by n_chars desc, doc_id) as rn
+  from documents
+)
+where rn <= 20
+""",
+)
+def q_lang_cap_resample(spark, sf_dir):
+    """Per-stratum cap — keep at most 20 documents per language,
+    preferring the longest (the 'downsample the over-represented
+    language' mixture primitive). A row_number window over the total
+    order (n_chars desc, doc_id) with rn ≤ 20: Spark compiles the
+    filter into WindowGroupLimit, so each task keeps only a 20-row
+    heap per key before the shuffle — the cap is enforced map-side,
+    never materializing the full per-language ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
