@@ -2615,9 +2615,10 @@ def q_q16_brand_supplier_counts(spark, sf_dir):
     """TPC-H Q16 shape (partsupp → lineitem supply facts): distinct
     supplier count per (brand, size), excluding a supplier denylist
     (low-balance stand-in for the spec's complaint suppliers). The
-    denylist is a broadcast anti join — NOT IN on a subquery — and the
-    distinct count shuffles once on the group key with partial
-    distinct aggregation map-side."""
+    denylist anti join carries no broadcast hint: supplier scales
+    linearly with SF, so AQE broadcasts it while small and shuffles at
+    scale. The distinct count shuffles once on the group key with
+    partial distinct aggregation map-side."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     bad = (
@@ -2626,7 +2627,7 @@ def q_q16_brand_supplier_counts(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
         .join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
