@@ -38,41 +38,46 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .cache()
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            both.join(labels, both["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                both.join(labels, both["b"] == labels["node"])
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-            .cache()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # fell out of the loop with labels still moving: a component
-        # whose diameter exceeds max_iter would get WRONG (split)
-        # labels — refuse to return silently-unconverged results
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            "iterations (a component's diameter exceeds max_iter); "
-            "raise max_iter"
-        )
-    both.unpersist()
+            new_labels = (
+                labels.join(neighbor_min, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                    ).alias("component"),
+                )
+                .cache()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            # fell out of the loop with labels still moving: a component
+            # whose diameter exceeds max_iter would get WRONG (split)
+            # labels — refuse to return silently-unconverged results.
+            # unpersist the still-cached frame before raising so repeated
+            # failing calls in a long-lived session don't pin blocks.
+            labels.unpersist()
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (a component's diameter exceeds max_iter); "
+                "raise max_iter"
+            )
+    finally:
+        both.unpersist()
     return labels

@@ -72,11 +72,11 @@ def ngram_jaccard_pairs(
        aggregate over the RAW (pre-distinct) explode stream — partial
        aggregation runs map-side, and no per-doc distinct shuffle is
        paid for this pass;
-    2. hot shingles (block doc-frequency > ``max_df``) are dropped via a
-       BROADCAST anti join on the raw stream — the hot list is tiny by
-       Zipf's law, and a shingle shared by >max_df docs is boilerplate,
-       not near-dup signal (standard df-capped jaccard, same cap
-       mirrored in the oracle SQL);
+    2. hot shingles (block doc-frequency > ``max_df``) are dropped via
+       an anti join on the raw stream — the hot list is tiny by Zipf's
+       law (AQE broadcasts it when it is), and a shingle shared by
+       >max_df docs is boilerplate, not near-dup signal (standard
+       df-capped jaccard, same cap mirrored in the oracle SQL);
     3. surviving shingles are grouped into a per-(block, shingle)
        distinct doc-id set with ``collect_set`` — bounded at ``max_df``
        entries by step 2, so the collect is safe, and it subsumes the
@@ -95,7 +95,12 @@ def ngram_jaccard_pairs(
     key = [*block_cols, "shingle"]
     df_counts = raw.groupBy(*key).agg(F.count_distinct("doc_id").alias("df"))
     hot = df_counts.filter(F.col("df") > max_df).select(*key)
-    ok = raw.join(F.broadcast(hot), key, "left_anti")
+    # no broadcast hint: the hot list is tiny by Zipf's law at any scale
+    # we've measured, but its size is data-dependent (grows with corpus
+    # size), and a forced hint removes AQE's ability to fall back to a
+    # shuffle join if a pathological corpus makes it large. AQE
+    # broadcasts it anyway when it is actually small.
+    ok = raw.join(hot, key, "left_anti")
 
     by_shingle = ok.groupBy(*key).agg(
         F.sort_array(F.collect_set("doc_id")).alias("docs")

@@ -72,7 +72,14 @@ def run_streaming_hourly(spark: SparkSession, sf_dir: str, timeout_sec: int = 30
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # returning the memory sink here would silently hand back a
+            # partially-populated (possibly empty) table — fail loudly
+            raise TimeoutError(
+                f"availableNow streaming query {name!r} did not finish "
+                f"within {timeout_sec}s"
+            )
     finally:
         if q.isActive:
             q.stop()
@@ -109,7 +116,14 @@ def run_streaming_sliding(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # returning the memory sink here would silently hand back a
+            # partially-populated (possibly empty) table — fail loudly
+            raise TimeoutError(
+                f"availableNow streaming query {name!r} did not finish "
+                f"within {timeout_sec}s"
+            )
     finally:
         if q.isActive:
             q.stop()
@@ -149,7 +163,14 @@ def run_streaming_dedup(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # returning the memory sink here would silently hand back a
+            # partially-populated (possibly empty) table — fail loudly
+            raise TimeoutError(
+                f"availableNow streaming query {name!r} did not finish "
+                f"within {timeout_sec}s"
+            )
     finally:
         if q.isActive:
             q.stop()

@@ -71,7 +71,13 @@ def run_stateful_user_totals(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # a partial memory sink is a silent wrong answer — fail loudly
+            raise TimeoutError(
+                f"availableNow streaming query {name!r} did not finish "
+                f"within {timeout_sec}s"
+            )
     finally:
         if q.isActive:
             q.stop()
