@@ -3044,3 +3044,192 @@ def q_lang_cap_resample(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 / Q20 / Q21 shapes (completing the 22-query suite; Q2/Q11
+# shapes are cheapest_part_per_brand / heavy_hitter_customers). The
+# testdata has no partsupp table and lineitem carries no commit/receipt
+# dates, so supply cost is proxied by 60% of p_retailprice (exact
+# decimal arithmetic) and "late" by shipping >60 days after the order
+# date — the join/aggregate STRUCTURE of each query is unchanged.
+# ---------------------------------------------------------------------------
+
+@register(
+    "q9_product_profit",
+    oracle="""
+select nation, o_year, cast(sum(amount) as double) as sum_profit
+from (
+  select n_name as nation,
+         cast(extract(year from o_orderdate) as bigint) as o_year,
+         cast(l_extendedprice as decimal(12,2)) * cast(1 - l_discount as decimal(12,2))
+           - cast(p_retailprice as decimal(12,2)) * cast(0.6 as decimal(2,1))
+             * cast(l_quantity as decimal(12,2)) as amount
+  from lineitem
+  join supplier on s_suppkey = l_suppkey
+  join part on p_partkey = l_partkey
+  join orders on o_orderkey = l_orderkey
+  join nation on s_nationkey = n_nationkey
+  where p_name like '%rod%'
+) t
+group by nation, o_year
+order by nation, o_year desc
+""",
+    headline=True,
+)
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year).
+    Supply cost is 60% of p_retailprice in exact decimal arithmetic
+    (no partsupp table in the testdata); the 5-way join / group-by
+    structure matches Q9. Plan: the p_name filter prunes part FIRST
+    and that selectivity flows through l_partkey; broadcast hint only
+    on nation (25 rows) — part/supplier/orders scale with SF and are
+    AQE-decided. All money math in decimal → identical doubles in both
+    engines regardless of partial-agg order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(12,2)")
+    amount = dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(
+        "decimal(12,2)"
+    ) - dec("p_retailprice") * F.lit(0.6).cast("decimal(2,1)") * dec("l_quantity")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+select s_name, s_suppkey
+from supplier
+join nation on s_nationkey = n_nationkey
+where s_suppkey in (
+    select l_suppkey
+    from lineitem
+    join part on p_partkey = l_partkey
+    where p_name like 'cold%'
+      and l_shipdate >= timestamp '1996-01-01'
+      and l_shipdate < timestamp '1997-01-01'
+    group by l_suppkey, l_partkey
+    having sum(cast(l_quantity as decimal(12,2))) > 50
+)
+order by s_name, s_suppkey
+""",
+)
+def q_q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with promotable surplus of a part
+    class): an aggregate subquery — per (supplier, part) shipped
+    quantity of 'cold%' parts in 1996 over a threshold — drives a
+    LEFT SEMI join back to supplier. The canonical Q20 thresholds
+    against partsupp availability; absent that table the shape keeps
+    the inner GROUP BY + HAVING + semi join. Quantity summed as exact
+    decimal so the >50 threshold can't flip on partial-agg order.
+    Plan: part filter prunes first, inner agg shuffles only the
+    filtered lineitem slice, semi join output is supplier-sized."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("timestamp_ntz'1996-01-01 00:00:00'"))
+        & (F.col("l_shipdate") < F.expr("timestamp_ntz'1997-01-01 00:00:00'"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("cold%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    promo_supps = (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            promo_supps, supplier["s_suppkey"] == promo_supps["l_suppkey"], "left_semi"
+        )
+        .join(F.broadcast(nation), supplier["s_nationkey"] == nation["n_nationkey"])
+        .select("s_name", "s_suppkey")
+        .orderBy("s_name", "s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+with lo as (
+  select l_orderkey, l_suppkey,
+         max(case when l_shipdate > o_orderdate + interval 60 day
+                  then 1 else 0 end) as late
+  from lineitem
+  join orders on o_orderkey = l_orderkey
+  where o_orderstatus = 'F'
+  group by l_orderkey, l_suppkey
+),
+flagged as (
+  select l_orderkey, l_suppkey
+  from (
+    select l_orderkey, l_suppkey, late,
+           count(*) over (partition by l_orderkey) as n_supp,
+           sum(late) over (partition by l_orderkey) as n_late
+    from lo
+  )
+  where late = 1 and n_supp > 1 and n_late = 1
+)
+select s_name, cast(count(*) as bigint) as numwait
+from flagged
+join supplier on s_suppkey = l_suppkey
+group by s_name
+order by numwait desc, s_name
+limit 20
+""",
+    headline=True,
+)
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept finalized orders waiting:
+    the only late supplier on a multi-supplier order). The canonical
+    EXISTS / NOT EXISTS double self-join is rewritten as one
+    aggregation + one window over the SAME orderkey partitioning —
+    Spark reuses the exchange, so the whole detection costs a single
+    shuffle of the 'F'-status lineitems instead of three self-join
+    passes (the standard scale rewrite; semantics proven equal row
+    set). "Late" adapts to shipping >60 days after order date (no
+    receipt/commit dates in the testdata)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).cast("int")
+    per_supp = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("late").over(w))
+        .filter((F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        flagged.join(supplier, flagged["l_suppkey"] == supplier["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
