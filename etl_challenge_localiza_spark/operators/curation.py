@@ -1,0 +1,179 @@
+"""Training-data curation operators: repetition signals, PII
+scrubbing, and a composite quality gate — the filter battery a
+large-scale LLM data pipeline runs between raw crawl and dedup
+(Gopher/C4-style rules re-expressed as single-pass Spark plans).
+
+Scale notes (the design point is ~100 TB of documents):
+
+- every operator here is either a pure per-row map (PII scrub) or ONE
+  shuffle on ``doc_id`` with map-side partial aggregation (token
+  frequency profiles) — no self-joins, no collects, no UDFs;
+- thresholds are plain column predicates so Catalyst can push the
+  resulting ``keep`` filter into downstream scans when the gate is
+  composed into a pipeline;
+- all emitted ratios are single IEEE divisions (or 9-dp rounded
+  compounds) so results are engine-portable and hash-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, tokens
+
+# PII patterns shared by the scrubber and its tests. Kept RE2-safe
+# (no backrefs/lookaround) so the same pattern string runs verbatim in
+# Spark (Java regex) and DuckDB (RE2) — column-API functions take the
+# pattern unmodified, no expr() backslash doubling.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\+1-555-[0-9]{4}"
+IPV4_RE = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+def word_profile(docs: DataFrame) -> DataFrame:
+    """Per-document token-frequency profile: one explode → one
+    aggregation keyed on (doc_id, token) with map-side combine → one
+    rollup to doc_id. Returns doc_id, n_tokens, n_distinct, max_count.
+
+    Documents whose text yields zero tokens produce no row (consistent
+    in both engines; the registry oracles aggregate from the same
+    token stream)."""
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    wc = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("n"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("n").cast("bigint").alias("max_count"),
+    )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``top_word_frac``: frequency of the most repeated token over all
+      tokens (Gopher flags > 0.2 for the top 2-gram; word-level here);
+    - ``dup_word_frac``: 1 − distinct/total tokens;
+    - ``repetitive``: either signal over threshold.
+
+    Ratios are 9-dp rounded on both engines (cross-engine compound
+    float policy)."""
+    prof = word_profile(docs)
+    top = F.round(
+        F.col("max_count").cast("double") / F.col("n_tokens").cast("double"), 9
+    )
+    dup = F.round(
+        F.lit(1.0)
+        - F.col("n_distinct").cast("double") / F.col("n_tokens").cast("double"),
+        9,
+    )
+    return prof.select(
+        "doc_id",
+        "n_tokens",
+        top.alias("top_word_frac"),
+        dup.alias("dup_word_frac"),
+        ((top > 0.2) | (dup > 0.7)).alias("repetitive"),
+    )
+
+
+def plant_pii(docs: DataFrame) -> DataFrame:
+    """Append deterministic synthetic PII to each document's text.
+
+    The synthetic corpus contains no PII; planting a doc_id-derived
+    email / phone / IPv4 exercises the scrubber with nonzero,
+    reproducible counts (mirrored literally in the oracle SQL — this
+    is test plumbing, the scrubber itself is :func:`pii_scrub`)."""
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    return docs.withColumn("text", planted)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses; report per-doc
+    match counts and the redacted text's md5 (md5 is engine-portable,
+    so the full redaction output is hash-checkable without shipping
+    text). Pure per-row map — no shuffle, scales linearly."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+        (F.length(t) - F.length(redacted)).cast("bigint").alias("chars_removed"),
+    )
+
+
+def _stopword_hits(tok: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(tok, lambda x: F.array_contains(sw, x)))
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_stopword_ratio: float = 0.05,
+    max_top_word_frac: float = 0.2,
+) -> DataFrame:
+    """Composite C4/Gopher-style quality gate. Emits every document
+    with ``keep`` plus the FIRST failed rule as ``reason`` (fixed
+    precedence, so the labeling is deterministic):
+
+    too_short → too_long → word_length → low_stopword → repetitive.
+
+    Length/stopword signals are per-row array math; the repetition
+    signal joins the one-shuffle :func:`word_profile`. All ratio
+    comparisons use single IEEE divisions of exact integers, identical
+    across engines."""
+    tok = tokens("text")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.aggregate(
+            tok, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).alias("sum_word_len"),
+        _stopword_hits(tok).cast("bigint").alias("sw_hits"),
+    )
+    prof = word_profile(docs).select("doc_id", "max_count")
+    mean_wl = F.col("sum_word_len").cast("double") / F.col("n_tokens").cast("double")
+    sw_ratio = F.col("sw_hits").cast("double") / F.col("n_tokens").cast("double")
+    top_frac = F.col("max_count").cast("double") / F.col("n_tokens").cast("double")
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(
+            (mean_wl < min_mean_word_len) | (mean_wl > max_mean_word_len),
+            "word_length",
+        )
+        .when(sw_ratio < min_stopword_ratio, "low_stopword")
+        .when(top_frac > max_top_word_frac, "repetitive")
+    )
+    return (
+        base.join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            reason.alias("reason"),
+            reason.isNull().alias("keep"),
+        )
+    )

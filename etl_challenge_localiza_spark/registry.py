@@ -3233,3 +3233,175 @@ def q_q21_waiting_suppliers(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation battery (repetition / PII / quality gate /
+# embedding quantization) — operators/curation.py
+# ---------------------------------------------------------------------------
+
+from .operators.curation import (  # noqa: E402
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    pii_scrub,
+    plant_pii,
+    quality_gate,
+    repetition_signals,
+)
+
+
+@register(
+    "repetition_signals",
+    oracle=f"""
+with tok as (select doc_id, unnest({SQL_TOKS}) as w from documents),
+wc as (select doc_id, w, count(*) as n from tok group by doc_id, w),
+prof as (select doc_id, cast(sum(n) as bigint) as n_tokens,
+                cast(count(*) as bigint) as n_distinct,
+                cast(max(n) as bigint) as max_count
+         from wc group by doc_id)
+select doc_id, n_tokens,
+       round(cast(max_count as double) / cast(n_tokens as double), 9) as top_word_frac,
+       round(1.0 - cast(n_distinct as double) / cast(n_tokens as double), 9) as dup_word_frac,
+       (round(cast(max_count as double) / cast(n_tokens as double), 9) > 0.2
+        or round(1.0 - cast(n_distinct as double) / cast(n_tokens as double), 9) > 0.7)
+         as repetitive
+from prof
+""",
+)
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition filter signals (top-word fraction,
+    duplicate-word fraction) — one (doc_id, token) aggregation with
+    map-side combine, one rollup; no self-join."""
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+with planted as (
+  select doc_id,
+         text || ' contact user' || cast(doc_id as varchar)
+              || '@mail.example.com call +1-555-'
+              || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+              || ' from 10.0.' || cast(doc_id % 256 as varchar) || '.7' as text
+  from documents
+),
+red as (
+  select doc_id, text,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g'),
+             '{IPV4_RE}', '<IP>', 'g') as redacted
+  from planted
+)
+select doc_id,
+       cast(len(regexp_extract_all(text, '{EMAIL_RE}')) as bigint) as n_emails,
+       cast(len(regexp_extract_all(text, '{PHONE_RE}')) as bigint) as n_phones,
+       cast(len(regexp_extract_all(text, '{IPV4_RE}')) as bigint) as n_ips,
+       md5(redacted) as redacted_md5,
+       cast(length(text) - length(redacted) as bigint) as chars_removed
+from red
+""",
+)
+def q_pii_scrub_stats(spark, sf_dir):
+    """PII redaction (emails / phones / IPv4) with per-doc match counts
+    and an md5 of the fully-redacted text. The synthetic corpus holds
+    no PII, so deterministic doc_id-derived PII is planted first (same
+    literal expression in the oracle); the scrubber itself is a pure
+    per-row map — no shuffle, linear at any scale. RE2-safe patterns
+    run verbatim in both engines."""
+    return pii_scrub(plant_pii(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "quality_gate_filter",
+    oracle=f"""
+with t as (select doc_id, lang, {SQL_TOKS} as toks from documents),
+base as (select doc_id, lang,
+                cast(len(toks) as bigint) as n_tokens,
+                cast(list_sum(list_transform(toks, x -> length(x))) as bigint) as sum_word_len,
+                cast(len(list_filter(toks, x -> list_contains({_SW}, x))) as bigint) as sw_hits
+         from t),
+wc as (select doc_id, w, count(*) as n
+       from (select doc_id, unnest({SQL_TOKS}) as w from documents)
+       group by doc_id, w),
+prof as (select doc_id, cast(max(n) as bigint) as max_count from wc group by doc_id),
+lab as (
+  select b.doc_id, b.lang, b.n_tokens,
+         case when b.n_tokens < 10 then 'too_short'
+              when b.n_tokens > 5000 then 'too_long'
+              when (cast(b.sum_word_len as double) / cast(b.n_tokens as double) < 2.0
+                    or cast(b.sum_word_len as double) / cast(b.n_tokens as double) > 12.0)
+                   then 'word_length'
+              when cast(b.sw_hits as double) / cast(b.n_tokens as double) < 0.05
+                   then 'low_stopword'
+              when cast(p.max_count as double) / cast(b.n_tokens as double) > 0.2
+                   then 'repetitive'
+              end as reason
+  from base b left join prof p using (doc_id)
+)
+select doc_id, lang, n_tokens, reason, reason is null as keep from lab
+""",
+)
+def q_quality_gate_filter(spark, sf_dir):
+    """Composite C4/Gopher-style quality gate: every document labeled
+    keep/drop with the first failed rule as the reason (fixed
+    precedence). Per-row array math plus the one-shuffle word
+    profile."""
+    return quality_gate(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+with e as (select vec_id, label,
+                  list_transform(embedding, x -> cast(x as double)) as v
+           from embeddings),
+q as (select vec_id, label, v,
+             list_min(v) as mn, list_max(v) as mx from e)
+select vec_id, label,
+       cast(len(v) as bigint) as n_dims,
+       mn, mx,
+       md5(array_to_string(list_transform(v,
+           x -> cast(floor((x - mn) / (mx - mn) * 255) as bigint)), ',')) as codes_md5,
+       cast(list_sum(list_transform(v,
+           x -> cast(floor((x - mn) / (mx - mn) * 255) as bigint))) as bigint) as codes_sum
+from q
+where mx > mn
+""",
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Per-vector int8 scalar quantization (the memory-compression
+    primitive ANN indexes apply before storing 100 TB of embeddings):
+    code_i = floor((x_i − min) / (max − min) · 255). Pure per-row map
+    — zero shuffle, linear at any scale. The code expression is
+    sub/div/mul only (no multiply-add shape, so no cross-engine FMA
+    fusion); codes are exact integers, checked via md5 of the code
+    string + an exact integer checksum."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", "label", v.alias("v")).select(
+        "vec_id",
+        "label",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    )
+    code = lambda x: F.floor(
+        (x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255
+    ).cast("bigint")
+    codes = F.transform(F.col("v"), code)
+    return base.filter(F.col("mx") > F.col("mn")).select(
+        "vec_id",
+        "label",
+        F.size("v").cast("bigint").alias("n_dims"),
+        "mn",
+        "mx",
+        F.md5(F.concat_ws(",", F.transform(codes, lambda c: c.cast("string")))).alias(
+            "codes_md5"
+        ),
+        F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c
+        ).alias("codes_sum"),
+    )
