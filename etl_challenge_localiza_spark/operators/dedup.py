@@ -68,48 +68,57 @@ def ngram_jaccard_pairs(
     would emit k(k-1)/2 rows from a shingle self-join — quadratic in the
     hottest key. Instead:
 
-    1. shingle doc-frequencies come from ONE ``count_distinct(doc_id)``
-       aggregate over the RAW (pre-distinct) explode stream — partial
-       aggregation runs map-side, and no per-doc distinct shuffle is
-       paid for this pass;
-    2. hot shingles (block doc-frequency > ``max_df``) are dropped via
-       an anti join on the raw stream — the hot list is tiny by Zipf's
-       law (AQE broadcasts it when it is), and a shingle shared by
-       >max_df docs is boilerplate, not near-dup signal (standard
-       df-capped jaccard, same cap mirrored in the oracle SQL);
-    3. surviving shingles are grouped into a per-(block, shingle)
-       distinct doc-id set with ``collect_set`` — bounded at ``max_df``
-       entries by step 2, so the collect is safe, and it subsumes the
-       per-doc distinct (no separate dropDuplicates shuffle);
-    4. pairs are generated JVM-side from each sorted set with a
+    1. shingles are deduped PER ROW (``array_distinct`` before the
+       explode), so the exploded stream is already the distinct
+       (block, shingle, doc) relation — no distinct shuffle;
+    2. that stream is aggregated ONCE on (block, shingle, doc_id); both
+       the doc-frequency count and the capped set pass read this same
+       exchange, so Spark's ReuseExchange materializes it a single time
+       — text is tokenized/shingled ONCE (previously the df pass and
+       the set pass each re-parsed every document);
+    3. hot shingles (block doc-frequency > ``max_df``) are dropped via
+       an anti join — the hot list is tiny by Zipf's law (AQE
+       broadcasts it when it is), and a shingle shared by >max_df docs
+       is boilerplate, not near-dup signal (standard df-capped jaccard,
+       same cap mirrored in the oracle SQL);
+    4. surviving entries are grouped into a per-(block, shingle) sorted
+       doc-id set — bounded at ``max_df`` entries by step 3, so the
+       collect is safe;
+    5. pairs are generated JVM-side from each sorted set with a
        higher-order ``transform``/``flatten`` (≤ max_df²/2 per key by
        construction) and counted — one hash aggregate, no join.
 
     Both |A|, |B| and |A∩B| are computed over the CAPPED shingle
     universe so the jaccard stays a well-defined set similarity. Net:
-    two full shuffles of the shingle stream (df pass + set pass), no
+    one parse of the corpus, one full shuffle of the distinct shingle
+    stream (reused by both passes) + two small aggregations, no
     self-join, no cache.
     """
     cols = ["doc_id", *block_cols]
-    raw = docs.select(*cols, F.explode(shingles(tokens("text"), n)).alias("shingle"))
+    raw = docs.select(
+        *cols,
+        F.explode(F.array_distinct(shingles(tokens("text"), n))).alias("shingle"),
+    )
     key = [*block_cols, "shingle"]
-    df_counts = raw.groupBy(*key).agg(F.count_distinct("doc_id").alias("df"))
+    # one exchange at (key, doc_id) granularity; rows are already
+    # distinct per doc, so this distinct() only pins a shuffle subtree
+    # that BOTH downstream passes share verbatim (an agg with a helper
+    # column would be pruned differently per branch and defeat
+    # ReuseExchange)
+    per_doc = raw.select(*key, "doc_id").distinct()
+    df_counts = per_doc.groupBy(*key).agg(F.count(F.lit(1)).alias("df"))
     hot = df_counts.filter(F.col("df") > max_df).select(*key)
     # no broadcast hint: the hot list is tiny by Zipf's law at any scale
     # we've measured, but its size is data-dependent (grows with corpus
     # size), and a forced hint removes AQE's ability to fall back to a
     # shuffle join if a pathological corpus makes it large. AQE
     # broadcasts it anyway when it is actually small.
-    ok = raw.join(hot, key, "left_anti")
+    ok = per_doc.join(hot, key, "left_anti")
 
     by_shingle = ok.groupBy(*key).agg(
         F.sort_array(F.collect_set("doc_id")).alias("docs")
     )
-    sizes = (
-        by_shingle.select(F.explode("docs").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-    )
+    sizes = ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pairs = by_shingle.filter(F.size("docs") >= 2).select(
         F.explode(
             F.expr(
