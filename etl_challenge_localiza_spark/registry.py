@@ -33,7 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.text import LANG_MARKERS, STOPWORDS
+from .functions.text import LANG_MARKERS, STOPWORDS, tokens
 from .operators.analytics import last_sale_per_address, region_risk_avg, top3_recent_sales
 from .operators.cleaning import clean_transactions
 from .operators.dedup import (
@@ -3316,6 +3316,7 @@ def q_pii_scrub_stats(spark, sf_dir):
 
 @register(
     "quality_gate_filter",
+    headline=True,
     oracle=f"""
 with t as (select doc_id, lang, {SQL_TOKS} as toks from documents),
 base as (select doc_id, lang,
@@ -3404,4 +3405,110 @@ def q_embedding_quantize_int8(spark, sf_dir):
         F.aggregate(
             codes, F.lit(0).cast("bigint"), lambda acc, c: acc + c
         ).alias("codes_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 breadth: stream-static join, BPE-ish tokenizer, chunking
+# ---------------------------------------------------------------------------
+
+@register(
+    "streaming_nation_rollup",
+    oracle="""
+select n_name,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cast(value as decimal(12,2))) as double) as sum_value
+from events e
+left join nation n on (e.user_id % 25) = n.n_nationkey
+group by n_name
+""",
+)
+def q_streaming_nation_rollup(spark, sf_dir):
+    """Stream-static enrichment join (broadcast dim onto the event
+    stream) + COMPLETE-mode rollup; equals the batch join+rollup on the
+    finite input."""
+    from .streaming.events_stream import run_streaming_nation_rollup
+
+    return run_streaming_nation_rollup(spark, sf_dir)
+
+
+@register(
+    "bpe_token_counts",
+    oracle="""
+select doc_id,
+       cast(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) as bigint)
+         as n_ws_tokens,
+       cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) as bigint)
+         as n_bpe_tokens,
+       round(cast(length(text) as double)
+             / cast(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) as double), 9)
+         as chars_per_bpe_token
+from documents
+where length(text) > 0
+""",
+)
+def q_bpe_token_counts(spark, sf_dir):
+    """Token counting under a BPE-ish regex pre-tokenizer (letter runs
+    / single digits / punctuation — the GPT-2 pre-tokenizer family)
+    next to whitespace counts, plus chars-per-token (the compression
+    diagnostic a tokenizer-budget planner needs). Pure per-row regex
+    map, no shuffle; the pattern is Java-regex∩RE2-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    # idx=0 → whole match (the pattern has no capture groups)
+    bpe = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), 0)
+    return docs.filter(F.length("text") > 0).select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_ws_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.size(bpe).cast("double"), 9
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+@register(
+    "doc_chunks",
+    oracle="""
+with t as (
+  select doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') as toks
+  from documents
+),
+s as (
+  select doc_id, toks, unnest(generate_series(0, len(toks) - 1, 96)) as start
+  from t
+  where len(toks) > 0
+)
+select doc_id,
+       cast(floor(start / 96) as bigint) as chunk_id,
+       cast(start as bigint) as start_tok,
+       cast(least(128, len(toks) - start) as bigint) as n_chunk_toks,
+       md5(array_to_string(list_slice(toks, start + 1, start + 128), ' ')) as chunk_md5
+from s
+""",
+)
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size token chunking with overlap (window 128, stride 96 —
+    the pre-training doc→sample splitter). Chunk starts are generated
+    per row with ``sequence`` and exploded — zero shuffle, linear scan;
+    chunk content is verified via md5 of the joined token slice.
+    Spark's ``sequence`` yields a DESCENDING range when start > stop,
+    so empty docs are guarded out before the explode (same filter in
+    the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(96))
+    chunked = base.select(
+        "doc_id", "toks", F.explode(starts).alias("start")
+    )
+    return chunked.select(
+        "doc_id",
+        F.floor(F.col("start") / F.lit(96)).cast("bigint").alias("chunk_id"),
+        F.col("start").cast("bigint").alias("start_tok"),
+        F.least(F.lit(128), F.size("toks") - F.col("start"))
+        .cast("bigint")
+        .alias("n_chunk_toks"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("start") + 1, 128))
+        ).alias("chunk_md5"),
     )

@@ -189,3 +189,57 @@ def hourly_stream_with_watermark(
         "ts", F.col("ts").cast("timestamp")
     )
     return _hourly_agg(stream.withWatermark("ts", watermark))
+
+
+def run_streaming_nation_rollup(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the static
+    nation dimension (broadcast — the canonical pattern for enriching
+    a stream with a slowly-changing dim without restarting the query),
+    then aggregates per nation in COMPLETE mode. On the finite input
+    this equals the batch join+rollup — the registry pairs it with that
+    SQL oracle.
+
+    Scale note: the static side is re-read per micro-batch by design
+    (that's how Structured Streaming picks up dim updates); a
+    fixed-cardinality dim broadcast keeps the join shuffle-free on the
+    stream side."""
+    from ..sources.readers import load_table
+
+    name = f"stream_nation_{uuid.uuid4().hex[:8]}"
+    stream = _event_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    agg = (
+        stream.join(
+            F.broadcast(nation),
+            (stream["user_id"] % 25) == nation["n_nationkey"],
+            "left",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # a partial memory sink is a silent wrong answer — fail loudly
+            raise TimeoutError(
+                f"availableNow streaming query {name!r} did not finish "
+                f"within {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
