@@ -1,0 +1,80 @@
+"""Time-series operators: gap filling and rolling interval windows.
+
+Neither exists in the reference (its analytics stop at group-avg /
+latest-per-key / top-k, flows/pipeline.py:178-211); both are standard
+warehouse time-series shapes a reference user would reach for next, and
+both compose from built-in DataFrame ops (sequence/explode, range-frame
+windows) — no UDFs, fully codegen'd.
+
+Scale design:
+- gap filling generates the dense grid per group with ``sequence`` over
+  the group's own [min, max] span: grid size is bounded by
+  groups x span/step (time, not data volume), so it stays tiny while the
+  fact-side aggregate does the heavy, parallel work. The grid→aggregate
+  join is keyed on (group, bucket) — the aggregate output is already
+  partitioned on those keys, and AQE broadcast-joins the grid when small.
+- the rolling window runs over the *daily aggregate* (cardinality =
+  distinct days, bounded by calendar span), not the raw fact table, so
+  the unpartitioned ordered window frame is over thousands of rows even
+  at 100 TB of facts; the day-grain pre-aggregate is the parallel
+  shuffle. Sums accumulate in decimal so window results are exact and
+  engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Per event_type hourly counts/sums with missing hours zero-filled
+    across that type's own [min, max] hour span.
+
+    Returns (event_type, hour_start, n_events, sum_value) — one row per
+    (type, hour) in the dense grid.
+    """
+    hourly = events.groupBy(
+        "event_type",
+        # date_trunc always yields LTZ; cast back to the NTZ convention
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour_start").alias("h0"), F.max("hour_start").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour_start"),
+    )
+    return grid.join(hourly, ["event_type", "hour_start"], "left").select(
+        "event_type",
+        "hour_start",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0).cast("decimal(12,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+def rolling_daily_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
+    """Daily order revenue plus a trailing ``days``-day rolling sum.
+
+    The range frame is expressed on epoch-day integers (identical frame
+    semantics in Spark and ANSI SQL engines); revenue accumulates in
+    decimal(14,2) so both the daily and the rolling sums are exact.
+    """
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev")
+    )
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(day_no).rangeBetween(-(days - 1), 0)
+    return daily.select(
+        "o_orderdate",
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.sum("rev").over(w).cast("double").alias(f"rolling_{days}d_revenue"),
+    )

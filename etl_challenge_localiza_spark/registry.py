@@ -3512,3 +3512,167 @@ def q_doc_chunks(spark, sf_dir):
             F.concat_ws(" ", F.slice(F.col("toks"), F.col("start") + 1, 128))
         ).alias("chunk_md5"),
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+with hourly as (
+  select event_type, date_trunc('hour', ts) as hour_start,
+         cast(count(*) as bigint) as n_events,
+         sum(cast(value as decimal(12,2))) as sv
+  from events group by 1, 2
+),
+grid as (
+  select event_type,
+         unnest(generate_series(min(hour_start), max(hour_start),
+                                interval 1 hour)) as hour_start
+  from hourly group by event_type
+)
+select g.event_type, g.hour_start,
+       coalesce(h.n_events, 0) as n_events,
+       cast(coalesce(h.sv, cast(0 as decimal(12,2))) as double) as sum_value
+from grid g
+left join hourly h
+  on g.event_type = h.event_type and g.hour_start = h.hour_start
+""",
+)
+def q_events_gap_fill(spark, sf_dir):
+    """Time-series gap filling: dense per-type hourly grid (sequence +
+    explode over each type's own span) left-joined onto the hourly
+    aggregate, missing buckets zero-filled. The grid is bounded by
+    types x hours (time, not data volume); the fact aggregate does the
+    parallel heavy lifting — see operators.timeseries."""
+    from .operators.timeseries import gap_fill_hourly
+
+    return gap_fill_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "rolling_7d_revenue",
+    oracle="""
+with daily as (
+  select o_orderdate, sum(cast(o_totalprice as decimal(14,2))) as rev
+  from orders group by 1
+)
+select o_orderdate,
+       cast(rev as double) as day_revenue,
+       cast(sum(rev) over (
+         order by date_diff('day', timestamp '1970-01-01', o_orderdate)
+         range between 6 preceding and current row) as double)
+         as rolling_7d_revenue
+from daily
+""",
+)
+def q_rolling_7d_revenue(spark, sf_dir):
+    """Trailing 7-day rolling revenue via an integer RANGE frame over
+    the *daily aggregate* (cardinality = calendar days, so the ordered
+    window is thousands of rows even at 100 TB of orders; the day-grain
+    pre-aggregate is the parallel shuffle). Decimal accumulation keeps
+    both sums exact — see operators.timeseries."""
+    from .operators.timeseries import rolling_daily_revenue
+
+    return rolling_daily_revenue(load_table(spark, sf_dir, "orders"), days=7)
+
+
+@register(
+    "doc_token_entropy",
+    oracle=f"""
+with tf as (
+  select doc_id, t as tok, cast(count(*) as bigint) as c
+  from (select doc_id, unnest({SQL_TOKS}) as t from documents)
+  group by doc_id, t
+)
+select doc_id,
+       cast(sum(c) as bigint) as n_tokens,
+       cast(count(*) as bigint) as n_distinct,
+       round(ln(cast(sum(c) as double))
+             - sum(cast(c as double) * ln(cast(c as double)))
+               / cast(sum(c) as double), 9) as entropy_nats
+from tf group by doc_id
+""",
+)
+def q_doc_token_entropy(spark, sf_dir):
+    """Unigram Shannon entropy per document (H = ln N - sum(c ln c)/N)
+    — the repetition/diversity quality signal LLM-corpus filters rank
+    on (low entropy = boilerplate/repeated spans). Two hash aggregates,
+    both map-side combinable; all JVM built-ins. Cross-row double sums
+    are order-dependent → rounded to 9 dp on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    c = F.col("c").cast("double")
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("c").cast("double"))
+            - F.sum(c * F.log(c)) / F.sum("c").cast("double"),
+            9,
+        ).alias("entropy_nats"),
+    )
+
+
+@register(
+    "winsorized_event_values",
+    oracle="""
+with b as (
+  select quantile_cont(value, 0.05) as lo, quantile_cont(value, 0.95) as hi
+  from events where value is not null
+)
+select event_type,
+       cast(count(value) as bigint) as n_values,
+       round(sum(least(greatest(value, lo), hi)) / count(value), 9)
+         as avg_winsorized,
+       round(min(least(greatest(value, lo), hi)), 9) as min_winsorized,
+       round(max(least(greatest(value, lo), hi)), 9) as max_winsorized
+from events, b
+where value is not null
+group by event_type
+""",
+)
+def q_winsorized_event_values(spark, sf_dir):
+    """Outlier winsorization: clamp values to the global [p05, p95]
+    band (Spark ``percentile`` is bit-identical to DuckDB
+    ``quantile_cont``), then per-type stats. The two percentiles are a
+    single 1-row aggregate cross-joined (broadcast) onto the facts —
+    one wide scan + one tiny exchange. Cross-row double means rounded
+    to 9 dp (order-dependent accumulation)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bounds = ev.agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.count("value").cast("long").alias("n_values"),
+            F.round(F.sum(clamped) / F.count("value"), 9).alias("avg_winsorized"),
+            F.round(F.min(clamped), 9).alias("min_winsorized"),
+            F.round(F.max(clamped), 9).alias("max_winsorized"),
+        )
+    )
+
+
+@register(
+    "custkeys_f_intersect_o",
+    oracle="""
+select o_custkey from orders where o_orderstatus = 'F'
+intersect
+select o_custkey from orders where o_orderstatus = 'O'
+""",
+)
+def q_custkeys_f_intersect_o(spark, sf_dir):
+    """INTERSECT set operation (complements custkeys_f_except_o's
+    EXCEPT): customers holding both an 'F' and an 'O' order. Catalyst
+    rewrites INTERSECT to an aggregate + left-semi join with both
+    distincts pushed below — same plan family as the EXCEPT variant."""
+    o = load_table(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_keys.intersect(o_keys)

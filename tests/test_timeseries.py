@@ -1,0 +1,56 @@
+"""Unit tests for time-series gap filling and rolling windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_challenge_localiza_spark.operators.timeseries import (
+    gap_fill_hourly,
+    rolling_daily_revenue,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_gap_fill_hourly_fills_internal_gaps_per_type(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts(0, 10), 1, "click", 1.0, "{}"),
+            (2, _ts(3, 20), 1, "click", 2.0, "{}"),   # hours 1,2 missing
+            (3, _ts(5, 0), 2, "view", 4.0, "{}"),     # view span is just hour 5
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    rows = {
+        (r["event_type"], r["hour_start"].hour): (r["n_events"], r["sum_value"])
+        for r in gap_fill_hourly(ev).collect()
+    }
+    # click: dense hours 0..3, gaps zero-filled; view: only its own span
+    assert rows[("click", 0)] == (1, 1.0)
+    assert rows[("click", 1)] == (0, 0.0)
+    assert rows[("click", 2)] == (0, 0.0)
+    assert rows[("click", 3)] == (1, 2.0)
+    assert rows[("view", 5)] == (1, 4.0)
+    assert len(rows) == 5  # no grid rows outside each type's span
+
+
+def test_rolling_daily_revenue_trailing_window(spark):
+    d = dt.datetime
+    orders = spark.createDataFrame(
+        [
+            (1, 1, 100.0, d(2024, 1, 1)),
+            (2, 1, 50.0, d(2024, 1, 1)),    # same day aggregates first
+            (3, 2, 10.0, d(2024, 1, 5)),
+            (4, 3, 1.0, d(2024, 1, 20)),    # > 7 days later: window resets
+        ],
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+    out = {
+        r["o_orderdate"].day: (r["day_revenue"], r["rolling_7d_revenue"])
+        for r in rolling_daily_revenue(orders, days=7).collect()
+    }
+    assert out[1] == (150.0, 150.0)
+    assert out[5] == (10.0, 160.0)   # Jan 1 still inside the 7-day frame
+    assert out[20] == (1.0, 1.0)     # trailing frame excludes stale days
