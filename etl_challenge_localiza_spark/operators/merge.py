@@ -50,3 +50,40 @@ def merge_upsert(
             for c in value_cols
         ],
     )
+
+
+def merge_latest(
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    order_cols: list[str],
+) -> DataFrame:
+    """Conditional MERGE: an update wins only when its ``order_cols``
+    tuple is strictly greater than the target row's (``WHEN MATCHED AND
+    s.ts > t.ts THEN UPDATE`` — the CDC apply-latest-by-timestamp
+    rule). Because each key keeps its global argmax, applying updates
+    in ANY batch order converges to the same table — the property the
+    streaming foreachBatch upsert (streaming.upsert) relies on.
+
+    Same single full-outer-join plan shape as :func:`merge_upsert`.
+    """
+    value_cols = [c for c in target.columns if c != key]
+    t = target.select(
+        F.col(key).alias("__tk"), *[F.col(c).alias(f"__t_{c}") for c in value_cols]
+    )
+    s = updates.select(
+        F.col(key).alias("__sk"), *[F.col(c).alias(f"__s_{c}") for c in value_cols]
+    )
+    joined = t.join(s, t["__tk"] == s["__sk"], "full_outer")
+    s_tuple = F.struct(*[F.col(f"__s_{c}") for c in order_cols])
+    t_tuple = F.struct(*[F.col(f"__t_{c}") for c in order_cols])
+    take_s = F.col("__tk").isNull() | (F.col("__sk").isNotNull() & (s_tuple > t_tuple))
+    return joined.select(
+        F.coalesce("__sk", "__tk").alias(key),
+        *[
+            F.when(take_s, F.col(f"__s_{c}"))
+            .otherwise(F.col(f"__t_{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+    )

@@ -3676,3 +3676,26 @@ def q_custkeys_f_intersect_o(spark, sf_dir):
     f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f_keys.intersect(o_keys)
+
+
+@register(
+    "streaming_upsert_latest",
+    oracle="""
+select user_id, event_id, ts, event_type, value
+from (
+  select user_id, event_id, ts, event_type, value,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events
+) where rn = 1
+""",
+)
+def q_streaming_upsert_latest(spark, sf_dir):
+    """Streaming CDC apply: foreachBatch conditional upsert
+    (apply-latest-by-timestamp MERGE per micro-batch) into a versioned
+    parquet target. Converges to the batch latest-event-per-user result
+    for ANY micro-batch slicing — checked against exactly that SQL.
+    See streaming.upsert."""
+    from .streaming.upsert import run_streaming_upsert_latest
+
+    return run_streaming_upsert_latest(spark, sf_dir)

@@ -1,0 +1,109 @@
+"""foreachBatch incremental upsert — the streaming CDC-apply sink.
+
+The reference is batch-only; this is the standard production shape for
+"stream of change events → continuously-maintained latest-state table":
+each micro-batch is reduced to one row per key, then conditionally
+MERGEd (apply-latest-by-timestamp, operators.merge.merge_latest) into
+the accumulating target. Because the merge keeps each key's global
+(ts, event_id) argmax, the final table is IDENTICAL for any
+micro-batch slicing of the input — which is what makes the operator
+oracle-checkable: it must equal the batch latest-event-per-user query.
+
+Scale design: the per-batch work is a keyed window over the batch (small)
+plus one full-outer join against the target keyed on user_id. On a real
+cluster the versioned-parquet target becomes a Delta/Iceberg table
+(MERGE INTO with the same condition) and both sides stay bucketed on the
+key so the join is exchange-free (sources.sinks.write_bucketed).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.merge import merge_latest
+from ..sources.readers import load_table
+
+_COLS = ["user_id", "event_id", "ts", "event_type", "value"]
+
+
+def apply_latest_batch(target: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Reduce a micro-batch to its latest row per user, then merge it
+    into ``target`` (None → first batch)."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if target is None:
+        return latest
+    return merge_latest(target, latest, "user_id", ["ts", "event_id"])
+
+
+def run_streaming_upsert_latest(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_sec: int = 300,
+    n_input_files: int = 4,
+) -> DataFrame:
+    """Stream the events table in ``n_input_files`` micro-batches
+    (maxFilesPerTrigger=1) through a foreachBatch conditional-upsert
+    sink; return the final latest-event-per-user table.
+
+    The target is maintained as versioned parquet (v1, v2, ...) so each
+    batch reads the previous version and writes the next — the plain-
+    parquet stand-in for a Delta/Iceberg MERGE INTO target.
+    """
+    base = tempfile.mkdtemp(prefix=f"stream_upsert_{uuid.uuid4().hex[:8]}_")
+    src = os.path.join(base, "src")
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    ev.repartition(n_input_files).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    state = {"version": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        v = state["version"]
+        target = (
+            sess.read.parquet(os.path.join(base, f"v{v}")) if v > 0 else None
+        )
+        merged = apply_latest_batch(target, batch_df)
+        merged.write.mode("overwrite").parquet(os.path.join(base, f"v{v + 1}"))
+        state["version"] = v + 1
+        if v > 1:
+            # only the last two versions are ever needed; prune older
+            shutil.rmtree(os.path.join(base, f"v{v - 1}"), ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow foreachBatch upsert did not finish within {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    if state["version"] == 0:
+        raise RuntimeError("streaming upsert processed no micro-batches")
+    return spark.read.parquet(os.path.join(base, f"v{state['version']}")).select(*_COLS)

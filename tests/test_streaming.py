@@ -77,3 +77,34 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 06:00 window stays open at end-of-input (within watermark) —
     # correct append semantics: absent, not lost.
     assert 6 not in out
+
+
+def test_foreachbatch_upsert_converges_regardless_of_batch_order(spark):
+    """merge_latest keeps each key's (ts, event_id) argmax, so applying
+    micro-batches in ANY order yields the same table."""
+    import datetime as dt
+
+    from etl_challenge_localiza_spark.streaming.upsert import apply_latest_batch
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    t = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t + dt.timedelta(hours=2), "click", 1.0),  # latest for user 1
+        (1, 11, t, "view", 2.0),
+        (2, 12, t, "click", 3.0),
+        (2, 13, t, "view", 4.0),  # same ts: event_id breaks the tie
+    ]
+
+    def run(order):
+        target = None
+        for batch_rows in order:
+            target = apply_latest_batch(
+                target, spark.createDataFrame(batch_rows, cols)
+            )
+        return sorted(target.collect())
+
+    fwd = run([[rows[0], rows[2]], [rows[1], rows[3]]])
+    rev = run([[rows[1], rows[3]], [rows[0], rows[2]]])
+    assert fwd == rev
+    final = {r["user_id"]: r["event_id"] for r in fwd}
+    assert final == {1: 10, 2: 13}
