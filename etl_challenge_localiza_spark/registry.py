@@ -3595,24 +3595,44 @@ from tf group by doc_id
 def q_doc_token_entropy(spark, sf_dir):
     """Unigram Shannon entropy per document (H = ln N - sum(c ln c)/N)
     — the repetition/diversity quality signal LLM-corpus filters rank
-    on (low entropy = boilerplate/repeated spans). Two hash aggregates,
-    both map-side combinable; all JVM built-ins. Cross-row double sums
-    are order-dependent → rounded to 9 dp on both engines."""
+    on (low entropy = boilerplate/repeated spans).
+
+    Entropy is a PER-DOCUMENT quantity, so it is computed entirely
+    map-side with array expressions (sort tokens, find run starts,
+    diff consecutive starts into run lengths, fold c·ln c) — ZERO
+    shuffle, unlike the naive explode + double groupBy, which
+    exchanges every token occurrence twice. Per-row fold order vs the
+    oracle's aggregate order differ in float accumulation → rounded to
+    9 dp on both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    tf = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = F.array_sort(tokens("text"))
+    n = F.size(s)
+    # 1-based positions where a new distinct token's run begins
+    starts = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.get(s, i - 1) != F.get(s, i - 2)
+        ),
     )
-    c = F.col("c").cast("double")
-    return tf.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_distinct"),
-        F.round(
-            F.log(F.sum("c").cast("double"))
-            - F.sum(c * F.log(c)) / F.sum("c").cast("double"),
-            9,
-        ).alias("entropy_nats"),
+    # run lengths = diffs of consecutive starts (with n+1 sentinel)
+    bounds = F.concat(starts, F.array(n + F.lit(1)))
+    counts = F.zip_with(
+        F.slice(bounds, 1, F.size(starts)),
+        F.slice(bounds, 2, F.size(starts)),
+        lambda a, b: b - a,
+    )
+    clogc = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    return docs.filter(n > 0).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(starts).cast("long").alias("n_distinct"),
+        F.round(F.log(n.cast("double")) - clogc / n.cast("double"), 9).alias(
+            "entropy_nats"
+        ),
     )
 
 
