@@ -3719,3 +3719,135 @@ def q_streaming_upsert_latest(spark, sf_dir):
     from .streaming.upsert import run_streaming_upsert_latest
 
     return run_streaming_upsert_latest(spark, sf_dir)
+
+
+@register(
+    "fuzzy_address_pairs",
+    oracle="""
+with addrs as (
+  select distinct cast(user_id as varchar) as addr from events
+  where user_id is not null
+)
+select a.addr as addr_a, b.addr as addr_b,
+       cast(levenshtein(a.addr, b.addr) as bigint) as edit_dist
+from addrs a
+join addrs b
+  on len(a.addr) = len(b.addr)
+ and substr(a.addr, 1, 1) = substr(b.addr, 1, 1)
+ and a.addr < b.addr
+where levenshtein(a.addr, b.addr) <= 1
+""",
+)
+def q_fuzzy_address_pairs(spark, sf_dir):
+    """Fuzzy matching (approximate-dedup of the reference's
+    receiving_address domain, FIXTURES.md §B mapping): candidate pairs
+    from a BLOCKED self-join — same (length, first char) block — then
+    exact ``levenshtein <= 1`` verify. Blocking bounds the join to
+    within-block cardinality (the standard scalable fuzzy-join shape:
+    candidates by cheap key, verify by exact distance); the distinct
+    address list is dim-sized, so blocks broadcast under AQE. Edit
+    distance is an exact algorithm — identical across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    addrs = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("addr"))
+        .distinct()
+        .withColumn("blk_len", F.length("addr"))
+        .withColumn("blk_c", F.substring("addr", 1, 1))
+    )
+    a = addrs.alias("a")
+    b = addrs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk_len") == F.col("b.blk_len"))
+            & (F.col("a.blk_c") == F.col("b.blk_c"))
+            & (F.col("a.addr") < F.col("b.addr")),
+        )
+        .filter(F.levenshtein(F.col("a.addr"), F.col("b.addr")) <= 1)
+        .select(
+            F.col("a.addr").alias("addr_a"),
+            F.col("b.addr").alias("addr_b"),
+            F.levenshtein(F.col("a.addr"), F.col("b.addr"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )
+
+
+@register(
+    "event_type_cooccurrence",
+    oracle="""
+with ut as (select distinct user_id, event_type from events),
+singles as (select event_type, cast(count(*) as bigint) as n_users
+            from ut group by event_type),
+total as (select cast(count(distinct user_id) as bigint) as n from ut),
+pairs as (
+  select a.event_type as type_a, b.event_type as type_b,
+         cast(count(*) as bigint) as n_users_both
+  from ut a join ut b
+    on a.user_id = b.user_id and a.event_type < b.event_type
+  group by 1, 2
+)
+select p.type_a, p.type_b, p.n_users_both,
+       round(cast(p.n_users_both as double) * t.n
+             / (sa.n_users * sb.n_users), 9) as lift
+from pairs p
+join singles sa on sa.event_type = p.type_a
+join singles sb on sb.event_type = p.type_b
+cross join total t
+""",
+)
+def q_event_type_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence with lift over (user, event_type)
+    baskets. The pair support comes from ONE aggregation: per-user
+    sorted distinct-type sets expanded to ordered pairs JVM-side
+    (transform/slice/flatten) — no quadratic self-join of the fact
+    table (same set-expansion pattern as the jaccard/minhash candidate
+    paths). Lift divides by the singles counts, joined back as
+    broadcast-sized dims."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sets = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    n = F.size("ts")
+    pair_arr = F.flatten(
+        F.transform(
+            "ts",
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    pairs = (
+        sets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users_both"))
+    )
+    singles = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    total = ut.agg(F.countDistinct("user_id").cast("long").alias("n"))
+    return (
+        pairs.join(
+            F.broadcast(singles.withColumnRenamed("event_type", "type_a")
+                        .withColumnRenamed("n_users", "na")), "type_a"
+        )
+        .join(
+            F.broadcast(singles.withColumnRenamed("event_type", "type_b")
+                        .withColumnRenamed("n_users", "nb")), "type_b"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users_both",
+            F.round(
+                F.col("n_users_both").cast("double") * F.col("n")
+                / (F.col("na") * F.col("nb")),
+                9,
+            ).alias("lift"),
+        )
+    )
