@@ -3851,3 +3851,171 @@ def q_event_type_cooccurrence(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+with firsts as (
+  select user_id,
+         min(ts) filter (where event_type = 'signup')   as t_signup,
+         min(ts) filter (where event_type = 'view')     as t_view,
+         min(ts) filter (where event_type = 'click')    as t_click,
+         min(ts) filter (where event_type = 'purchase') as t_purchase
+  from events group by user_id
+)
+select cast(count(*) as bigint) as n_users,
+       cast(count(t_signup) as bigint) as n_signup,
+       cast(sum(case when t_view > t_signup then 1 else 0 end) as bigint)
+         as n_signup_view,
+       cast(sum(case when t_click > t_view and t_view > t_signup
+                     then 1 else 0 end) as bigint) as n_signup_view_click,
+       cast(sum(case when t_purchase > t_click and t_click > t_view
+                      and t_view > t_signup then 1 else 0 end) as bigint)
+         as n_full_funnel
+from firsts
+""",
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (signup → view → click → purchase by FIRST
+    occurrence per user): one keyed aggregate computes each step's
+    first timestamp (conditional min — map-side combinable), one global
+    aggregate counts strictly-ordered progressions. Two hash
+    aggregates total; all-integer outputs, no float drift. Null
+    comparisons (missing steps) are null → counted false in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(step):
+        return F.min(F.when(F.col("event_type") == step, F.col("ts"))).alias(
+            f"t_{step}"
+        )
+
+    firsts = ev.groupBy("user_id").agg(
+        first_ts("signup"), first_ts("view"), first_ts("click"), first_ts("purchase")
+    )
+    t = lambda s: F.col(f"t_{s}")  # noqa: E731
+    step2 = t("view") > t("signup")
+    step3 = (t("click") > t("view")) & step2
+    step4 = (t("purchase") > t("click")) & (t("click") > t("view")) & step2
+    as_cnt = lambda c, name: F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(name)  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_signup").cast("long").alias("n_signup"),
+        as_cnt(step2, "n_signup_view"),
+        as_cnt(step3, "n_signup_view_click"),
+        as_cnt(step4, "n_full_funnel"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+with ud as (
+  select distinct user_id, date_trunc('day', ts) as d from events
+),
+fd as (select user_id, min(d) as cohort_day from ud group by user_id)
+select fd.cohort_day,
+       cast(date_diff('day', fd.cohort_day, ud.d) as bigint) as day_offset,
+       cast(count(*) as bigint) as n_active
+from ud join fd on ud.user_id = fd.user_id
+group by 1, 2
+""",
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-seen day, activity
+    counted per (cohort_day, day-offset). (user, day) distinct + first-day
+    aggregate + join are ALL keyed on user_id, so the exchange introduced
+    by the distinct is reused by both downstream operators (one shuffle
+    of the activity table, one of the per-user min). n_active counts
+    (user, day) pairs — each user is distinct per day by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d")
+    ).distinct()
+    fd = ud.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ud.join(fd, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day")).cast("long").alias(
+                "day_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+with nr as (
+  select n.n_name as nation,
+         sum(cast(o.o_totalprice as decimal(16,2))) as rev
+  from orders o
+  join customer c on o.o_custkey = c.c_custkey
+  join nation n on c.c_nationkey = n.n_nationkey
+  group by n.n_name
+)
+select nation, cast(rev as double) as revenue,
+       round(cast(rev as double) / cast(sum(rev) over () as double), 9)
+         as revenue_share
+from nr
+""",
+)
+def q_nation_revenue_share(spark, sf_dir):
+    """Percent-of-total: per-nation revenue plus share of the grand
+    total via an UNPARTITIONED window over the aggregated (25-row)
+    result — the window's single partition holds one row per nation,
+    never fact rows. Revenue accumulates in decimal (exact); the share
+    is one deterministic double division, rounded on both engines."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    nr = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(16,2)")).alias("rev"))
+    )
+    w = Window.partitionBy()
+    return nr.select(
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 9
+        ).alias("revenue_share"),
+    )
+
+
+@register(
+    "event_value_histogram",
+    oracle="""
+select cast(floor(value / 25.0) + 1 as bigint) as bucket,
+       round(floor(value / 25.0) * 25.0, 2) as bucket_lo,
+       cast(count(*) as bigint) as n_events,
+       cast(sum(cast(value as decimal(12,2))) as double) as sum_value
+from events
+where value is not null
+group by 1, 2
+""",
+)
+def q_event_value_histogram(spark, sf_dir):
+    """Fixed-width histogram via SQL-standard ``width_bucket`` (24
+    equal bins over [0, 600]): one map-side-combinable aggregate, the
+    complement of the quantile-based ``doc_length_buckets``. Bin edges
+    (600/24 = 25) are exactly representable doubles, so Spark's
+    width_bucket equals the oracle's explicit ``floor(v/25)+1``
+    (DuckDB 1.0 has no width_bucket; the formula is its in-range
+    definition)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = F.width_bucket("value", F.lit(0), F.lit(600), F.lit(24))
+    return ev.groupBy(
+        b.cast("long").alias("bucket"),
+        F.round((b - 1).cast("double") * 25.0, 2).alias("bucket_lo"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
