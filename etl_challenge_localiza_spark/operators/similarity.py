@@ -214,3 +214,51 @@ def brp_lsh_ann_pairs(
             F.round(F.col("euclidean_dist"), 6).alias("euclidean_dist"),
         )
     )
+
+
+def label_pca_variance(emb: DataFrame, round_digits: int = 6) -> DataFrame:
+    """Per-label PCA summary via ``groupBy().applyInPandas`` — the
+    grouped-Arrow entry point for per-group numerics that built-in SQL
+    genuinely cannot express (eigenvalues of the group's covariance).
+
+    Per label: n vectors, covariance trace (total variance), leading
+    eigenvalue, and the explained-variance ratio (leading/trace) — the
+    cluster-compactness signal used to spot degenerate/collapsed
+    embedding groups in corpus curation.
+
+    Scale design: one shuffle on the (low-cardinality) label key; each
+    group crosses the Python boundary once as an Arrow batch, and the
+    per-group work is a d x d eigensolve (d = embedding dim, tiny)
+    independent of corpus size. Labels are few → fan-out is bounded; a
+    skewed giant label still fits because only d x d covariance, not
+    the n x d matrix, is accumulated at once.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        "label long, n_vectors long, total_variance double, "
+        "leading_eigenvalue double, explained_ratio double"
+    )
+
+    def pca_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        c = np.cov(x, rowvar=False, bias=True)
+        eig = np.linalg.eigvalsh(c)
+        trace = float(np.trace(c))
+        lead = float(eig[-1])
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [len(pdf)],
+                "total_variance": [round(trace, round_digits)],
+                "leading_eigenvalue": [round(lead, round_digits)],
+                "explained_ratio": [round(lead / trace, round_digits) if trace else None],
+            }
+        )
+
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(pca_stats, schema=out_schema)
+    )

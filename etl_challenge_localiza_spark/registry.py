@@ -4019,3 +4019,59 @@ def q_event_value_histogram(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "monthly_revenue_growth",
+    oracle="""
+with m as (
+  select date_trunc('month', o_orderdate) as month_start,
+         sum(cast(o_totalprice as decimal(16,2))) as rev
+  from orders group by 1
+)
+select month_start,
+       cast(rev as double) as revenue,
+       round((cast(rev as double)
+              - cast(lag(rev) over (order by month_start) as double))
+             / cast(lag(rev) over (order by month_start) as double), 9)
+         as mom_growth
+from m
+""",
+)
+def q_monthly_revenue_growth(spark, sf_dir):
+    """Month-over-month growth — expressed through the ``spark.sql``
+    SURFACE (temp view + SQL text) rather than the DataFrame API, to
+    exercise the second declarative entry point; Catalyst produces the
+    identical plan either way. Month-grain pre-aggregate (exact
+    decimal) keeps the ordered lag window at calendar cardinality;
+    first month's growth is null (lag has no input) in both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return tune(spark).sql(
+        """
+        with m as (
+          select cast(date_trunc('month', o_orderdate) as timestamp_ntz)
+                   as month_start,
+                 sum(cast(o_totalprice as decimal(16,2))) as rev
+          from orders_v group by 1
+        )
+        select month_start,
+               cast(rev as double) as revenue,
+               round((cast(rev as double)
+                      - cast(lag(rev) over (order by month_start) as double))
+                     / cast(lag(rev) over (order by month_start) as double), 9)
+                 as mom_growth
+        from m
+        """
+    )
+
+
+@register("label_pca_variance", oracle=None)
+def q_label_pca_variance(spark, sf_dir):
+    """Per-label embedding PCA (leading eigenvalue / explained ratio)
+    via groupBy().applyInPandas — the grouped-Arrow path for per-group
+    numerics SQL cannot express (eigensolve). No SQL oracle by nature;
+    pytest verifies against numpy's full eigendecomposition on a
+    constructed group. See operators.similarity.label_pca_variance."""
+    from .operators.similarity import label_pca_variance
+
+    return label_pca_variance(load_table(spark, sf_dir, "embeddings"))

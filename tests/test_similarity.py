@@ -101,3 +101,22 @@ def test_cosine_nn_within_label_planted(spark):
     assert out[0][0] == 1 and out[1][0] == 0  # mutual NN in 'x'
     assert out[22] == (20, 1.0)               # tie at 1.0 -> lowest vec_id
     assert out[20] == (21, 1.0)               # 21 before 22 on the tie
+
+
+def test_label_pca_variance_matches_numpy(spark):
+    import numpy as np
+
+    from etl_challenge_localiza_spark.operators.similarity import label_pca_variance
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    rows = [(1, [float(x) for x in v]) for v in vecs]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    r = label_pca_variance(df).first()
+
+    c = np.cov(vecs, rowvar=False, bias=True)
+    eig = np.linalg.eigvalsh(c)
+    assert r["n_vectors"] == 40
+    assert r["total_variance"] == pytest.approx(float(np.trace(c)), abs=1e-6)
+    assert r["leading_eigenvalue"] == pytest.approx(float(eig[-1]), abs=1e-6)
+    assert r["explained_ratio"] == pytest.approx(float(eig[-1] / np.trace(c)), abs=1e-6)
