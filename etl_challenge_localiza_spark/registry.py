@@ -3764,7 +3764,6 @@ def q_fuzzy_address_pairs(spark, sf_dir):
             & (F.col("a.blk_c") == F.col("b.blk_c"))
             & (F.col("a.addr") < F.col("b.addr")),
         )
-        .filter(F.levenshtein(F.col("a.addr"), F.col("b.addr")) <= 1)
         .select(
             F.col("a.addr").alias("addr_a"),
             F.col("b.addr").alias("addr_b"),
@@ -3772,6 +3771,7 @@ def q_fuzzy_address_pairs(spark, sf_dir):
             .cast("long")
             .alias("edit_dist"),
         )
+        .filter(F.col("edit_dist") <= 1)
     )
 
 
