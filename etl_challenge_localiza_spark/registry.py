@@ -3805,9 +3805,11 @@ def q_event_type_cooccurrence(spark, sf_dir):
     (transform/slice/flatten) — no quadratic self-join of the fact
     table (same set-expansion pattern as the jaccard/minhash candidate
     paths). Lift divides by the singles counts, joined back as
-    broadcast-sized dims."""
+    broadcast-sized dims. The (user, type) base is explicitly
+    partitioned on user_id once, so the distinct and the per-user
+    set aggregation share a single fact exchange."""
     ev = load_table(spark, sf_dir, "events")
-    ut = ev.select("user_id", "event_type").distinct()
+    ut = ev.select("user_id", "event_type").repartition("user_id").distinct()
     sets = ut.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("ts")
     )
@@ -3924,15 +3926,22 @@ group by 1, 2
 )
 def q_retention_cohorts(spark, sf_dir):
     """Retention cohort matrix: users grouped by first-seen day, activity
-    counted per (cohort_day, day-offset). (user, day) distinct + first-day
-    aggregate + join are ALL keyed on user_id, so the exchange introduced
-    by the distinct is reused by both downstream operators (one shuffle
-    of the activity table, one of the per-user min). n_active counts
-    (user, day) pairs — each user is distinct per day by construction."""
+    counted per (cohort_day, day-offset). The activity table is
+    explicitly hash-partitioned on user_id ONCE: hashpartitioning
+    (user_id) satisfies the clustered-distribution requirement of the
+    (user_id, day) distinct, the per-user min aggregate AND the
+    cohort join, so the whole per-user chain runs on a single fact
+    exchange (plan-asserted in tests/test_analytics.py). n_active
+    counts (user, day) pairs — each user is distinct per day by
+    construction."""
     ev = load_table(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d")
-    ).distinct()
+    ud = (
+        ev.select(
+            "user_id", F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d")
+        )
+        .repartition("user_id")
+        .distinct()
+    )
     fd = ud.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
         ud.join(fd, "user_id")

@@ -73,3 +73,20 @@ def test_order_window_total_order_invariant(spark, sf0001):
     orders = load_table(spark, sf0001, "orders")
     n = orders.count()
     assert orders.select("o_orderkey").distinct().count() == n
+
+
+def test_retention_cohorts_single_fact_exchange(spark, sf0001):
+    """The user_id repartition must be the ONLY fact-side shuffle: the
+    (user_id, day) distinct and the per-user min both run on it, and
+    AQE reuses the exchange for the self-referencing cohort join — so
+    the events table is scanned and shuffled once."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    df = QUERIES["retention_cohorts"].fn(spark, sf0001)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1
+    # exactly one REPARTITION_BY_COL origin per physical occurrence of
+    # the fact subtree (the second occurrence is the reused exchange)
+    assert plan.count("REPARTITION_BY_COL") >= 1
