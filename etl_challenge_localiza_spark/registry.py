@@ -4084,3 +4084,54 @@ def q_label_pca_variance(spark, sf_dir):
     from .operators.similarity import label_pca_variance
 
     return label_pca_variance(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "scd2_user_type_history",
+    oracle="""
+with ordered as (
+  select user_id, event_type, ts, event_id,
+         lag(event_type) over (partition by user_id
+                               order by ts, event_id) as prev_type
+  from events
+),
+changes as (
+  select user_id, event_type, ts, event_id from ordered
+  where prev_type is null or prev_type <> event_type
+)
+select user_id, event_type,
+       ts as valid_from,
+       lead(ts) over (partition by user_id
+                      order by ts, event_id) as valid_to,
+       cast(row_number() over (partition by user_id
+                               order by ts, event_id) as bigint) as version
+from changes
+""",
+)
+def q_scd2_user_type_history(spark, sf_dir):
+    """SCD Type-2 dimension build from an event stream: collapse each
+    user's event_type timeline into change rows with [valid_from,
+    valid_to) validity ranges (valid_to null = current) and a version
+    number — the slowly-changing-dimension complement of the Type-1
+    ``merge_upsert_events``. Two windows over the SAME (user_id →
+    ts, event_id) partition spec, so Catalyst plans ONE exchange +
+    sort pair; (ts, event_id) is a total order → deterministic,
+    engine-portable output."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull()
+                | (F.col("prev_type") != F.col("event_type")))
+        .drop("prev_type")
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
