@@ -94,3 +94,48 @@ def test_epoch_roundtrip_property(spark, unit_mult, secs):
     ]
     got = [t.replace(tzinfo=None) for t in out]
     assert sorted(got) == sorted(want), (unit, secs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),     # user_id
+            st.integers(min_value=0, max_value=50),    # ts offset
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    cut=st.integers(min_value=0, max_value=19),
+)
+def test_merge_latest_batch_slicing_invariance(spark, data, cut):
+    """Property behind streaming_upsert_latest: for ANY slicing of the
+    input into micro-batches, folding them through apply_latest_batch
+    converges to the global latest-per-key table."""
+    import datetime as dt
+
+    from etl_challenge_localiza_spark.streaming.upsert import apply_latest_batch
+
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, i, base + dt.timedelta(minutes=off), "e", float(i))
+        for i, (u, off) in enumerate(data)
+    ]
+
+    def fold(batches):
+        t = None
+        for b in batches:
+            if b:
+                t = apply_latest_batch(t, spark.createDataFrame(b, cols))
+        return sorted(t.collect())
+
+    k = min(cut, len(rows) - 1) if len(rows) > 1 else 0
+    one_shot = fold([rows])
+    sliced = fold([rows[: k + 1], rows[k + 1 :]])
+    reversed_slices = fold([rows[k + 1 :], rows[: k + 1]])
+    assert one_shot == sliced == reversed_slices

@@ -76,3 +76,28 @@ def test_partition_pruning(spark, sf0001, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*click[^\]]*\]", plan)
     assert m, plan
+
+
+def test_analyze_table_stats_feed_cbo(spark, sf0001):
+    """Catalog statistics surface: ANALYZE TABLE COMPUTE STATISTICS
+    (table + column level) populates rowCount/sizeInBytes, the inputs
+    Spark's cost-based optimizer and broadcast-threshold decisions read
+    at planning time. On a cluster this is the post-load step for every
+    staged table."""
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    load_table(spark, sf0001, "nation").write.mode("overwrite").saveAsTable(
+        "nation_stats_t"
+    )
+    spark.sql("ANALYZE TABLE nation_stats_t COMPUTE STATISTICS")
+    spark.sql(
+        "ANALYZE TABLE nation_stats_t COMPUTE STATISTICS FOR COLUMNS n_nationkey"
+    )
+    detail = spark.sql("DESCRIBE TABLE EXTENDED nation_stats_t").collect()
+    stats = {r["col_name"]: r["data_type"] for r in detail}
+    assert "Statistics" in stats and "25 rows" in stats["Statistics"]
+    coldesc = spark.sql(
+        "DESCRIBE EXTENDED nation_stats_t n_nationkey"
+    ).collect()
+    info = {r["info_name"]: r["info_value"] for r in coldesc}
+    assert info.get("distinct_count") == "25"
