@@ -4135,3 +4135,76 @@ def q_scd2_user_type_history(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.row_number().over(w).cast("long").alias("version"),
     )
+
+
+@register(
+    "lateral_top2_customers",
+    oracle="""
+select n.n_name, t.c_name, t.c_acctbal
+from nation n,
+lateral (select c_name, c_acctbal from customer c
+         where c.c_nationkey = n.n_nationkey
+         order by c_acctbal desc, c_name limit 2) t
+""",
+)
+def q_lateral_top2_customers(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT
+    (top-2 customers per nation) — the SQL-standard lateral-join
+    surface. Catalyst decorrelates it into the same
+    window/WindowGroupLimit family as the explicit rank()<=k form, so
+    the per-group top-k never materializes full partitions.
+    (c_acctbal desc, c_name) is a total order → deterministic set."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return tune(spark).sql(
+        """
+        select n.n_name, t.c_name, t.c_acctbal
+        from nation_v n,
+        lateral (select c_name, c_acctbal from customer_v c
+                 where c.c_nationkey = n.n_nationkey
+                 order by c_acctbal desc, c_name limit 2) t
+        """
+    )
+
+
+@register(
+    "event_counts_unpivot",
+    oracle="""
+with w as (
+  select user_id,
+         cast(count(*) filter (where event_type = 'signup') as bigint)
+           as n_signup,
+         cast(count(*) filter (where event_type = 'click') as bigint)
+           as n_click,
+         cast(count(*) filter (where event_type = 'purchase') as bigint)
+           as n_purchase
+  from events group by user_id
+)
+select user_id, 'n_signup' as metric, n_signup as n from w
+union all
+select user_id, 'n_click' as metric, n_click as n from w
+union all
+select user_id, 'n_purchase' as metric, n_purchase as n from w
+""",
+)
+def q_event_counts_unpivot(spark, sf_dir):
+    """UNPIVOT (wide → long, the inverse of user_event_type_pivot) via
+    the native ``DataFrame.unpivot`` — one Expand node over the wide
+    aggregate, no UNION re-scan (the oracle's UNION ALL over a CTE is
+    the portable-SQL equivalent; DuckDB materializes the CTE once)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t):
+        return (
+            F.count(F.when(F.col("event_type") == t, 1))
+            .cast("long")
+            .alias(f"n_{t}")
+        )
+
+    wide = ev.groupBy("user_id").agg(cnt("signup"), cnt("click"), cnt("purchase"))
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_signup", "n_click", "n_purchase"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )
