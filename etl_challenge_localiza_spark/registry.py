@@ -4208,3 +4208,61 @@ def q_event_counts_unpivot(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="n",
     )
+
+
+@register(
+    "user_activity_streaks",
+    oracle="""
+with recursive ud as (
+  select distinct user_id,
+         date_diff('day', timestamp '1970-01-01',
+                   date_trunc('day', ts)) as d
+  from events
+),
+streak(user_id, start_d, d) as (
+  select user_id, d, d from ud a
+  where not exists (select 1 from ud b
+                    where b.user_id = a.user_id and b.d = a.d - 1)
+  union all
+  select s.user_id, s.start_d, n.d
+  from streak s join ud n on n.user_id = s.user_id and n.d = s.d + 1
+)
+select cast(user_id as bigint) as user_id,
+       cast(start_d as bigint) as start_day_no,
+       cast(max(d - start_d + 1) as bigint) as streak_days
+from streak group by user_id, start_d
+""",
+)
+def q_user_activity_streaks(spark, sf_dir):
+    """Consecutive-day activity streaks per user via Spark 4's
+    RECURSIVE CTE surface (WITH RECURSIVE ... UNION ALL): anchor =
+    days with no predecessor, recursive step = extend by day+1.
+    Recursion depth is bounded by the longest streak (calendar span),
+    NOT data volume — each step is one co-partitioned join on
+    (user_id, day). The same fixpoint the gaps-and-islands window
+    trick computes, expressed declaratively on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "user_id",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("timestamp_ntz"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("d"),
+    ).distinct().createOrReplaceTempView("user_days_v")
+    return tune(spark).sql(
+        """
+        with recursive streak(user_id, start_d, d) as (
+          select user_id, d, d from user_days_v a
+          where not exists (select 1 from user_days_v b
+                            where b.user_id = a.user_id and b.d = a.d - 1)
+          union all
+          select s.user_id, s.start_d, n.d
+          from streak s join user_days_v n
+            on n.user_id = s.user_id and n.d = s.d + 1
+        )
+        select cast(user_id as bigint) as user_id,
+               cast(start_d as bigint) as start_day_no,
+               cast(max(d - start_d + 1) as bigint) as streak_days
+        from streak group by user_id, start_d
+        """
+    )
