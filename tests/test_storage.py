@@ -84,8 +84,15 @@ def test_analyze_table_stats_feed_cbo(spark, sf0001):
     Spark's cost-based optimizer and broadcast-threshold decisions read
     at planning time. On a cluster this is the post-load step for every
     staged table."""
+    import shutil
+
     from etl_challenge_localiza_spark.sources.readers import load_table
 
+    # a previous run's managed-table directory (untracked warehouse
+    # litter) makes saveAsTable fail with LOCATION_ALREADY_EXISTS even
+    # though the fresh session's catalog has no such table — drop both
+    spark.sql("DROP TABLE IF EXISTS nation_stats_t")
+    shutil.rmtree("spark-warehouse/nation_stats_t", ignore_errors=True)
     load_table(spark, sf0001, "nation").write.mode("overwrite").saveAsTable(
         "nation_stats_t"
     )
