@@ -4266,3 +4266,32 @@ def q_user_activity_streaks(spark, sf_dir):
         from streak group by user_id, start_d
         """
     )
+
+
+@register(
+    "corpus_shuffle_order",
+    oracle="""
+select doc_id,
+       cast(row_number() over (
+         order by md5(cast(doc_id as varchar) || ':42'), doc_id
+       ) as bigint) as shuffle_pos
+from documents
+""",
+)
+def q_corpus_shuffle_order(spark, sf_dir):
+    """Deterministic corpus shuffle for training-order assignment:
+    position = rank under md5(doc_id || seed) — reproducible across
+    runs/engines (md5 is portable; xxhash64 is not), re-shuffled by
+    changing the seed. The global row_number is a single range
+    exchange over (hash, doc_id); at 100 TB the same hash becomes the
+    sort key of a partitioned write (sortWithinPartitions) so no
+    global total order is ever materialized — the rank form here is
+    the oracle-checkable equivalent."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    w = Window.orderBy(h, "doc_id")
+    return docs.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
+    )
