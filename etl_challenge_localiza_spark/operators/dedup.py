@@ -232,8 +232,12 @@ def minhash_near_dup_pairs(
     cand_docs = (
         by_bucket.select(F.explode("docs").alias("doc_id")).distinct()
     )
+    # no broadcast hint: the candidate list is data-dependent (grows
+    # with the corpus dup rate) — AQE broadcasts it while small and can
+    # fall back to a shuffle join when it isn't (same policy as the
+    # hot-shingle list above)
     sh_cand = sh_raw.join(
-        F.broadcast(cand_docs), "doc_id", "left_semi"
+        cand_docs, "doc_id", "left_semi"
     ).dropDuplicates(["doc_id", "shingle"])
     sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh_cand.select(F.col("doc_id").alias("a_doc_id"), F.col("shingle").alias("a_sh"))

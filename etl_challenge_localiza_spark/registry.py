@@ -1256,9 +1256,9 @@ where not exists (select 1 from exact_drop x where x.doc_id = d.doc_id)
 def q_dedup_corpus(spark, sf_dir):
     """End-to-end corpus dedup: drop exact duplicates (keep lowest
     doc_id per md5) AND the higher-id side of every blocked near-dup
-    pair. The anti joins broadcast the (tiny) drop lists — at 100 TB
-    the drop lists are the output of the LSH stage, still a small
-    fraction of the corpus."""
+    pair. The drop lists are usually tiny (the LSH stage's output at
+    100 TB), but they scale with the dup rate, so the anti join carries
+    no forced hint — AQE picks broadcast while they fit."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1276,7 +1276,10 @@ def q_dedup_corpus(spark, sf_dir):
         .distinct()
     )
     drop = exact_drop.union(near_drop).distinct()
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+    # no broadcast hint on the drop list — it scales with the corpus
+    # dup rate; AQE broadcasts it while small (policy: hints only on
+    # fixed-cardinality sides)
+    return docs.join(drop, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
 
