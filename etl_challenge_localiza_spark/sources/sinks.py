@@ -89,3 +89,34 @@ def write_bucketed(
         .saveAsTable(name)
     )
     return name
+
+
+def compact_parquet(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction — the standard lakehouse maintenance op
+    (streaming/incremental writers leave many KB-scale files; scans
+    then pay per-file open + scheduling overhead). Rewrites ``path``
+    to ceil(bytes / target_file_bytes) files and returns the new file
+    count.
+
+    The rewrite goes through a temp dir + atomic-ish swap because
+    Spark cannot overwrite a path it is concurrently reading. At
+    warehouse scale this is the compaction side of Delta/Iceberg
+    OPTIMIZE; on plain parquet it is the same repartition + rewrite.
+    """
+    import glob as _glob
+    import math
+    import os as _os
+    import shutil as _shutil
+
+    files = _glob.glob(_os.path.join(path, "*.parquet")) or _glob.glob(
+        _os.path.join(path, "part-*")
+    )
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
+    _shutil.rmtree(path)
+    _os.rename(tmp, path)
+    return len(_glob.glob(_os.path.join(path, "part-*.parquet")))

@@ -108,3 +108,41 @@ def test_analyze_table_stats_feed_cbo(spark, sf0001):
     ).collect()
     info = {r["info_name"]: r["info_value"] for r in coldesc}
     assert info.get("distinct_count") == "25"
+
+
+def test_compact_parquet_small_files(spark, sf0001, tmp_path):
+    """Compaction collapses a many-small-files layout into the target
+    count without changing the data."""
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from etl_challenge_localiza_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "orders_small")
+    orders = load_table(spark, sf0001, "orders")
+    orders.repartition(16).write.parquet(p)
+    import glob
+
+    assert len(glob.glob(p + "/part-*.parquet")) == 16
+    before = orders.count()
+    n_files = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert n_files == 1
+    after = spark.read.parquet(p)
+    assert after.count() == before
+    assert sorted(after.columns) == sorted(orders.columns)
+
+
+def test_merge_schema_read_evolved_partitions(spark, sf0001, tmp_path):
+    """Schema evolution: later partitions add a column; a mergeSchema
+    read unions the schemas and nulls the missing values — the
+    append-only evolution path for long-lived 100 TB tables."""
+    import pyspark.sql.functions as F
+
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    base = str(tmp_path / "evolving")
+    nation = load_table(spark, sf0001, "nation")
+    nation.write.parquet(base + "/batch=1")
+    nation.withColumn("ingest_tag", F.lit("v2")).write.parquet(base + "/batch=2")
+    df = spark.read.option("mergeSchema", True).parquet(base)
+    assert "ingest_tag" in df.columns
+    assert df.count() == 50
+    assert df.filter(F.col("ingest_tag").isNull()).count() == 25
