@@ -3580,6 +3580,7 @@ def q_rolling_7d_revenue(spark, sf_dir):
 
 @register(
     "doc_token_entropy",
+    headline=True,
     oracle=f"""
 with tf as (
   select doc_id, t as tok, cast(count(*) as bigint) as c
@@ -3604,38 +3605,52 @@ def q_doc_token_entropy(spark, sf_dir):
     map-side with array expressions (sort tokens, find run starts,
     diff consecutive starts into run lengths, fold c·ln c) — ZERO
     shuffle, unlike the naive explode + double groupBy, which
-    exchanges every token occurrence twice. Per-row fold order vs the
-    oracle's aggregate order differ in float accumulation → rounded to
-    9 dp on both engines."""
+    exchanges every token occurrence twice. Each derived array is
+    MATERIALIZED in its own projection before the next lambda uses it:
+    Spark does no common-subexpression elimination inside
+    higher-order-function lambdas, so referencing an inlined
+    array_sort(...) tree from a per-element lambda re-sorts the array
+    per element (measured: quadratic, ~45 s at sf0.1 vs ~1 s staged).
+    Per-row fold order vs the oracle's aggregate order differ in float
+    accumulation → rounded to 9 dp on both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    s = F.array_sort(tokens("text"))
-    n = F.size(s)
+    d1 = docs.select(
+        "doc_id", F.array_sort(tokens("text")).alias("s")
+    ).filter(F.size("s") > 0)
+    s_col, n = F.col("s"), F.size("s")
     # 1-based positions where a new distinct token's run begins
     starts = F.filter(
         F.sequence(F.lit(1), n),
         lambda i: F.when(i == 1, F.lit(True)).otherwise(
-            F.get(s, i - 1) != F.get(s, i - 2)
+            F.get(s_col, i - 1) != F.get(s_col, i - 2)
         ),
     )
+    d2 = d1.select("doc_id", n.alias("n"), starts.alias("starts"))
     # run lengths = diffs of consecutive starts (with n+1 sentinel)
-    bounds = F.concat(starts, F.array(n + F.lit(1)))
+    d3 = d2.select(
+        "doc_id",
+        "n",
+        "starts",
+        F.concat(F.col("starts"), F.array(F.col("n") + 1)).alias("bounds"),
+    )
     counts = F.zip_with(
-        F.slice(bounds, 1, F.size(starts)),
-        F.slice(bounds, 2, F.size(starts)),
+        F.slice(F.col("bounds"), 1, F.size("starts")),
+        F.slice(F.col("bounds"), 2, F.size("starts")),
         lambda a, b: b - a,
     )
+    d4 = d3.select("doc_id", "n", "starts", counts.alias("counts"))
     clogc = F.aggregate(
-        counts,
+        F.col("counts"),
         F.lit(0.0),
         lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
     )
-    return docs.filter(n > 0).select(
+    return d4.select(
         "doc_id",
-        n.cast("long").alias("n_tokens"),
-        F.size(starts).cast("long").alias("n_distinct"),
-        F.round(F.log(n.cast("double")) - clogc / n.cast("double"), 9).alias(
-            "entropy_nats"
-        ),
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("starts").cast("long").alias("n_distinct"),
+        F.round(
+            F.log(F.col("n").cast("double")) - clogc / F.col("n").cast("double"), 9
+        ).alias("entropy_nats"),
     )
 
 
@@ -3915,6 +3930,7 @@ def q_funnel_conversion(spark, sf_dir):
 
 @register(
     "retention_cohorts",
+    headline=True,
     oracle="""
 with ud as (
   select distinct user_id, date_trunc('day', ts) as d from events
