@@ -4314,3 +4314,227 @@ def q_corpus_shuffle_order(spark, sf_dir):
     return docs.select(
         "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+select event_type,
+       cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k,
+       cast(max(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as max_k,
+       cast(count(json_extract_string(props, '$.k')) as bigint) as n_with_k,
+       cast(count(*) as bigint) as n_events
+from events group by event_type
+""",
+)
+def q_variant_props_stats(spark, sf_dir):
+    """Semi-structured props via the Spark 4 VARIANT type:
+    parse_json once into an open-schema binary-encoded variant, then
+    typed variant_get extractions — the scale path for ragged JSON
+    (single parse, no per-path string re-scan like get_json_object,
+    shredded-friendly storage). Oracle = plain JSON extraction in
+    DuckDB; only typed extracted columns are returned (variant itself
+    is engine-internal)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+with pr as (
+  select doc_id, lang, n_chars,
+         -ln(cast(cast(concat('0x', substr(md5(cast(doc_id as varchar) || ':ws17'), 1, 7)) as bigint) + 1 as double)
+             / 268435457.0) / cast(n_chars as double) as priority
+  from documents
+  where n_chars > 0
+)
+select doc_id, lang, cast(n_chars as bigint) as n_chars,
+       round(priority, 9) as priority
+from pr
+order by priority, doc_id
+limit 50
+""",
+)
+def q_weighted_sample_docs(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis exponential race): each doc draws u ~ U(0,1] from a
+    portable md5-derived 28-bit integer, priority = -ln(u)/weight, and
+    the k smallest priorities form the sample — inclusion probability
+    proportional to n_chars. One map pass + TakeOrderedAndProject;
+    at 100 TB each partition keeps its local top-k so the driver merges
+    k·n_partitions rows, never a global sort. Re-seedable via the salt;
+    both engines compute the identical hash → identical sample."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h7 = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":ws17"))), 1, 7
+    )
+    u = (F.conv(h7, 16, 10).cast("bigint") + 1).cast("double") / F.lit(268435457.0)
+    priority = -F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.round(priority, 9).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "tf_cosine_pairs",
+    oracle="""
+with tf as (
+  select d.doc_id, d.lang, t.t as term, cast(count(*) as bigint) as c
+  from documents d,
+       lateral unnest(string_split(lower(regexp_replace(d.text, '[^A-Za-z0-9 ]', ' ', 'g')), ' ')) as t(t)
+  where t.t <> ''
+  group by d.doc_id, d.lang, t.t
+),
+df as (
+  select term, cast(count(*) as bigint) as df from tf group by term
+),
+kept as (
+  select tf.* from tf join df using (term) where df.df <= 100
+),
+nrm as (
+  select doc_id, cast(sum(c * c) as bigint) as sumsq from kept group by doc_id
+),
+dots as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, cast(sum(a.c * b.c) as bigint) as dot
+  from kept a join kept b on a.term = b.term and a.lang = b.lang
+   and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+select doc_a, doc_b, dot,
+       round(cast(dot as double) / (sqrt(cast(na.sumsq as double)) * sqrt(cast(nb.sumsq as double))), 9) as cosine
+from dots
+join nrm na on na.doc_id = doc_a
+join nrm nb on nb.doc_id = doc_b
+where 4 * dot * dot >= na.sumsq * nb.sumsq
+order by doc_a, doc_b
+""",
+)
+def q_tf_cosine_pairs(spark, sf_dir):
+    """Sparse term-vector cosine similarity via an inverted-index join
+    (term-at-a-time), the IR-classic scale path for sparse vectors: no
+    dense vectors ever materialize; pairs meet only on shared terms.
+    Scale controls mirror the Jaccard path: terms with document
+    frequency > 100 are dropped before the self-join (stopword-like
+    terms carry no similarity signal but cost df² candidate rows), and
+    candidates block on lang. The threshold test cos >= 0.5 runs in
+    EXACT integer arithmetic (4·dot² >= sumsq_a·sumsq_b on raw tf
+    counts), so the cut is engine-portable with no float boundary
+    risk; the reported cosine is display-rounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = tf.join(df_.filter(F.col("df") <= 100), "term")
+    nrm = kept.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("sumsq"))
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na, nb = nrm.alias("na"), nrm.alias("nb")
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(
+            4 * F.col("dot") * F.col("dot")
+            >= F.col("na.sumsq") * F.col("nb.sumsq")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("dot").cast("long").alias("dot"),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na.sumsq").cast("double"))
+                    * F.sqrt(F.col("nb.sumsq").cast("double"))
+                ),
+                9,
+            ).alias("cosine"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "event_value_anomalies",
+    oracle="""
+with med as (
+  select event_type, median(value) as med
+  from events where value is not null group by event_type
+),
+mad as (
+  select e.event_type, m.med, median(abs(e.value - m.med)) as mad
+  from events e join med m using (event_type)
+  where e.value is not null
+  group by e.event_type, m.med
+)
+select e.event_id, e.event_type, e.value,
+       round((e.value - m.med) / (1.4826 * m.mad), 9) as robust_z
+from events e join mad m using (event_type)
+where e.value is not null and m.mad > 0
+  and abs(e.value - m.med) > 3 * 1.4826 * m.mad
+order by e.event_id
+""",
+)
+def q_event_value_anomalies(spark, sf_dir):
+    """Robust anomaly detection: per-type median/MAD (outlier-immune,
+    unlike mean/stddev) flags events with |robust z| > 3. Two exact-
+    median aggregations over the grouping key + a broadcast of the
+    25-ish per-type stats rows back onto the fact — the fact table
+    streams through twice, never sorts globally. Exact interpolated
+    median matches DuckDB's; the flag comparison reuses the same
+    double expressions both engines evaluate identically per-row."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.median(F.abs(F.col("value") - F.col("med"))).alias("mad"))
+    )
+    return (
+        ev.join(mad, "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(
+                (F.col("value") - F.col("med")) / (1.4826 * F.col("mad")), 9
+            ).alias("robust_z"),
+        )
+        .orderBy("event_id")
+    )
