@@ -3448,6 +3448,7 @@ select doc_id,
          as chars_per_bpe_token
 from documents
 where length(text) > 0
+  and len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) > 0
 """,
 )
 def q_bpe_token_counts(spark, sf_dir):
@@ -3455,11 +3456,14 @@ def q_bpe_token_counts(spark, sf_dir):
     / single digits / punctuation — the GPT-2 pre-tokenizer family)
     next to whitespace counts, plus chars-per-token (the compression
     diagnostic a tokenizer-budget planner needs). Pure per-row regex
-    map, no shuffle; the pattern is Java-regex∩RE2-portable."""
+    map, no shuffle; the pattern is Java-regex∩RE2-portable. Docs with
+    zero BPE tokens (e.g. all-space text) are filtered in BOTH engines:
+    the division would be NULL in non-ANSI Spark but inf in DuckDB, a
+    cross-engine divergence the guard removes."""
     docs = load_table(spark, sf_dir, "documents")
     # idx=0 → whole match (the pattern has no capture groups)
     bpe = F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), 0)
-    return docs.filter(F.length("text") > 0).select(
+    return docs.filter((F.length("text") > 0) & (F.size(bpe) > 0)).select(
         "doc_id",
         F.size(tokens("text")).cast("bigint").alias("n_ws_tokens"),
         F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
@@ -4021,12 +4025,17 @@ def q_nation_revenue_share(spark, sf_dir):
 @register(
     "event_value_histogram",
     oracle="""
-select cast(floor(value / 25.0) + 1 as bigint) as bucket,
-       round(floor(value / 25.0) * 25.0, 2) as bucket_lo,
+with b as (
+  select least(greatest(cast(floor(value / 25.0) + 1 as bigint), 0), 25) as bucket
+  , value
+  from events
+  where value is not null
+)
+select bucket,
+       round((bucket - 1) * 25.0, 2) as bucket_lo,
        cast(count(*) as bigint) as n_events,
        cast(sum(cast(value as decimal(12,2))) as double) as sum_value
-from events
-where value is not null
+from b
 group by 1, 2
 """,
 )
@@ -4035,9 +4044,12 @@ def q_event_value_histogram(spark, sf_dir):
     equal bins over [0, 600]): one map-side-combinable aggregate, the
     complement of the quantile-based ``doc_length_buckets``. Bin edges
     (600/24 = 25) are exactly representable doubles, so Spark's
-    width_bucket equals the oracle's explicit ``floor(v/25)+1``
-    (DuckDB 1.0 has no width_bucket; the formula is its in-range
-    definition)."""
+    width_bucket equals the oracle's ``floor(v/25)+1`` (DuckDB 1.0 has
+    no width_bucket; the formula is its in-range definition). The
+    oracle mirrors width_bucket's out-of-range clamp (bucket 0 below,
+    n+1 above) with least/greatest so values outside [0, 600) — absent
+    at current SFs but possible at larger ones — bucket identically,
+    with bucket_lo derived from the clamped bucket in both engines."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     b = F.width_bucket("value", F.lit(0), F.lit(600), F.lit(24))
     return ev.groupBy(
@@ -4396,12 +4408,11 @@ def q_weighted_sample_docs(spark, sf_dir):
 
 @register(
     "tf_cosine_pairs",
-    oracle="""
+    oracle=f"""
 with tf as (
   select d.doc_id, d.lang, t.t as term, cast(count(*) as bigint) as c
   from documents d,
-       lateral unnest(string_split(lower(regexp_replace(d.text, '[^A-Za-z0-9 ]', ' ', 'g')), ' ')) as t(t)
-  where t.t <> ''
+       lateral unnest({SQL_TOKS}) as t(t)
   group by d.doc_id, d.lang, t.t
 ),
 df as (

@@ -100,8 +100,13 @@ def compact_parquet(
     to ceil(bytes / target_file_bytes) files and returns the new file
     count.
 
-    The rewrite goes through a temp dir + atomic-ish swap because
-    Spark cannot overwrite a path it is concurrently reading. At
+    The rewrite goes through a temp dir because Spark cannot overwrite
+    a path it is concurrently reading; the swap keeps the previous
+    dataset as ``path + '.bak'`` until the new one is in place, so a
+    crash mid-swap never leaves ``path`` empty. Hive-partitioned
+    layouts (``key=value`` subdirectories) are refused: a flat rewrite
+    would silently turn partition directories into data columns and
+    lose the pruning layout — compact each leaf partition instead. At
     warehouse scale this is the compaction side of Delta/Iceberg
     OPTIMIZE; on plain parquet it is the same repartition + rewrite.
     """
@@ -110,13 +115,28 @@ def compact_parquet(
     import os as _os
     import shutil as _shutil
 
+    subdirs = [
+        e for e in _os.listdir(path)
+        if _os.path.isdir(_os.path.join(path, e)) and "=" in e
+    ]
+    if subdirs:
+        raise ValueError(
+            f"compact_parquet: {path} has Hive partition directories "
+            f"({subdirs[:3]}...); compact each leaf partition instead of "
+            "flattening the layout"
+        )
     files = _glob.glob(_os.path.join(path, "*.parquet")) or _glob.glob(
         _os.path.join(path, "part-*")
     )
     total = sum(_os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total / target_file_bytes))
     tmp = path.rstrip("/") + "._compact_tmp"
+    bak = path.rstrip("/") + "._compact_bak"
     spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(tmp)
-    _shutil.rmtree(path)
+    # two renames instead of rmtree-then-rename: if we crash after the
+    # first, the data still exists (at .bak); after the second, at path.
+    _shutil.rmtree(bak, ignore_errors=True)
+    _os.rename(path, bak)
     _os.rename(tmp, path)
+    _shutil.rmtree(bak)
     return len(_glob.glob(_os.path.join(path, "part-*.parquet")))

@@ -128,6 +128,24 @@ def test_compact_parquet_small_files(spark, sf0001, tmp_path):
     after = spark.read.parquet(p)
     assert after.count() == before
     assert sorted(after.columns) == sorted(orders.columns)
+    # the crash-safe swap leaves no temp/backup residue on success
+    assert not glob.glob(p + "._compact_*")
+
+
+def test_compact_parquet_refuses_partitioned_layout(spark, sf0001, tmp_path):
+    """A flat compaction of a Hive-partitioned layout would silently
+    demote partition directories to data columns; the op must refuse."""
+    import pytest
+
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from etl_challenge_localiza_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "orders_part")
+    load_table(spark, sf0001, "orders").write.partitionBy("o_orderstatus").parquet(p)
+    with pytest.raises(ValueError, match="partition"):
+        compact_parquet(spark, p)
+    # dataset untouched by the refusal
+    assert spark.read.parquet(p).count() > 0
 
 
 def test_merge_schema_read_evolved_partitions(spark, sf0001, tmp_path):
