@@ -55,6 +55,27 @@ def shingles(tok: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes(tok: Column, n: int = 3) -> Column:
+    """Pre-hashed word n-gram shingles (array<long>) — the fast path.
+
+    Hashes each token ONCE (xxhash64), then mixes the n consecutive
+    token hashes of each shingle position with one more xxhash64 call,
+    so no shingle string is ever materialized: per doc the work is one
+    token-hash pass + n O(L) slices + L 3-long mixes, and everything
+    downstream (explode/distinct/joins/min-aggs) shuffles 8-byte longs
+    instead of ~n-word strings. Set semantics are identical to
+    ``shingles()`` up to 64-bit collisions (birthday bound ~1e-9 at 1e5
+    distinct shingles; at 1e12 shingles a handful of collisions shift a
+    jaccard count by ±1 — noise for near-dup detection). The
+    string-shingle path (``shingles``) remains for oracles that must be
+    mirrored in portable SQL.
+    """
+    th = F.transform(tok, lambda t: F.xxhash64(t))
+    L = F.greatest(F.size(tok) - F.lit(n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(th, k + 1, L) for k in range(n)])
+    return F.transform(z, lambda s: F.xxhash64(*[s[str(k)] for k in range(n)]))
+
+
 def fingerprint(col: Column | str, length: int = 16) -> Column:
     """Document fingerprint: leading hex of md5 (engine-portable; the
     rolling-hash role from SURVEY.md §2.9 with a standard hash)."""

@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokens
+from ..functions.text import shingle_hashes, shingles, tokens
+from ..sources.readers import spread_small_scan
 
 
 def doc_shingles(docs: DataFrame, n: int = 3, block_cols: tuple[str, ...] = ()) -> DataFrame:
@@ -68,57 +69,50 @@ def ngram_jaccard_pairs(
     would emit k(k-1)/2 rows from a shingle self-join — quadratic in the
     hottest key. Instead:
 
-    1. shingles are deduped PER ROW (``array_distinct`` before the
-       explode), so the exploded stream is already the distinct
-       (block, shingle, doc) relation — no distinct shuffle;
-    2. that stream is aggregated ONCE on (block, shingle, doc_id); both
-       the doc-frequency count and the capped set pass read this same
-       exchange, so Spark's ReuseExchange materializes it a single time
-       — text is tokenized/shingled ONCE (previously the df pass and
-       the set pass each re-parsed every document);
-    3. hot shingles (block doc-frequency > ``max_df``) are dropped via
-       an anti join — the hot list is tiny by Zipf's law (AQE
-       broadcasts it when it is), and a shingle shared by >max_df docs
-       is boilerplate, not near-dup signal (standard df-capped jaccard,
-       same cap mirrored in the oracle SQL);
-    4. surviving entries are grouped into a per-(block, shingle) sorted
-       doc-id set — bounded at ``max_df`` entries by step 3, so the
-       collect is safe;
-    5. pairs are generated JVM-side from each sorted set with a
+    1. shingles are pre-hashed longs deduped PER ROW (``array_distinct``
+       of ``shingle_hashes`` before the explode), so the exploded stream
+       is already the distinct (block, shingle, doc) relation and every
+       downstream stage shuffles 8-byte longs — no shingle string is
+       ever materialized (functions.text.shingle_hashes documents the
+       64-bit collision bound; the string-shingle oracle agrees exactly
+       while collision-free, which holds at every tested SF);
+    2. ONE full shuffle groups that stream into a per-(block, shingle)
+       sorted doc-id set; a set's size IS the shingle's doc frequency
+       (rows are distinct per doc), so the ``max_df`` hot-shingle cap
+       is a post-aggregation filter on ``size(docs)`` — no separate
+       df-count pass, no anti join. A Zipf-hot shingle's aggregation
+       buffer grows to its true df before the cap drops it; Spark's
+       sort-based aggregation fallback spills those (same bound the
+       minhash bucket stage already carries), and a corpus where hot
+       sets dominate wants the LSH path anyway;
+    3. per-doc capped set sizes |A| come from re-exploding the kept
+       sets — a tiny aggregate over post-cap data, not a second pass
+       over the corpus;
+    4. pairs are generated JVM-side from each sorted set with a
        higher-order ``transform``/``flatten`` (≤ max_df²/2 per key by
        construction) and counted — one hash aggregate, no join.
 
     Both |A|, |B| and |A∩B| are computed over the CAPPED shingle
     universe so the jaccard stays a well-defined set similarity. Net:
-    one parse of the corpus, one full shuffle of the distinct shingle
-    stream (reused by both passes) + two small aggregations, no
-    self-join, no cache.
+    one parse of the corpus, one full shuffle of the hashed shingle
+    stream, then aggregates/joins over cap-bounded data only.
     """
     cols = ["doc_id", *block_cols]
-    raw = docs.select(
-        *cols,
-        F.explode(F.array_distinct(shingles(tokens("text"), n))).alias("shingle"),
-    )
     key = [*block_cols, "shingle"]
-    # one exchange at (key, doc_id) granularity; rows are already
-    # distinct per doc, so this distinct() only pins a shuffle subtree
-    # that BOTH downstream passes share verbatim (an agg with a helper
-    # column would be pruned differently per branch and defeat
-    # ReuseExchange)
-    per_doc = raw.select(*key, "doc_id").distinct()
-    df_counts = per_doc.groupBy(*key).agg(F.count(F.lit(1)).alias("df"))
-    hot = df_counts.filter(F.col("df") > max_df).select(*key)
-    # no broadcast hint: the hot list is tiny by Zipf's law at any scale
-    # we've measured, but its size is data-dependent (grows with corpus
-    # size), and a forced hint removes AQE's ability to fall back to a
-    # shuffle join if a pathological corpus makes it large. AQE
-    # broadcasts it anyway when it is actually small.
-    ok = per_doc.join(hot, key, "left_anti")
-
-    by_shingle = ok.groupBy(*key).agg(
-        F.sort_array(F.collect_set("doc_id")).alias("docs")
+    raw = spread_small_scan(docs).select(
+        *cols,
+        F.explode(F.array_distinct(shingle_hashes(tokens("text"), n))).alias("shingle"),
     )
-    sizes = ok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    by_shingle = (
+        raw.groupBy(*key)
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= max_df)
+    )
+    sizes = (
+        by_shingle.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
     pairs = by_shingle.filter(F.size("docs") >= 2).select(
         F.explode(
             F.expr(
@@ -148,14 +142,55 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = 16) -> DataFrame:
+def portable_hash60(c, salt: str = ""):
+    """Engine-portable 60-bit hash: bigint of the first 15 hex chars of
+    md5(salt || value). DuckDB mirrors it as
+    ``cast(concat('0x', substr(md5(concat(salt, v)), 1, 15)) as bigint)``
+    — the same trick the deterministic_split / weighted_sample_docs
+    oracles use. Slower than xxhash64 (md5 + string slice + base
+    conversion), so it is the VERIFICATION mode, not the default."""
+    base = F.concat(F.lit(salt), c) if salt else c
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("bigint")
+
+
+#: modulus for the portable universal-hash family: 2^61 - 1 (Mersenne
+#: prime). a_i * base + b_i stays < 2^31 * 2^60 + b < 10^38, so exact
+#: decimal(38,0) (Spark) / hugeint (DuckDB) arithmetic never overflows.
+MINHASH_MOD = (1 << 61) - 1
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for the i-th portable hash h_i(x) = (a_i·x + b_i) mod
+    MINHASH_MOD. Fixed odd multipliers — the family only needs pairwise
+    independence for LSH banding."""
+    return 2654435761 + 2 * i, 40503 * (i + 1)
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """MinHash signatures in ONE aggregate pass: num_hashes min-aggs
-    over seeded xxhash64 of each shingle (no per-hash shuffle)."""
+    over a seeded hash of each shingle (no per-hash shuffle).
+
+    hash_mode="xxhash64" (default): fastest, JVM-native, engine-
+    specific. hash_mode="portable": ONE md5-derived 60-bit base hash
+    per shingle (see :func:`portable_hash60`), then the classic
+    universal-hash family h_i(x) = (a_i·x + b_i) mod (2^61−1) in exact
+    decimal arithmetic — one md5 instead of num_hashes of them, and a
+    SQL oracle mirrors every h_i bit-for-bit via hugeint.
+    """
+    if hash_mode == "portable":
+        base = portable_hash60(F.col("shingle")).cast("decimal(38,0)")
+        hashes = []
+        for i in range(num_hashes):
+            a, b = minhash_params(i)
+            hashes.append(
+                ((base * F.lit(a) + F.lit(b)) % F.lit(MINHASH_MOD)).cast("bigint")
+            )
+    else:
+        hashes = [F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_hashes)]
     return sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
+        *[F.min(h).alias(f"mh_{i}") for i, h in enumerate(hashes)]
     )
 
 
@@ -165,30 +200,50 @@ def minhash_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.2,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs (UNBLOCKED — the scale
     path when no natural blocking key exists).
 
     bands × rows = num_hashes; a pair becomes a candidate iff any band
     of its signatures matches exactly; candidates are verified with the
-    exact shingle-set Jaccard. Deterministic (xxhash64 is seeded).
+    exact shingle-set Jaccard. Deterministic (hashes are seeded).
     Returns (doc_id_a, doc_id_b, jaccard).
+
+    hash_mode="xxhash64" (default): pre-hashed long shingles + seeded
+    xxhash64 signatures + F.hash band buckets — all JVM-native, the
+    fast path. hash_mode="portable": string shingles + md5-derived
+    signatures + md5 band buckets, every stage mirrorable in ANSI SQL
+    so a DuckDB oracle value-checks the whole LSH pipeline.
     """
     rows = num_hashes // bands
     # signatures don't need distinct shingles (min over a multiset ==
     # min over its set), so they aggregate straight off the explode —
     # partial min-aggs run map-side and the distinct-shingle exchange
-    # is skipped entirely on this path.
-    sh_raw = docs.select(
-        "doc_id", F.explode(shingles(tokens("text"), n)).alias("shingle")
+    # is skipped entirely on this path. In the default mode shingles
+    # are pre-hashed longs (functions.text.shingle_hashes):
+    # identity-only use throughout.
+    shingle_expr = (
+        shingles(tokens("text"), n)
+        if hash_mode == "portable"
+        else shingle_hashes(tokens("text"), n)
     )
-    sig = minhash_signatures(sh_raw, num_hashes)
+    sh_raw = spread_small_scan(docs).select(
+        "doc_id", F.explode(shingle_expr).alias("shingle")
+    )
+    sig = minhash_signatures(sh_raw, num_hashes, hash_mode=hash_mode)
+
+    def band_bucket(bi: int):
+        cols = [F.col(f"mh_{bi * rows + r}") for r in range(rows)]
+        if hash_mode == "portable":
+            return F.md5(F.concat_ws(",", *[c.cast("string") for c in cols]))
+        return F.hash(*cols).cast("string")
 
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(bi).alias("band"),
-                F.hash(*[F.col(f"mh_{bi * rows + r}") for r in range(rows)]).alias("bucket"),
+                band_bucket(bi).alias("bucket"),
             )
             for bi in range(bands)
         ]
@@ -266,21 +321,37 @@ def minhash_near_dup_pairs(
     )
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
+def simhash_signatures(docs: DataFrame, hash_mode: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document in one aggregate pass.
 
-    For each bit b: sign of Σ_tokens (±1 by bit b of xxhash64(token)).
+    For each bit b: sign of Σ_tokens (±1 by bit b of hash(token)).
     The signature is assembled bit-by-bit into a long. All JVM-side.
+
+    hash_mode="xxhash64" (default): bit b of xxhash64(token).
+    hash_mode="portable": bit b = bit (b mod 4) of hex digit (b div 4)
+    of md5(token) — the first 16 hex chars give 64 independent bits
+    that ANSI SQL reproduces via substr(md5(x)) + hex-digit decode, so
+    a DuckDB oracle can mirror the signature exactly.
     """
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    h = F.xxhash64("token")
+    tok = spread_small_scan(docs).select("doc_id", F.explode(tokens("text")).alias("token"))
+    if hash_mode == "portable":
+        hexmd5 = F.md5("token")
+        digits = [
+            F.conv(F.substring(hexmd5, j + 1, 1), 16, 10).cast("int")
+            for j in range(16)
+        ]
+
+        def bit(b):
+            return F.shiftright(digits[b // 4], b % 4).bitwiseAND(F.lit(1))
+    else:
+        h = F.xxhash64("token")
+
+        def bit(b):
+            return F.shiftright(h, b).bitwiseAND(F.lit(1))
+
     bit_sums = tok.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                    F.lit(-1)
-                )
-            ).alias(f"s_{b}")
+            F.sum(F.when(bit(b) == 1, F.lit(1)).otherwise(F.lit(-1))).alias(f"s_{b}")
             for b in range(64)
         ]
     )
@@ -292,12 +363,14 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """SimHash near-dup candidates banded by 16-bit chunks (a pair
     within Hamming distance ≤ 3 of 64 bits must share at least one of 4
     chunks), verified with exact xor+bit_count Hamming distance.
     Returns (doc_id_a, doc_id_b, hamming)."""
-    sig = simhash_signatures(docs)
+    sig = simhash_signatures(docs, hash_mode=hash_mode)
     chunks = F.array(
         *[
             F.struct(

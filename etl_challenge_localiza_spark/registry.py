@@ -74,7 +74,7 @@ QUERIES: dict[str, Query] = {}
 def register(name: str, oracle: str | None = None, headline: bool = False):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            tune(spark)
+            tune(spark, sf_dir)
             return fn(spark, sf_dir)
 
         QUERIES[name] = Query(name, wrapped, oracle, headline)
@@ -737,19 +737,116 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
-@register("minhash_near_dup", headline=True)  # rows-only: seeded xxhash64 is Spark-specific
+#: portable MinHash oracle pieces: ONE 60-bit md5 base hash per shingle
+#: (mirrors operators.dedup.portable_hash60) fed through the universal-
+#: hash family (a_i·x + b_i) mod 2^61−1 in hugeint, md5 band buckets.
+from .operators.dedup import MINHASH_MOD, minhash_params  # noqa: E402
+
+_MH_MINS = ",\n       ".join(
+    "min(cast((base * {a} + {b}) % {m} as bigint)) as mh_{i}".format(
+        a=minhash_params(i)[0], b=minhash_params(i)[1], m=MINHASH_MOD, i=i
+    )
+    for i in range(16)
+)
+_MH_BANDS = "\n  union all\n  ".join(
+    f"select doc_id, {b} as band, md5(concat_ws(',', "
+    + ", ".join(f"cast(mh_{b * 4 + r} as varchar)" for r in range(4))
+    + ")) as bucket from sig"
+    for b in range(4)
+)
+
+
+@register(
+    "minhash_near_dup",
+    headline=True,
+    oracle=f"""
+with t as (select doc_id, {SQL_TOKS} as toks from documents),
+g as (select doc_id, toks, unnest(generate_series(1, len(toks) - 2)) as g from t),
+sh as (select doc_id, array_to_string(toks[g:g+2], ' ') as shingle from g),
+sh2 as (select doc_id, shingle,
+        cast(cast(concat('0x', substr(md5(shingle), 1, 15)) as bigint) as hugeint) as base
+        from sh),
+sig as (select doc_id,
+       {_MH_MINS}
+from sh2 group by doc_id),
+buckets as (
+  {_MH_BANDS}
+),
+cand as (select distinct a.doc_id as da, b.doc_id as db
+         from buckets a join buckets b
+           on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id),
+shd as (select distinct doc_id, shingle from sh),
+sizes as (select doc_id, count(*) as n from shd group by doc_id),
+inter as (select c.da, c.db, count(*) as ni
+          from cand c
+          join shd a on a.doc_id = c.da
+          join shd b on b.doc_id = c.db and b.shingle = a.shingle
+          group by c.da, c.db)
+select cast(i.da as bigint) as doc_id_a, cast(i.db as bigint) as doc_id_b,
+       cast(i.ni as double) / cast(sa.n + sb.n - i.ni as double) as jaccard
+from inter i
+join sizes sa on i.da = sa.doc_id
+join sizes sb on i.db = sb.doc_id
+where cast(i.ni as double) / cast(sa.n + sb.n - i.ni as double) >= 0.2
+""",
+)
 def q_minhash_near_dup(spark, sf_dir):
     """MinHash(16) + 4-band LSH near-dup pairs, exact-verified.
-    No SQL oracle (engine hash functions differ); driver rows-only check."""
+
+    Runs in hash_mode="portable" (md5-derived 60-bit signature hashes +
+    md5 band buckets) so the ENTIRE LSH pipeline — signatures, banding,
+    candidate generation, exact-jaccard verify — is value-checked
+    against the DuckDB oracle. The operator's default mode stays
+    xxhash64 (JVM-native fast path, same topology)."""
     return minhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, num_hashes=16, bands=4, threshold=0.2
+        load_table(spark, sf_dir, "documents"),
+        n=3, num_hashes=16, bands=4, threshold=0.2, hash_mode="portable",
     )
 
 
-@register("simhash_near_dup")  # rows-only: xxhash64-based bits
+#: portable SimHash oracle pieces: bit b of md5(token) = bit (b mod 4)
+#: of hex digit (b div 4); sign-summed per doc, assembled into a long
+#: (bit 63 via the min-long literal — DuckDB's << errors at 63).
+_SH_BITSUMS = ",\n       ".join(
+    f"sum(case when ((strpos('0123456789abcdef', substr(hx, {b // 4 + 1}, 1)) - 1 >> {b % 4}) & 1) = 1 then 1 else -1 end) as s_{b}"
+    for b in range(64)
+)
+_SH_SIG = " + ".join(
+    ["case when s_63 > 0 then (-9223372036854775808)::bigint else 0::bigint end"]
+    + [f"(case when s_{b} > 0 then 1::bigint else 0::bigint end << {b})" for b in range(63)]
+)
+
+
+@register(
+    "simhash_near_dup",
+    oracle=f"""
+with tok as (select doc_id, unnest({SQL_TOKS}) as token from documents),
+h as (select doc_id, substr(md5(token), 1, 16) as hx from tok),
+bits as (select doc_id,
+       {_SH_BITSUMS}
+from h group by doc_id),
+sig as (select doc_id, {_SH_SIG} as simhash from bits),
+chunks as (select doc_id, simhash, u.chunk, (simhash >> (u.chunk * 16)) & 65535 as val
+           from sig cross join (select unnest(generate_series(0, 3)) as chunk) u),
+pairs as (select distinct x.doc_id as da, x.simhash as ha, y.doc_id as db, y.simhash as hb
+          from chunks x join chunks y
+            on x.chunk = y.chunk and x.val = y.val and x.doc_id < y.doc_id)
+select cast(da as bigint) as doc_id_a, cast(db as bigint) as doc_id_b,
+       cast(bit_count(xor(ha, hb)) as int) as hamming
+from pairs
+where bit_count(xor(ha, hb)) <= 3
+""",
+)
 def q_simhash_near_dup(spark, sf_dir):
-    """64-bit SimHash near-dup pairs (Hamming ≤ 3), chunk-banded."""
-    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    """64-bit SimHash near-dup pairs (Hamming ≤ 3), chunk-banded.
+
+    Runs in hash_mode="portable" (md5 hex-digit bits) so signatures,
+    16-bit-chunk banding and the xor+bit_count verify are all
+    value-checked against the DuckDB oracle; the operator's default
+    stays xxhash64."""
+    return simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3, hash_mode="portable"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1000,7 +1097,9 @@ def q_value_percentiles(spark, sf_dir):
 def q_approx_event_stats(spark, sf_dir):
     """The sketch-based scale path: approx_count_distinct (HLL++) and
     percentile_approx per event type, with exact counterparts for
-    error inspection."""
+    error inspection. Accuracy is asserted with explicit tolerances in
+    tests/test_approx.py (HLL++ rel-err <= 3*rsd; approx p90 inside the
+    exact p85..p95 envelope)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").cast("long").alias("approx_users"),
@@ -3433,6 +3532,30 @@ def q_streaming_nation_rollup(spark, sf_dir):
     from .streaming.events_stream import run_streaming_nation_rollup
 
     return run_streaming_nation_rollup(spark, sf_dir)
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+select a.event_id as click_id, b.event_id as purchase_id
+from events a
+join events b
+  on a.user_id = b.user_id
+ and a.event_type = 'click' and b.event_type = 'purchase'
+ and epoch_us(b.ts) >= epoch_us(a.ts)
+ and epoch_us(b.ts) < epoch_us(a.ts) + 1800000000
+""",
+)
+def q_streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: click → same-user
+    purchase within 30 minutes, two independent readStream sources,
+    APPEND mode. Both sides watermarked so join state is evicted (the
+    state-bounded production shape). On the finite input this equals
+    the batch range join restricted to click→purchase pairs — the
+    events_followup_pairs oracle shape (operators/rangejoin.py)."""
+    from .streaming.events_stream import run_streaming_interval_join
+
+    return run_streaming_interval_join(spark, sf_dir)
 
 
 @register(

@@ -49,13 +49,54 @@ RUNTIME_CONF = {
 }
 
 
-def tune(spark: SparkSession) -> SparkSession:
+#: cache of dataset-size-derived shuffle-partition choices per sf_dir
+#: (one os.walk per directory per process).
+_SF_PARTS: dict[str, int] = {}
+
+
+def _partitions_for(sf_dir: str) -> int:
+    """Size ``spark.sql.shuffle.partitions`` to the dataset, not the
+    machine.
+
+    At sf<=0.1 the whole input is ~20 MB; 32-way shuffles of KB-sized
+    partitions are pure dispatch overhead across every stage of a
+    multi-stage plan. One initial partition per ~4 MB of input, floored
+    at 16 and capped at the core count: measured at sf0.1, 8 starves
+    reduce-side parallelism on window/join-heavy queries (asof_latest
+    +0.7 s) while 32 taxes the 6-stage shingle pipeline with per-task
+    overhead (ngram_jaccard +0.7 s); 16 is within noise of the best
+    setting for both. At cluster scale the byte count pushes the value
+    to the cap and AQE coalescing governs post-shuffle parallelism.
+    """
+    parts = _SF_PARTS.get(sf_dir)
+    if parts is None:
+        total = 0
+        try:
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        parts = max(16, min(DEFAULT_CPUS, total // (4 << 20)))
+        _SF_PARTS[sf_dir] = parts
+    return parts
+
+
+def tune(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
     """Apply runtime-mutable confs to an existing session.
 
     Used at the top of every public query entry point so behavior is
     stable even when the caller (test driver) built its own session.
+    When ``sf_dir`` is given, shuffle partitions are sized to the
+    dataset (see :func:`_partitions_for`).
     """
-    for k, v in RUNTIME_CONF.items():
+    conf = dict(RUNTIME_CONF)
+    if sf_dir is not None:
+        conf["spark.sql.shuffle.partitions"] = str(_partitions_for(sf_dir))
+    for k, v in conf.items():
         try:
             spark.conf.set(k, v)
         except Exception:

@@ -57,6 +57,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_small_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Repartition a low-parallelism scan before per-row-heavy work.
+
+    Parquet scan parallelism is bounded by file/row-group structure; the
+    local test tables are single-row-group files, so an expensive
+    projection chain (tokenize → hash → explode) would otherwise run on
+    ONE core while 31 idle. On a cluster-scale table the scan already
+    has >= ``parts`` splits and this returns the input unchanged — the
+    round-robin shuffle only fires when the scan is narrow, i.e. exactly
+    when its payload is small.
+    """
+    spark = df.sparkSession
+    if parts is None:
+        try:
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            parts = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, parts // 2):
+        return df.repartition(parts)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TESTDATA_TABLES)}
 

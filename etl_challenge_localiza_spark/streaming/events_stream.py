@@ -42,8 +42,19 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
-    return stream.withColumn("ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
+    ts_type = schema["ts"].dataType.simpleString()
+    if ts_type == "bigint":
+        # TIMESTAMP(NANOS) storage read as raw int64 (nanosAsLong):
+        # truncate ns→µs exactly, as the batch reader does.
+        micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(micros).cast("timestamp_ntz")
+        )
+    else:
+        # µs-precision storage arrives as a native timestamp type;
+        # normalize to NTZ for parity with the batch reader.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return stream
 
 
 def _hourly_agg(stream: DataFrame) -> DataFrame:
@@ -189,6 +200,83 @@ def hourly_stream_with_watermark(
         "ts", F.col("ts").cast("timestamp")
     )
     return _hourly_agg(stream.withWatermark("ts", watermark))
+
+
+def interval_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: for every click, the
+    same-user purchases within ``window_minutes`` after it.
+
+    Both sides carry an event-time watermark and the join condition
+    bounds purchase time to [click_ts, click_ts + W), so Spark can
+    compute how long each side's state must be retained and evict it —
+    the state-bounded production shape (an unconstrained stream-stream
+    join would buffer both streams forever). Inner join: matches emit
+    as soon as both rows have arrived; the watermark governs state
+    eviction and late-row admission, not result withholding.
+    """
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").cast("timestamp").alias("c_ts"),
+        ).withWatermark("c_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        ).withWatermark("p_ts", watermark)
+    )
+    return (
+        c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr(f"interval {window_minutes} minutes")),
+            "inner",
+        )
+        .select("click_id", "purchase_id")
+    )
+
+
+def run_streaming_interval_join(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Run the click→purchase interval join over two independent
+    readStream sources of the events table to completion (APPEND mode,
+    availableNow). On the finite input the result equals the batch
+    range join restricted to click→purchase pairs — the registry pairs
+    it with that SQL oracle (the events_followup_pairs shape,
+    operators/rangejoin.py)."""
+    name = f"stream_ivjoin_{uuid.uuid4().hex[:8]}"
+    clicks = _event_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = _event_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    joined = interval_join_streams(clicks, purchases, window_minutes=30)
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # a partial memory sink is a silent wrong answer — fail loudly
+            raise TimeoutError(
+                f"availableNow streaming query {name!r} did not finish "
+                f"within {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
 
 
 def run_streaming_nation_rollup(

@@ -79,6 +79,88 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert 6 not in out
 
 
+def test_stream_stream_interval_join_two_sources(spark, sf0001):
+    """The stream-stream join must equal the batch range join on the
+    same finite input (registry oracle shape)."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    stream = QUERIES["streaming_interval_join"].fn(spark, sf0001)
+    got = {(r["click_id"], r["purchase_id"]) for r in stream.collect()}
+    con_pairs = set()
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '/root/testdata/sf0.001/events.parquet'"
+    )
+    for a, b in con.execute(QUERIES["streaming_interval_join"].oracle).fetchall():
+        con_pairs.add((a, b))
+    con.close()
+    assert got == con_pairs
+    assert got, "expected at least one click→purchase pair in the fixture"
+
+
+def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
+    """Two genuinely separate file-stream sources, with the matching
+    purchase arriving in a LATER micro-batch than its click: the join
+    state must hold the click until the purchase arrives."""
+    import datetime as dt
+
+    from etl_challenge_localiza_spark.streaming.events_stream import (
+        interval_join_streams,
+    )
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+    click_src = str(tmp_path / "clicks")
+    buy_src = str(tmp_path / "purchases")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    clicks1 = spark.createDataFrame(
+        [(1, t0, 7, "click", 1.0, "{}"), (2, t0, 8, "click", 1.0, "{}")], cols
+    )
+    buys1 = spark.createDataFrame(
+        [(10, t0 + dt.timedelta(minutes=10), 7, "purchase", 5.0, "{}")], cols
+    )
+    # arrives one micro-batch later; still inside user 8's 30-min window
+    buys2 = spark.createDataFrame(
+        [
+            (11, t0 + dt.timedelta(minutes=20), 8, "purchase", 5.0, "{}"),
+            # outside the window → must NOT match
+            (12, t0 + dt.timedelta(minutes=45), 7, "purchase", 5.0, "{}"),
+        ],
+        cols,
+    )
+
+    def run(run_id, click_df=None, buy_df=None):
+        if click_df is not None:
+            click_df.coalesce(1).write.parquet(f"{click_src}/run{run_id}")
+        if buy_df is not None:
+            buy_df.coalesce(1).write.parquet(f"{buy_src}/run{run_id}")
+        schema = clicks1.schema
+        c = spark.readStream.schema(schema).parquet(click_src + "/run*")
+        p = spark.readStream.schema(schema).parquet(buy_src + "/run*")
+        q = (
+            interval_join_streams(c, p, window_minutes=30)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run(1, clicks1, buys1)
+    run(2, None, buys2)
+    got = {
+        (r["click_id"], r["purchase_id"]) for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, 10), (2, 11)}, got
+
+
 def test_foreachbatch_upsert_converges_regardless_of_batch_order(spark):
     """merge_latest keeps each key's (ts, event_id) argmax, so applying
     micro-batches in ANY order yields the same table."""
