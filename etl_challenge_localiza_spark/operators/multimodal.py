@@ -7,17 +7,26 @@ feature-extraction runs as Arrow-batched pandas iterators
 (``mapInPandas``) so the Python boundary is crossed once per batch, not
 per row, and the output schema is declared up front.
 
-The image/audio codec libraries are not available in this environment,
-so :func:`extract_features` STUBS the actual decode behind
-``decoder=None`` (documented NotImplementedError) and defaults to a
-deterministic metadata extractor (byte length + sha256) whose results
-an SQL oracle can verify — the Spark-side plumbing (schema, Arrow
-batching, partitioning) is real and tested either way.
+Decode support is tiered by what a pure-Python environment can honestly
+do:
+
+- **Real decoders** for the two header+raster formats that need no
+  codec library: binary PPM (netpbm P6) and uncompressed 24-bit BMP —
+  :func:`decode_image` parses actual bytes (dimensions + pixel stats)
+  and is exercised end-to-end by the oracle-checked
+  ``multimodal_decode`` registry query and a hand-built BMP fixture in
+  pytest (row padding, top-down negative height).
+- **Compressed formats** (JPEG/PNG/MP3/H.264…) require codec libraries
+  absent here; those paths raise a documented NotImplementedError via
+  ``decoder=None`` — the Spark-side plumbing (schema, Arrow batching,
+  partitioning) is identical and stays fully tested through the real
+  and deterministic-fake decoders.
 """
 
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -85,6 +94,121 @@ def extract_features(
             )
 
     return assets.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real pure-Python decoders: binary PPM (P6) and uncompressed 24-bit BMP
+# ---------------------------------------------------------------------------
+
+_PPM_HEADER = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s")
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float]:
+    """Parse a binary netpbm P6 image: (width, height, mean pixel byte).
+
+    Header is ASCII "P6 <w> <h> <maxval>" + single whitespace, then
+    w*h*3 raw RGB bytes. Raises ValueError on malformed input.
+    """
+    m = _PPM_HEADER.match(payload)
+    if not m:
+        raise ValueError("not a binary PPM (P6) payload")
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pix = payload[m.end() : m.end() + w * h * 3]
+    if len(pix) != w * h * 3:
+        raise ValueError("truncated PPM pixel data")
+    mean = (sum(pix) / len(pix)) if pix else 0.0
+    return w, h, mean
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, float]:
+    """Parse an uncompressed 24-bit BMP: (width, |height|, mean pixel
+    byte over the RGB triples, excluding row padding).
+
+    Handles the 4-byte row alignment and top-down images (negative
+    height). Raises ValueError on other bit depths / compression.
+    """
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    height = abs(h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+    total = 0
+    n = 0
+    for r in range(height):
+        row = payload[off + r * stride : off + r * stride + row_bytes]
+        if len(row) != row_bytes:
+            raise ValueError("truncated BMP pixel data")
+        total += sum(row)
+        n += row_bytes
+    return w, height, (total / n) if n else 0.0
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Sniff the magic bytes and decode PPM or BMP; other formats need
+    codec libraries absent from this environment → ValueError (callers
+    wanting a hard NotImplementedError use ``decoder=None``)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError("unsupported image format (only P6 PPM / 24-bit BMP)")
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "asset_id long, width int, height int, mean_pixel double, n_bytes long"
+)
+
+
+def extract_image_features(assets: DataFrame) -> DataFrame:
+    """REAL decode path: parse each binary payload with
+    :func:`decode_image` (Arrow-batched, one Python crossing per batch)
+    and emit decoded dimensions + pixel statistics."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_image(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "mean_pixel": [d[2] for d in decoded],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def synthetic_ppm_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL PPM images derived from doc_id (width
+    4 + id%13, height 3 + id%7, constant pixel byte id%256), so the
+    decoded output is predictable arithmetic a SQL oracle states in
+    closed form while the decoder still parses genuine image bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 13, 3 + did % 7
+                payloads.append(
+                    b"P6\n%d %d\n255\n" % (w, h) + bytes([did % 256]) * (3 * w * h)
+                )
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )
 
 
 RESIZE_SCHEMA = "asset_id long, kind string, payload binary, width int, height int"

@@ -920,6 +920,36 @@ def q_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_decode",
+    oracle="""
+select doc_id as asset_id,
+       cast(4 + doc_id % 13 as int) as width,
+       cast(3 + doc_id % 7 as int) as height,
+       cast(doc_id % 256 as double) as mean_pixel,
+       cast(9 + length(cast(4 + doc_id % 13 as varchar))
+              + length(cast(3 + doc_id % 7 as varchar))
+              + 3 * (4 + doc_id % 13) * (3 + doc_id % 7) as bigint) as n_bytes
+from documents
+""",
+)
+def q_multimodal_decode(spark, sf_dir):
+    """REAL image decode through the Arrow mapInPandas path: each doc_id
+    becomes a genuine binary PPM (P6) payload whose bytes the pure-
+    Python decoder (operators/multimodal.py:decode_image) actually
+    parses — width/height from the header, mean pixel over the raster.
+    Because the images are deterministic functions of doc_id, the
+    oracle states the decoded values in closed form (header = 9 bytes +
+    the two dimension strings; raster = 3wh constant bytes), so a
+    decoder that misparses headers, strides or pixel data hash-fails.
+    Compressed formats (JPEG/PNG) still require absent codec libs —
+    documented NotImplementedError path."""
+    from .operators.multimodal import extract_image_features, synthetic_ppm_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_features(synthetic_ppm_assets(docs))
+
+
+@register(
     "streaming_hourly",
     oracle="""
 select date_trunc('hour', ts) as hour_start, event_type,

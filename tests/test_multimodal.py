@@ -72,3 +72,81 @@ def test_frame_sampling_explodes_rows(spark):
     import hashlib as _h
 
     assert rows[0]["frame_sha"] == _h.sha256(raw[:3]).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Real decoders (PPM / BMP)
+# ---------------------------------------------------------------------------
+
+def _bmp_24(width, height, rows, top_down=False):
+    """Hand-assemble an uncompressed 24-bit BMP: ``rows`` is a list of
+    height pixel rows, each width*3 bytes, in BOTTOM-UP order (the BMP
+    default); top_down stores a negative height and natural row order."""
+    stride = (width * 3 + 3) & ~3
+    raster = b"".join(r + b"\0" * (stride - len(r)) for r in rows)
+    size = 54 + len(raster)
+    h = height if not top_down else -height
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0" + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return header + raster
+
+
+def test_decode_ppm_parses_real_bytes():
+    from etl_challenge_localiza_spark.operators.multimodal import decode_image
+
+    payload = b"P6\n3 2\n255\n" + bytes(range(18))
+    w, h, mean = decode_image(payload)
+    assert (w, h) == (3, 2)
+    assert mean == sum(range(18)) / 18
+
+
+def test_decode_bmp_row_padding_and_top_down():
+    from etl_challenge_localiza_spark.operators.multimodal import decode_image
+
+    # width 3 -> 9-byte rows pad to 12: padding must NOT enter the mean
+    rows = [bytes([10] * 9), bytes([30] * 9)]
+    w, h, mean = decode_image(_bmp_24(3, 2, rows))
+    assert (w, h, mean) == (3, 2, 20.0)
+
+    w, h, mean = decode_image(_bmp_24(3, 2, rows, top_down=True))
+    assert (w, h, mean) == (3, 2, 20.0)
+
+
+def test_decode_rejects_unknown_and_truncated():
+    from etl_challenge_localiza_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        decode_image(b"P6\n4 4\n255\n" + b"\0" * 5)  # truncated raster
+
+
+def test_multimodal_decode_end_to_end(spark, sf0001):
+    """The registry query decodes genuine PPM bytes; spot-check one row
+    against values computed directly from the payload."""
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        decode_image,
+        extract_image_features,
+        synthetic_ppm_assets,
+    )
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf0001, "documents").limit(5)
+    assets = synthetic_ppm_assets(docs)
+    raw = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    out = {r["asset_id"]: r for r in extract_image_features(assets).collect()}
+    assert set(out) == set(raw)
+    for aid, payload in raw.items():
+        w, h, mean = decode_image(payload)
+        r = out[aid]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_pixel"] == mean
+        assert r["n_bytes"] == len(payload)
+        assert (w, h) == (4 + aid % 13, 3 + aid % 7)
