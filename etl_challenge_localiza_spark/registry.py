@@ -4702,3 +4702,214 @@ def q_event_value_anomalies(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 breadth: delete propagation, embedding dedup, Python UDTF
+# ---------------------------------------------------------------------------
+
+@register(
+    "gdpr_delete_cascade",
+    oracle="""
+with forgotten as (
+  select c_custkey from customer where c_custkey % 97 = 0
+),
+kept_orders as (
+  select o.* from orders o
+  where not exists (select 1 from forgotten f where f.c_custkey = o.o_custkey)
+),
+kept_lineitem as (
+  select l.* from lineitem l
+  where exists (select 1 from kept_orders o where o.o_orderkey = l.l_orderkey)
+)
+select 'customer' as tbl,
+       (select cast(count(*) as bigint) from customer) as rows_before,
+       (select cast(count(*) as bigint) from customer
+         where c_custkey % 97 <> 0) as rows_after
+union all
+select 'orders',
+       (select cast(count(*) as bigint) from orders),
+       (select cast(count(*) as bigint) from kept_orders)
+union all
+select 'lineitem',
+       (select cast(count(*) as bigint) from lineitem),
+       (select cast(count(*) as bigint) from kept_lineitem)
+""",
+)
+def q_gdpr_delete_cascade(spark, sf_dir):
+    """Right-to-be-forgotten delete propagation: a deletion list of
+    customers cascades through orders (anti join on o_custkey) and then
+    lineitem (semi join on surviving o_orderkey). At 100 TB the
+    deletion list is the small side — both joins broadcast it and the
+    fact tables stream through without shuffling; the audit output
+    (per-table before/after counts) is what a compliance job must
+    record. No forced hints: the list size is data-dependent, AQE
+    broadcasts while it fits."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    forgotten = customer.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    kept_customer = customer.join(
+        forgotten, customer["c_custkey"] == forgotten["c_custkey"], "left_anti"
+    )
+    kept_orders = orders.join(
+        forgotten, orders["o_custkey"] == forgotten["c_custkey"], "left_anti"
+    )
+    kept_lineitem = lineitem.join(
+        kept_orders.select("o_orderkey"),
+        lineitem["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+
+    def audit(name, before_df, after_df):
+        return before_df.agg(F.count(F.lit(1)).cast("long").alias("rows_before")).crossJoin(
+            after_df.agg(F.count(F.lit(1)).cast("long").alias("rows_after"))
+        ).select(F.lit(name).alias("tbl"), "rows_before", "rows_after")
+
+    return (
+        audit("customer", customer, kept_customer)
+        .unionByName(audit("orders", orders, kept_orders))
+        .unionByName(audit("lineitem", lineitem, kept_lineitem))
+    )
+
+
+@register(
+    "embedding_near_dup_drop",
+    oracle="""
+with pairs as (
+  select a.vec_id as va, b.vec_id as vb
+  from embeddings a
+  join embeddings b on a.label = b.label and a.vec_id < b.vec_id
+  where list_dot_product(list_transform(a.embedding, x -> cast(x as double)),
+                         list_transform(b.embedding, x -> cast(x as double)))
+        / sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double)))
+             * list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double))))
+        >= 0.999
+),
+dropped as (select distinct vb from pairs)
+select e.label,
+       cast(count(*) as bigint) as n_kept,
+       (select cast(count(*) as bigint) from dropped) as n_dropped_total
+from embeddings e
+where not exists (select 1 from dropped d where d.vb = e.vec_id)
+group by e.label
+""",
+)
+def q_embedding_near_dup_drop(spark, sf_dir):
+    """Embedding-cosine near-duplicate dedup (the semantic-dedup stage
+    of a training pipeline): label-blocked self-join finds pairs with
+    cosine >= 0.999, the higher vec_id of each pair is dropped, output
+    is per-label survivor counts plus the global drop count. Blocked
+    join (never all-pairs), per-row array fold in element order →
+    engine-identical doubles; the drop list is data-dependent so the
+    anti join carries no hint (AQE broadcasts while small). The
+    IVF/LSH bucketing (ivf_assignments, brp_lsh_ann_pairs) replaces the
+    label block when no natural key exists at 100 TB."""
+    from .operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("label").alias("lbl"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("label").alias("lbl"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, ["lbl"])
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.999)
+        .select("vb")
+        .distinct()
+    )
+    n_dropped = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_dropped_total"))
+    kept = emb.join(pairs, emb["vec_id"] == pairs["vb"], "left_anti")
+    return (
+        kept.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+        .crossJoin(n_dropped)
+        .select("label", "n_kept", "n_dropped_total")
+    )
+
+
+@register(
+    "udtf_sentence_stats",
+    oracle="""
+with s as (
+  select doc_id,
+         unnest(list_filter(string_split(text, '.'), x -> trim(x) <> '')) as sent
+  from documents
+),
+t as (
+  select doc_id, row_number() over (partition by doc_id order by doc_id) - 1 as idx,
+         sent from s
+)
+select doc_id,
+       cast(count(*) as bigint) as n_sentences,
+       cast(max(len(list_filter(string_split(lower(trim(sent)), ' '), x -> x <> ''))) as bigint)
+         as max_sentence_tokens
+from t group by doc_id
+""",
+)
+def q_udtf_sentence_stats(spark, sf_dir):
+    """Python UDTF surface (Spark 4 user-defined TABLE function): a
+    sentence splitter that lateral-expands each document into sentence
+    rows (1→N, schema declared on the class), then aggregates per-doc
+    sentence stats. UDTFs are the sanctioned API for set-returning
+    Python logic (vs exploding a python-UDF array); the heavy lifting
+    stays a single lateral join. Oracle mirrors the split('.') +
+    trim-nonempty semantics in SQL. Counts only — engine-portable."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, sent string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for raw in text.split("."):
+                if raw.strip():
+                    yield idx, raw
+                    idx += 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs.createOrReplaceTempView("__udtf_docs")
+    sent = spark.sql(
+        "select d.doc_id, s.idx, s.sent from __udtf_docs d, "
+        "lateral sentence_split(d.text) s"
+    )
+    toks = F.filter(F.split(F.lower(F.trim("sent")), " "), lambda x: x != "")
+    return sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        F.max(F.size(toks)).cast("long").alias("max_sentence_tokens"),
+    )
+
+
+@register(
+    "pyds_bucket_stats",
+    oracle="""
+select cast(i % 10 as int) as bucket,
+       cast(count(*) as bigint) as n,
+       sum(i * 0.5) as sum_value
+from generate_series(0, 9999) t(i)
+group by 1
+""",
+)
+def q_pyds_bucket_stats(spark, sf_dir):
+    """Custom-connector surface: rows arrive through a Spark 4 Python
+    DataSource (sources/pyds.py) whose partitions() plan shards the
+    fetch into 8 independent splits — the protocol a REST/queue
+    connector uses — then a plain aggregate runs over the Arrow-fed
+    scan. Values are exact halves so double sums are engine-identical
+    regardless of partial-agg order; the oracle states the source in
+    closed form via generate_series."""
+    from .sources.pyds import register as register_pyds
+
+    register_pyds(spark)
+    df = (
+        spark.read.format("synth_rows")
+        .option("n", "10000")
+        .option("parts", "8")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("sum_value"),
+    )

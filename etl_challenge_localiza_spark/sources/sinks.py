@@ -140,3 +140,27 @@ def compact_parquet(
     _os.rename(tmp, path)
     _shutil.rmtree(bak)
     return len(_glob.glob(_os.path.join(path, "part-*.parquet")))
+
+
+def write_range_clustered(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 8
+) -> str:
+    """Data-skipping layout: range-repartition on ``cols`` and sort
+    within each partition before writing parquet.
+
+    Each output file then covers a disjoint range of ``cols``, and its
+    parquet footer min/max statistics let any engine (Spark scan
+    pruning, DuckDB zone maps, Iceberg/Delta file skipping) eliminate
+    whole files for selective predicates — the single-column analog of
+    Z-ordering, and the layout step a 100 TB table needs BEFORE queries
+    can be fast. repartitionByRange samples the column to build
+    balanced range bounds, so skew in ``cols`` does not produce
+    lopsided files.
+    """
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path

@@ -164,3 +164,127 @@ def test_merge_schema_read_evolved_partitions(spark, sf0001, tmp_path):
     assert "ingest_tag" in df.columns
     assert df.count() == 50
     assert df.filter(F.col("ingest_tag").isNull()).count() == 25
+
+
+def test_range_clustered_write_produces_skipping_friendly_files(spark, tmp_path):
+    """write_range_clustered must yield parquet files whose per-file
+    min/max footer ranges on the cluster column are (near-)disjoint —
+    the property file-skipping engines prune on."""
+    import pyarrow.parquet as pq
+
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from etl_challenge_localiza_spark.sources.sinks import write_range_clustered
+
+    path = str(tmp_path / "orders_by_price")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    write_range_clustered(orders, path, ["o_totalprice"], n_files=4)
+
+    ranges = []
+    import glob as _glob
+
+    for f in sorted(_glob.glob(path + "/part-*.parquet")):
+        md = pq.read_metadata(f)
+        col_idx = md.schema.names.index("o_totalprice")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3  # range partitioner may merge tiny bounds
+
+    # files must not overlap: sorted by min, each file's max <= next min
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {ranges}"
+
+    # a selective read therefore touches one file's range only
+    total = orders.count()
+    one_file = spark.read.parquet(path).filter(
+        f"o_totalprice <= {ranges[0][1]}"
+    ).count()
+    assert 0 < one_file < total
+
+
+def test_bloom_filter_runtime_join_filter_fires(spark):
+    """Runtime bloom-filter join pruning: with a selective filter on the
+    dim side, Spark injects bloom_filter_might_contain on the fact scan
+    — the shuffle-reduction mechanism for selective star joins at
+    scale. Thresholds are lowered to fire on test-sized data."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(500_000).select(
+            (F.col("id") % 1000).alias("key"), F.col("id").alias("payload")
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("key"), (F.col("id") % 7).alias("attr")
+        )
+        joined = fact.join(dim.filter(F.col("attr") == 3), "key")
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_json_and_orc_round_trip(spark, tmp_path):
+    """Source/sink format breadth beyond parquet+csv: JSON-lines and
+    ORC writes must round-trip the orders table losslessly (dates
+    re-cast on the JSON path — JSON has no date type)."""
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    baseline = sorted(map(tuple, orders.collect()))
+
+    jpath = str(tmp_path / "orders_json")
+    orders.write.mode("overwrite").json(jpath)
+    back_j = spark.read.json(jpath)
+    # JSON stringifies dates/decimals; re-apply the original schema
+    back_j = back_j.select(
+        *[back_j[f.name].cast(f.dataType).alias(f.name) for f in orders.schema.fields]
+    )
+    assert sorted(map(tuple, back_j.collect())) == baseline
+
+    opath = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(opath)
+    back_o = spark.read.orc(opath).select(*orders.columns)
+    assert sorted(map(tuple, back_o.collect())) == baseline
+
+
+def test_observe_metrics_ride_along_with_action(spark):
+    """The observe() surface: pipeline-quality counters computed inside
+    the SAME job as the action (no second pass over the data) — how the
+    DQ counters of plans/pipeline.py would run at 100 TB."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"),
+    )
+    obs = Observation("dq")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_null_v"),
+    )
+    assert observed.filter(F.col("v").isNotNull()).count() == 900
+    assert obs.get == {"n_rows": 1000, "n_null_v": 100}
