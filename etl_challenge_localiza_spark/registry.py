@@ -4913,3 +4913,31 @@ def q_pyds_bucket_stats(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("value").alias("sum_value"),
     )
+
+
+# NOTE: a transformWithStateInPandas (Spark 4 arbitrary-state API)
+# variant of stateful_user_totals exists at
+# streaming/stateful.py:run_tws_user_totals, but its driver worker
+# requires google.protobuf, which is absent from this environment (no
+# pip installs allowed) — so it is NOT registered here (a registered
+# query must be runnable by the driver). tests/test_streaming.py gates
+# it behind pytest.importorskip; in a protobuf-equipped deployment it
+# registers cleanly with the same oracle as stateful_user_totals.
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+select distinct user_id, event_type from events
+""",
+)
+def q_streaming_dedup_within_watermark(spark, sf_dir):
+    """State-EVICTING streaming dedup (dropDuplicatesWithinWatermark):
+    the unbounded-key production form of streaming_dedup_events —
+    watermark-expired keys leave the state store, trading re-admission
+    of very-late duplicates for bounded state. Equals batch DISTINCT on
+    the finite input; the eviction behavior itself is proven by a
+    multi-batch pytest (a beyond-watermark duplicate re-emits)."""
+    from .streaming.events_stream import run_streaming_dedup_within_watermark
+
+    return run_streaming_dedup_within_watermark(spark, sf_dir)

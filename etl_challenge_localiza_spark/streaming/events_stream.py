@@ -188,6 +188,51 @@ def run_streaming_dedup(
     return spark.table(name)
 
 
+def run_streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str, delay: str = "2 hours", timeout_sec: int = 300
+) -> DataFrame:
+    """Production streaming dedup for UNBOUNDED key spaces:
+    ``dropDuplicatesWithinWatermark`` keyed on (user_id, event_type)
+    with an event-time watermark, so each key's state is EVICTED once
+    the watermark passes it — bounded state forever, at the cost of
+    re-admitting a duplicate that arrives later than ``delay`` after
+    its first occurrence (the documented trade; exact global dedup over
+    an unbounded stream is impossible with finite state).
+
+    On this finite input every duplicate of a key lands within one
+    availableNow batch, so the result equals batch DISTINCT — the
+    registry oracle; tests/test_streaming.py drives the multi-batch
+    case where a beyond-watermark duplicate IS re-emitted, proving the
+    eviction actually happens."""
+    name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
+    deduped = (
+        _event_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            # a partial memory sink is a silent wrong answer — fail loudly
+            raise TimeoutError(
+                f"availableNow streaming query {name!r} did not finish "
+                f"within {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def hourly_stream_with_watermark(
     spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
 ) -> DataFrame:
@@ -207,6 +252,7 @@ def interval_join_streams(
     purchases: DataFrame,
     window_minutes: int = 30,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: for every click, the
     same-user purchases within ``window_minutes`` after it.
@@ -215,9 +261,14 @@ def interval_join_streams(
     bounds purchase time to [click_ts, click_ts + W), so Spark can
     compute how long each side's state must be retained and evict it —
     the state-bounded production shape (an unconstrained stream-stream
-    join would buffer both streams forever). Inner join: matches emit
+    join would buffer both streams forever). how="inner": matches emit
     as soon as both rows have arrived; the watermark governs state
     eviction and late-row admission, not result withholding.
+    how="leftOuter": additionally emits (click, null) once the
+    watermark passes a click's window end with no match — the funnel-
+    abandonment shape (pytest-verified; outer emissions are inherently
+    watermark-delayed, so finite-input runs withhold trailing
+    unmatched rows still inside the horizon).
     """
     c = (
         clicks.select(
@@ -239,7 +290,7 @@ def interval_join_streams(
             (F.col("c_user") == F.col("p_user"))
             & (F.col("p_ts") >= F.col("c_ts"))
             & (F.col("p_ts") < F.col("c_ts") + F.expr(f"interval {window_minutes} minutes")),
-            "inner",
+            how,
         )
         .select("click_id", "purchase_id")
     )

@@ -93,3 +93,106 @@ def run_stateful_user_totals(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API
+# ---------------------------------------------------------------------------
+
+def run_tws_user_totals(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 replacement for applyInPandasWithState: an object-oriented
+    StatefulProcessor with typed state handles (ValueState here;
+    ListState/MapState/timers for richer operators), RocksDB-backed so
+    state scales past executor memory. Same semantics as
+    :func:`running_user_totals`; on a finite input the final state
+    equals the batch aggregate.
+
+    ENVIRONMENT GATE: the TWS driver worker imports google.protobuf,
+    which this container lacks (and installs are not allowed), so this
+    raises at runtime here; tests skip via importorskip. The code path
+    is the production form for protobuf-equipped deployments."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            # unrounded state, rounded emission (same policy as the
+            # applyInPandasWithState operator above)
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    from .events_stream import _event_stream
+
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"tws_totals_{uuid.uuid4().hex[:8]}"
+    checkpoint = os.path.join("/tmp", f"ckpt_{name}")
+    try:
+        q = (
+            _event_stream(spark, sf_dir)
+            .select("user_id", "value")
+            .groupBy("user_id")
+            .transformWithStateInPandas(
+                statefulProcessor=UserTotals(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                # a partial memory sink is a silent wrong answer — fail loudly
+                raise TimeoutError(
+                    f"availableNow streaming query {name!r} did not finish "
+                    f"within {timeout_sec}s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        # restore the default provider for subsequent queries
+        try:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        except Exception:
+            pass
+    out = spark.table(name)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
