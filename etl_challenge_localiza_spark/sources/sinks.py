@@ -164,3 +164,63 @@ def write_range_clustered(
         .parquet(path)
     )
     return path
+
+
+def snapshot_write(spark, df: DataFrame, path: str) -> int:
+    """Versioned snapshot write: the poor-man's table format.
+
+    Delta/Iceberg are unavailable in this environment (no packages),
+    but their core read-consistency trick — an atomically-swapped
+    POINTER to immutable data files — needs nothing beyond a
+    filesystem with atomic rename. Layout:
+
+        path/v=N/part-*.parquet   immutable snapshot data
+        path/_current             text file holding "N" (the pointer)
+
+    Writers write a NEW v=N+1 directory, then atomically rename a temp
+    pointer file over ``_current``. Readers resolve the pointer first,
+    then read only that directory — so a reader never sees a half-
+    written snapshot (writer crash pre-swap leaves the old version
+    live), and old versions remain readable (time travel) until a
+    retention job prunes them. This gives snapshot isolation for
+    single-writer pipelines; full ACID with concurrent writers needs a
+    log + conflict detection — that is exactly the part Delta/Iceberg
+    add, documented as out of scope here.
+
+    Returns the new version number.
+    """
+    cur = os.path.join(path, "_current")
+    # next version = 1 + max(pointer, any existing v=N directory): an
+    # orphaned directory from a crashed writer is skipped, not reused
+    # (its contents are untrusted — retention can prune it later)
+    existing = 0
+    try:
+        for e in os.listdir(path):
+            if e.startswith("v=") and e[2:].isdigit():
+                existing = max(existing, int(e[2:]))
+    except OSError:
+        pass
+    version = max(snapshot_current_version(path), existing) + 1
+    df.write.mode("errorifexists").parquet(os.path.join(path, f"v={version}"))
+    tmp = cur + f".tmp.{version}"
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, cur)  # atomic pointer swap
+    return version
+
+
+def snapshot_current_version(path: str) -> int:
+    """Resolve the current snapshot pointer (0 = no snapshot yet)."""
+    try:
+        with open(os.path.join(path, "_current")) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
+    """Read the current snapshot, or time-travel to ``version``."""
+    v = version if version is not None else snapshot_current_version(path)
+    if v <= 0:
+        raise FileNotFoundError(f"no snapshot at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={v}"))

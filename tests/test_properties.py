@@ -139,3 +139,44 @@ def test_merge_latest_batch_slicing_invariance(spark, data, cut):
     sliced = fold([rows[: k + 1], rows[k + 1 :]])
     reversed_slices = fold([rows[k + 1 :], rows[: k + 1]])
     assert one_shot == sliced == reversed_slices
+
+
+words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=12
+).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(words, min_size=1, max_size=6))
+def test_hashed_shingles_equal_string_shingles(spark, texts):
+    """The pre-hashed long shingle path must preserve SET semantics:
+    per-doc distinct-shingle counts and cross-doc intersection counts
+    computed over hashes equal the ones computed over strings (the
+    property the jaccard/minhash rewrite relies on; a collision or an
+    off-by-one in the slice/zip construction breaks it)."""
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.functions.text import (
+        shingle_hashes,
+        shingles,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    both = docs.select(
+        "doc_id",
+        F.array_distinct(shingles(tokens("text"), 3)).alias("s"),
+        F.array_distinct(shingle_hashes(tokens("text"), 3)).alias("h"),
+    ).collect()
+    str_sets = {r["doc_id"]: set(r["s"]) for r in both}
+    hash_sets = {r["doc_id"]: set(r["h"]) for r in both}
+    for did in str_sets:
+        assert len(str_sets[did]) == len(hash_sets[did])
+    for a in str_sets:
+        for b in str_sets:
+            if a < b:
+                assert len(str_sets[a] & str_sets[b]) == len(
+                    hash_sets[a] & hash_sets[b]
+                )

@@ -288,3 +288,36 @@ def test_observe_metrics_ride_along_with_action(spark):
     )
     assert observed.filter(F.col("v").isNotNull()).count() == 900
     assert obs.get == {"n_rows": 1000, "n_null_v": 100}
+
+
+def test_snapshot_write_read_and_time_travel(spark, tmp_path):
+    """Versioned snapshots: reads resolve the pointer (never a half-
+    written directory), old versions stay readable, and a crashed
+    writer (data written, pointer not swapped) leaves readers on the
+    previous version."""
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.sources.sinks import (
+        snapshot_current_version,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "snap")
+    v1 = snapshot_write(spark, spark.range(10).select(F.col("id")), path)
+    v2 = snapshot_write(spark, spark.range(20).select(F.col("id")), path)
+    assert (v1, v2) == (1, 2)
+    assert snapshot_read(spark, path).count() == 20
+    assert snapshot_read(spark, path, version=1).count() == 10  # time travel
+
+    # simulate a writer crash AFTER data write, BEFORE pointer swap:
+    spark.range(99).write.parquet(path + "/v=3")
+    assert snapshot_current_version(path) == 2
+    assert snapshot_read(spark, path).count() == 20  # readers unaffected
+
+    # a recovering writer bumps PAST the orphaned v=3 directory (never
+    # reuses untrusted leftovers) and publishes v=4
+    v4 = snapshot_write(spark, spark.range(5).select(F.col("id")), path)
+    assert v4 == 4
+    assert snapshot_read(spark, path).count() == 5
+    assert snapshot_read(spark, path, version=2).count() == 20
