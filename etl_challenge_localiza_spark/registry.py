@@ -4941,3 +4941,134 @@ def q_streaming_dedup_within_watermark(spark, sf_dir):
     from .streaming.events_stream import run_streaming_dedup_within_watermark
 
     return run_streaming_dedup_within_watermark(spark, sf_dir)
+
+
+@register(
+    "token_array_ops",
+    oracle=f"""
+with t as (select doc_id, {SQL_TOKS} as toks from documents)
+select doc_id,
+       array_to_string(toks[1:3], '_') as first3,
+       cast(len(list_distinct(toks)) as bigint) as n_distinct,
+       len(list_filter(toks, x -> len(x) >= 8)) > 0 as has_long_token,
+       cast(list_sum(list_transform(toks, x -> len(x))) as bigint) as total_chars,
+       array_to_string(list_reverse_sort(list_distinct(toks))[1:2], '|') as top2_rev
+from t where len(toks) > 0
+""",
+)
+def q_token_array_ops(spark, sf_dir):
+    """Higher-order array-function surface in one per-row pass: slice,
+    array_distinct, exists, transform+aggregate (fold), sort_array
+    desc — the scalar-function breadth the reference lacks entirely
+    (SURVEY.md §2.8), all JVM expressions inside whole-stage codegen,
+    zero exchanges. Oracle mirrors each via DuckDB list functions."""
+    toks = tokens("text")
+    total_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.array_join(F.slice(toks, 1, 3), "_").alias("first3"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.exists(toks, lambda x: F.length(x) >= 8).alias("has_long_token"),
+            total_chars.alias("total_chars"),
+            F.array_join(
+                F.slice(F.sort_array(F.array_distinct(toks), asc=False), 1, 2), "|"
+            ).alias("top2_rev"),
+            F.size(toks).alias("__n"),
+        )
+        .filter(F.col("__n") > 0)
+        .drop("__n")
+    )
+
+
+@register(
+    "null_safe_type_pairs",
+    oracle="""
+with k as (
+  select event_type, cast(json_extract_string(props, '$.k') as bigint) as kv
+  from events
+),
+d as (select distinct event_type, kv from k)
+select a.event_type as type_a, b.event_type as type_b,
+       cast(count(*) as bigint) as n_shared_k
+from d a join d b
+  on a.kv is not distinct from b.kv and a.event_type < b.event_type
+group by 1, 2
+""",
+)
+def q_null_safe_type_pairs(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): event-type
+    pairs sharing distinct props.k values, where NULL matches NULL —
+    the semantic a plain equi-join silently drops (NULL = NULL is
+    UNKNOWN). Distinct-reduced before the self-join so the join input
+    is dimension-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    d = ev.select("event_type", k.alias("kv")).distinct()
+    a = d.select(F.col("event_type").alias("type_a"), F.col("kv").alias("ka"))
+    b = d.select(F.col("event_type").alias("type_b"), F.col("kv").alias("kb"))
+    return (
+        a.join(b, F.col("ka").eqNullSafe(F.col("kb")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_k"))
+    )
+
+
+@register(
+    "filtered_agg_order_stats",
+    oracle="""
+select o_orderpriority,
+       cast(count(*) as bigint) as n_orders,
+       cast(count(*) filter (where o_orderstatus = 'F') as bigint) as n_finished,
+       cast(sum(cast(o_totalprice as decimal(14,2))) filter (where o_orderstatus = 'F') as double) as finished_revenue,
+       cast(count(distinct o_custkey) filter (where o_orderstatus = 'O') as bigint) as open_customers
+from orders group by o_orderpriority
+""",
+)
+def q_filtered_agg_order_stats(spark, sf_dir):
+    """FILTER-clause aggregates (ANSI; Spark and DuckDB both support
+    the syntax): conditional counts/sums/count-distincts in ONE
+    aggregation pass instead of N self-joined subqueries — the shape
+    every KPI rollup wants. Exact decimal sum → double for the
+    cross-engine hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_fa")
+    return spark.sql("""
+select o_orderpriority,
+       cast(count(*) as long) as n_orders,
+       cast(count(*) filter (where o_orderstatus = 'F') as long) as n_finished,
+       cast(sum(cast(o_totalprice as decimal(14,2))) filter (where o_orderstatus = 'F') as double) as finished_revenue,
+       cast(count(distinct o_custkey) filter (where o_orderstatus = 'O') as long) as open_customers
+from __orders_fa group by o_orderpriority
+""")
+
+
+@register("hll_sketch_mergeability")  # rows-only: sketch binaries are engine-specific
+def q_hll_sketch_mergeability(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-type user sketches built in
+    one pass, then UNIONED into a global estimate — the property that
+    lets 1000 executors sketch independently and combine losslessly
+    (and lets a warehouse store per-partition sketches and answer
+    any-granularity rollups without rescanning). Output carries exact
+    counterparts; tests/test_approx.py asserts the estimates' error
+    bounds AND that union-of-sketches == sketch-of-union."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    global_est = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("g")
+    )
+    return (
+        per.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").cast("long").alias("approx_users"),
+            "exact_users",
+        )
+        .crossJoin(global_est.select(F.col("g").cast("long").alias("global_approx_users")))
+    )

@@ -97,3 +97,43 @@ def read_transactions_csv(spark: SparkSession, path: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession, path: str, schema_ddl: str
+) -> tuple[DataFrame, DataFrame]:
+    """CSV ingest with a dead-letter channel: returns (good, quarantine).
+
+    The reference silently coerces bad cells to null
+    (flows/pipeline.py:84,101,137,144,148); at production scale you
+    also want the UNPARSEABLE ROWS themselves (wrong column count,
+    broken quoting) preserved for triage instead of vanished. PERMISSIVE
+    mode + ``columnNameOfCorruptRecord`` captures each malformed line
+    verbatim in ``_corrupt_record``; rows where it is null are clean.
+    The split is two filters over ONE scan (no second read), and the
+    quarantine frame carries the raw line so a fixer job can re-ingest.
+
+    ``schema_ddl`` must list the expected columns (all string keeps the
+    reference's coerce-later semantics) — corrupt capture requires an
+    explicit schema, since with inferSchema Spark would just widen
+    types instead of flagging.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructType
+
+    schema = StructType.fromDDL(schema_ddl).add("_corrupt_record", StringType())
+    raw = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(path)
+        # corrupt-record access requires materializing the column
+        # (Spark disallows filtering the raw scan on it alone)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, quarantine

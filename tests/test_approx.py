@@ -49,3 +49,21 @@ def test_approx_event_stats_error_bounds(spark, sf0001):
             f"{r['event_type']}: approx p90 {r['approx_p90']} outside "
             f"exact p85..p95 envelope [{lo}, {hi}]"
         )
+
+
+def test_hll_sketch_merge_bounds(spark, sf0001):
+    """HLL sketches: per-group estimates within 3*rsd of exact, and the
+    UNION of per-group sketches must estimate the global distinct count
+    (mergeability — the distributed-sketch contract)."""
+    rows = QUERIES["hll_sketch_mergeability"].fn(spark, sf0001).collect()
+    assert rows
+    exact_global = (
+        load_table(spark, sf0001, "events").select("user_id").distinct().count()
+    )
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            1, 0.15 * r["exact_users"]
+        )
+        assert abs(r["global_approx_users"] - exact_global) <= max(
+            1, 0.15 * exact_global
+        )

@@ -101,3 +101,27 @@ def test_pipeline_empty_input(spark, tmp_path):
     assert res.dq_pre["conformity_rate"] == 1.0  # §7.4.7
     with open(res.outputs["region_risk_avg"]) as f:
         assert f.read().strip() == "location_region,avg_risk_score"
+
+
+def test_csv_quarantine_splits_malformed_rows(spark, tmp_path):
+    """Malformed CSV lines (broken quoting) land in the quarantine
+    channel verbatim; clean rows parse; nothing is silently dropped."""
+    from etl_challenge_localiza_spark.sources.readers import read_csv_with_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "timestamp,transaction_type,amount\n"
+        "1700000000,sale,10.5\n"
+        '1700000001,"unclosed quote,20.0\n'
+        "1700000002,refund,7.5\n"
+    )
+    good, quarantine = read_csv_with_quarantine(
+        spark,
+        str(p),
+        "timestamp string, transaction_type string, amount string",
+    )
+    assert good.count() == 2
+    assert {r["transaction_type"] for r in good.collect()} == {"sale", "refund"}
+    bad = quarantine.collect()
+    assert len(bad) == 1
+    assert "unclosed quote" in bad[0]["raw_line"]
