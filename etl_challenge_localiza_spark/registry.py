@@ -5072,3 +5072,97 @@ def q_hll_sketch_mergeability(spark, sf_dir):
         )
         .crossJoin(global_est.select(F.col("g").cast("long").alias("global_approx_users")))
     )
+
+
+#: one PageRank sweep in DuckDB SQL (integer fixed-point, see the
+#: Spark side): rank' = 0.15 + 0.85 * Σ_in rank/outdeg, scaled by 1e12
+#: with floor division — bit-identical across engines on positive ints.
+def _pr_sweep(prev: str, out: str) -> str:
+    return f"""
+{out} as (
+  select n.id,
+         150000000000 + (17 * coalesce(sum(p.r // od.d), 0)) // 20 as r
+  from nodes n
+  left join edges e on e.dst = n.id
+  left join {prev} p on p.id = e.src
+  left join outdeg od on od.src = e.src
+  group by n.id
+)"""
+
+
+@register(
+    "pagerank_trade_graph",
+    oracle=f"""
+with fwd as (
+  select distinct o.o_custkey as src, l.l_suppkey + 1000000 as dst
+  from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+),
+edges as (
+  select src, dst from fwd
+  union
+  select dst as src, src as dst from fwd
+),
+nodes as (select distinct src as id from edges
+          union select distinct dst as id from edges),
+outdeg as (select src, count(*) as d from edges group by src),
+r0 as (select id, 1000000000000 as r from nodes),
+{_pr_sweep('r0', 'r1')},
+{_pr_sweep('r1', 'r2')},
+{_pr_sweep('r2', 'r3')}
+select cast(id as bigint) as node_id, cast(r as bigint) as rank_scaled
+from r3
+order by r desc, id
+limit 20
+""",
+)
+def q_pagerank_trade_graph(spark, sf_dir):
+    """PageRank (3 power iterations) over the customer↔supplier trade
+    graph — the second iterative-algorithm shape beside connected
+    components. Determinism across engines is engineered by running
+    the WHOLE iteration in scaled int64 fixed-point (ranks ×1e12,
+    floor division): no float accumulation order anywhere, so the
+    oracle's chained-CTE sweeps hash-match bit-for-bit.
+
+    Scale shape: edges are distinct (custkey, suppkey) pairs (one
+    dedup shuffle); each sweep is edges⋈ranks⋈outdeg + a hash
+    aggregate on dst — the standard message-passing join plan, with
+    the rank/outdeg frames co-keyed on src so AQE reuses the layout;
+    the driver only sequences a FIXED number of sweeps (no
+    data-dependent collect)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    fwd = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.select("id", F.lit(1_000_000_000_000).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
+        )
+        summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "id", "left").select(
+            "id",
+            (F.lit(150_000_000_000) + F.expr("(17 * coalesce(s, 0)) div 20")).alias("r"),
+        )
+    return (
+        ranks.orderBy(F.col("r").desc(), F.col("id"))
+        .limit(20)
+        .select(
+            F.col("id").cast("long").alias("node_id"),
+            F.col("r").cast("long").alias("rank_scaled"),
+        )
+    )
