@@ -5166,3 +5166,85 @@ def q_pagerank_trade_graph(spark, sf_dir):
             F.col("r").cast("long").alias("rank_scaled"),
         )
     )
+
+
+@register(
+    "scd2_point_in_time",
+    oracle="""
+with ev as (
+  select user_id, ts, event_id,
+         cast(json_extract_string(props, '$.k') as bigint) as k
+  from events
+),
+ordered as (
+  select user_id, ts, event_id, k,
+         lag(k) over (partition by user_id order by ts, event_id) as prev_k
+  from ev where k is not null
+),
+changes as (
+  select user_id, ts, event_id, k from ordered
+  where prev_k is null or prev_k <> k
+),
+states as (
+  select user_id, ts as valid_from, k as k_state from changes
+  qualify row_number() over (partition by user_id, ts
+                             order by event_id desc) = 1
+),
+purchases as (
+  select event_id, user_id, ts from events where event_type = 'purchase'
+)
+select p.event_id, p.user_id, s.k_state, s.valid_from
+from purchases p
+join states s on s.user_id = p.user_id and s.valid_from <= p.ts
+qualify row_number() over (partition by p.event_id
+                           order by s.valid_from desc) = 1
+""",
+)
+def q_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time (AS OF) lookup against an SCD2 attribute history:
+    for every purchase, the props.k state in effect at purchase time.
+    The history is the k-change timeline (same build as
+    scd2_user_type_history, deduped to one state per (user, instant));
+    the lookup runs through operators/asof.py — union + keyed-window
+    carry-forward, ONE shuffle of probes+states, never the
+    valid_from <= ts range join the oracle uses (correct but
+    quadratic-prone; Catalyst would plan it as join + per-key filter).
+    The standard feature-store 'no data leakage' join."""
+    from pyspark.sql import Window
+
+    from .operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    evk = ev.select("user_id", "ts", "event_id", k.alias("k")).filter(
+        F.col("k").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        evk.withColumn("prev_k", F.lag("k").over(w))
+        .filter(F.col("prev_k").isNull() | (F.col("prev_k") != F.col("k")))
+    )
+    w_ts = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    states = (
+        changes.withColumn("__rn", F.row_number().over(w_ts))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.col("k").alias("k_state"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        states,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="valid_from",
+        payload_cols=["k_state", "valid_from"],
+        how="inner",
+    )
+    return out.select("event_id", "user_id", "k_state", "valid_from")
