@@ -5248,3 +5248,115 @@ def q_scd2_point_in_time(spark, sf_dir):
         how="inner",
     )
     return out.select("event_id", "user_id", "k_state", "valid_from")
+
+
+@register(
+    "bpe_top_merges",
+    oracle=f"""
+with w as (
+  select unnest({SQL_TOKS}) as word from documents
+),
+p as (
+  select substr(word, g, 2) as pair
+  from w, unnest(generate_series(1, len(word) - 1)) t(g)
+  where len(word) >= 2
+)
+select pair, cast(count(*) as bigint) as n
+from p group by pair
+order by n desc, pair
+limit 20
+""",
+)
+def q_bpe_top_merges(spark, sf_dir):
+    """The inner loop of distributed BPE-tokenizer TRAINING: count all
+    adjacent symbol pairs across the corpus and surface the top merge
+    candidates (iteration 1 counts character pairs; later iterations
+    re-run over re-segmented symbols). One map-side explode of
+    per-word pair arrays + a hash aggregate + TakeOrderedAndProject —
+    at 100 TB each executor counts its shard and only (pair, count)
+    partials shuffle, which is why BPE training parallelizes. Pair
+    extraction is a higher-order sequence/transform expression (no
+    Python)."""
+    toks = tokens("text")
+    pairs_per_doc = F.flatten(
+        F.transform(
+            F.filter(toks, lambda w: F.length(w) >= 2),
+            lambda w: F.transform(
+                F.sequence(F.lit(1), F.length(w) - 1),
+                lambda i: w.substr(i, F.lit(2)),
+            ),
+        )
+    )
+    from .sources.readers import spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select(F.explode(pairs_per_doc).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+@register(
+    "contrastive_negatives",
+    oracle="""
+with n as (select count(*) as n_docs from documents),
+anchors as (select doc_id from documents),
+negs as (
+  select a.doc_id,
+         g.j as neg_rank,
+         (a.doc_id
+          + 1
+          + cast(concat('0x', substr(md5(concat(cast(a.doc_id as varchar), ':neg:', cast(g.j as varchar))), 1, 7)) as bigint)
+            % (n.n_docs - 1)
+         ) % n.n_docs as neg_doc_id
+  from anchors a
+  cross join n
+  cross join (select unnest(generate_series(1, 3)) as j) g
+)
+select doc_id, cast(neg_rank as int) as neg_rank,
+       cast(neg_doc_id as bigint) as neg_doc_id
+from negs
+""",
+)
+def q_contrastive_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc draws 3 pseudo-random negatives via the portable md5
+    trick, offset-shifted so a negative can never equal its anchor
+    ((id + 1 + h mod (N−1)) mod N). The corpus size is a 1-row
+    aggregate broadcast onto a pure map pass — re-seedable via the
+    salt, identical across engines/runs/parallelism, which is what
+    makes training-data generation reproducible. At 100 TB the same
+    shape holds: no shuffle beyond the scalar broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    ranks = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("neg_rank")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":neg:"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "n_docs", ranks)
+        .select(
+            "doc_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            (
+                (F.col("doc_id") + 1 + h % (F.col("n_docs") - 1)) % F.col("n_docs")
+            ).cast("long").alias("neg_doc_id"),
+        )
+    )
