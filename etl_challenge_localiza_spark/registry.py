@@ -5139,33 +5139,52 @@ def q_pagerank_trade_graph(spark, sf_dir):
         )
         .distinct()
     )
-    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .cache()  # loop-invariant, referenced by every sweep — same
+        # bounded-cache pattern as operators/components.py
+    )
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
+        .cache()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ranks = nodes.select("id", F.lit(1_000_000_000_000).alias("r"))
-    for _ in range(3):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(outdeg, "src")
-            .select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
+    try:
+        for _ in range(3):
+            contrib = (
+                edges.join(ranks.withColumnRenamed("id", "src"), "src")
+                .join(outdeg, "src")
+                .select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
+            )
+            summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+            new_ranks = nodes.join(summed, "id", "left").select(
+                "id",
+                (F.lit(150_000_000_000) + F.expr("(17 * coalesce(s, 0)) div 20")).alias("r"),
+            ).cache()
+            new_ranks.count()  # materialize so the previous sweep can release
+            if ranks is not nodes:
+                ranks.unpersist()
+            ranks = new_ranks
+        # materialize the tiny final result so the invariant frames can
+        # be unpersisted without forcing a full lineage recompute later
+        top = (
+            ranks.orderBy(F.col("r").desc(), F.col("id"))
+            .limit(20)
+            .select(
+                F.col("id").cast("long").alias("node_id"),
+                F.col("r").cast("long").alias("rank_scaled"),
+            )
         )
-        summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(summed, "id", "left").select(
-            "id",
-            (F.lit(150_000_000_000) + F.expr("(17 * coalesce(s, 0)) div 20")).alias("r"),
-        )
-    return (
-        ranks.orderBy(F.col("r").desc(), F.col("id"))
-        .limit(20)
-        .select(
-            F.col("id").cast("long").alias("node_id"),
-            F.col("r").cast("long").alias("rank_scaled"),
-        )
-    )
+        rows = top.collect()
+        return spark.createDataFrame(rows, top.schema)
+    finally:
+        ranks.unpersist()
+        edges.unpersist()
+        nodes.unpersist()
 
 
 @register(
