@@ -59,7 +59,8 @@ def _driver_last_checked() -> dict[str, int]:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    last: dict[str, int] = {}
+    # latest round seen per name, and whether that latest row passed
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -72,9 +73,27 @@ def _driver_last_checked() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
-            last[name] = max(last.get(name, 0), rnd)
-    return last
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                ok = False
+            elif row.get("err") == "no_oracle":
+                # rows-only by design: passed its (weaker) check iff it
+                # produced rows at all
+                ok = row.get("spark_rows") is not None
+            else:
+                ok = (
+                    row.get("err") is None
+                    and row.get("rows_match") is True
+                    and row.get("schema_match") is True
+                    and row.get("hash_match") is True
+                )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, ok)
+    # A name whose LATEST row failed re-enters the window immediately
+    # (round 0 = never-checked) — round-4 advisor guidance: a failing
+    # query must be re-verified first, not last.
+    return {name: (rnd if ok else 0) for name, (rnd, ok) in latest.items()}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5161,9 +5161,21 @@ def q_pagerank_trade_graph(spark, sf_dir):
                 .select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
             )
             summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+            # 17*s in decimal(38,0): s is a sum of int64 contributions
+            # (DuckDB's sum(bigint) is already hugeint), so a hub node
+            # with in-flow past ~5.4e17 would overflow an int64
+            # multiply and silently diverge from the oracle; 128-bit
+            # headroom makes the fixed-point sweep safe at any graph
+            # mass a 100 TB edge set can produce.
             new_ranks = nodes.join(summed, "id", "left").select(
                 "id",
-                (F.lit(150_000_000_000) + F.expr("(17 * coalesce(s, 0)) div 20")).alias("r"),
+                (
+                    F.lit(150_000_000_000)
+                    + F.expr(
+                        "cast((17 * cast(coalesce(s, 0) as decimal(38,0))) div 20"
+                        " as bigint)"
+                    )
+                ).alias("r"),
             ).cache()
             new_ranks.count()  # materialize so the previous sweep can release
             if ranks is not nodes:

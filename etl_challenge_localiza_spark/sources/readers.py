@@ -117,6 +117,18 @@ def read_csv_with_quarantine(
     reference's coerce-later semantics) — corrupt capture requires an
     explicit schema, since with inferSchema Spark would just widen
     types instead of flagging.
+
+    Cache lifecycle: the split requires a cached scan (Spark disallows
+    querying the internal corrupt-record column off a raw file scan),
+    but a CacheManager entry is never released by GC — repeated calls
+    in a long-lived session would pin executor memory indefinitely
+    (round-4 advisor finding). So both outputs are materialized through
+    ONE cached scan here and landed in eager localCheckpoints — whose
+    blocks the ContextCleaner DOES release when the returned frames are
+    garbage-collected — and the scan cache is dropped before returning.
+    At cluster scale, ingest jobs should instead write both channels
+    straight to their sinks inside this lifetime; the eager shape makes
+    that a drop-in change.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructType
@@ -132,8 +144,17 @@ def read_csv_with_quarantine(
         # (Spark disallows filtering the raw scan on it alone)
         .cache()
     )
-    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
-    )
+    try:
+        good = (
+            raw.filter(F.col("_corrupt_record").isNull())
+            .drop("_corrupt_record")
+            .localCheckpoint(eager=True)
+        )
+        quarantine = (
+            raw.filter(F.col("_corrupt_record").isNotNull())
+            .select(F.col("_corrupt_record").alias("raw_line"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        raw.unpersist()
     return good, quarantine

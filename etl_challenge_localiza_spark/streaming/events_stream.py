@@ -26,9 +26,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_stream(
+    spark: SparkSession, sf_dir: str, options: dict[str, str] | None = None
+) -> DataFrame:
     """readStream over the events parquet with the same ns→µs ts
-    conversion as the batch reader (sources.readers.load_table)."""
+    conversion as the batch reader (sources.readers.load_table).
+
+    ``options`` are extra FileStreamSource options (e.g.
+    ``maxFilesPerTrigger`` for callers that need to pin micro-batch
+    boundaries)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -37,11 +43,10 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(path).schema
     # FileStreamSource needs a directory basePath; select the one file
     # via pathGlobFilter so the stream watches the table's directory.
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(sf_dir)
     ts_type = schema["ts"].dataType.simpleString()
     if ts_type == "bigint":
         # TIMESTAMP(NANOS) storage read as raw int64 (nanosAsLong):
@@ -201,12 +206,17 @@ def run_streaming_dedup_within_watermark(
 
     On this finite input every duplicate of a key lands within one
     availableNow batch, so the result equals batch DISTINCT — the
-    registry oracle; tests/test_streaming.py drives the multi-batch
-    case where a beyond-watermark duplicate IS re-emitted, proving the
+    registry oracle. That single-batch precondition is ENFORCED here
+    (maxFilesPerTrigger pinned far above any table's file count), not
+    incidental: were the table split across micro-batches, a duplicate
+    whose first occurrence fell beyond the watermark would re-emit and
+    the oracle equality would silently break (round-4 advisor
+    finding). tests/test_streaming.py drives the multi-batch case
+    where a beyond-watermark duplicate IS re-emitted, proving the
     eviction actually happens."""
     name = f"stream_dedup_wm_{uuid.uuid4().hex[:8]}"
     deduped = (
-        _event_stream(spark, sf_dir)
+        _event_stream(spark, sf_dir, options={"maxFilesPerTrigger": "1000000000"})
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
