@@ -308,26 +308,63 @@ group by l_returnflag, l_linestatus
 )
 def q_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: the A1 group-aggregate generalized to many
-    aggregates. Decimal-exact sums → engine-identical doubles. The
-    shipdate predicate pushes down to the parquet scan."""
+    aggregates. Exact money sums → engine-identical doubles, computed
+    via functions.exactsum's split-long scheme: per-row values become
+    unscaled int64 (decimal(12,2)-cast rounding, so row semantics are
+    identical to the oracle's decimal SQL), products are exact long
+    multiplies, and each sum is carried as a hi/lo int64 pair that
+    recombines in decimal(38,0) post-aggregation — exact to ~2^83
+    total units, i.e. safely past a 10^12-row lineitem, while keeping
+    every per-row operation compact (Spark's decimal(p>18) SUM
+    accumulator allocates per row; profiled 1.35 s → 0.86 s at sf0.1).
+    The shipdate predicate pushes down to the parquet scan."""
+    from .functions.exactsum import (
+        direct_total,
+        money_unscaled,
+        split_sum,
+        split_total,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(12,2)")
-    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(12,2)")
-    tax = (F.lit(1) + F.col("l_tax")).cast("decimal(12,2)")
-    n = F.count(F.lit(1))
-    return (
+    rows = (
         li.filter(F.col("l_shipdate") <= F.expr("timestamp_ntz'2000-09-02 00:00:00'"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
-            F.sum(dec("l_extendedprice") * disc * tax).cast("double").alias("sum_charge"),
-            (F.sum(dec("l_quantity")).cast("double") / n).alias("avg_qty"),
-            (F.sum(dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
-            (F.sum(dec("l_discount")).cast("double") / n).alias("avg_disc"),
-            n.cast("long").alias("count_order"),
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            money_unscaled("l_quantity").alias("qty_u"),
+            money_unscaled("l_extendedprice").alias("price_u"),
+            money_unscaled("l_discount").alias("disc_u"),
+            # mirror the oracle's cast(1 -/+ x as decimal(12,2)) so the
+            # per-row rounding is identical by construction
+            money_unscaled("1 - l_discount").alias("dm_u"),
+            money_unscaled("1 + l_tax").alias("tp_u"),
         )
+        # exact products: (price*100) * (disc_mult*100) [* (tax_mult*100)]
+        # → unscaled at 10^4 / 10^6, bounded ~2^31 / ~2^38 per row
+        .withColumn("dp_u", F.col("price_u") * F.col("dm_u"))
+        .withColumn("ch_u", F.col("dp_u") * F.col("tp_u"))
+    )
+    agg = rows.groupBy("l_returnflag", "l_linestatus").agg(
+        # qty (≤2^13/row) and discount (≤10/row) sums can't approach
+        # 2^63 at any table size worth naming — direct int64 sums
+        F.sum("qty_u").alias("qty_s"),
+        F.sum("disc_u").alias("disc_s"),
+        *split_sum("price_u", "price"),
+        *split_sum("dp_u", "dp"),
+        *split_sum("ch_u", "ch"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        direct_total("qty_s", 2).alias("sum_qty"),
+        split_total("price", 2).alias("sum_base_price"),
+        split_total("dp", 4).alias("sum_disc_price"),
+        split_total("ch", 6).alias("sum_charge"),
+        (direct_total("qty_s", 2) / F.col("n")).alias("avg_qty"),
+        (split_total("price", 2) / F.col("n")).alias("avg_price"),
+        (direct_total("disc_s", 2) / F.col("n")).alias("avg_disc"),
+        F.col("n").cast("long").alias("count_order"),
     )
 
 
