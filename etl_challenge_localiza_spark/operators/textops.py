@@ -176,3 +176,30 @@ def lang_id(docs: DataFrame) -> DataFrame:
         *[F.col(f"hits_{lg}") for lg in langs],
         guess.alias("lang_guess"),
     )
+
+
+def hashing_tfidf_norms(docs: DataFrame, num_features: int = 1024) -> DataFrame:
+    """Production TF-IDF at scale: HashingTF (fixed-width feature
+    hashing — no vocabulary shuffle, O(1) memory per executor) + IDF
+    fit, reduced to the per-doc L2 norm of the tf-idf vector.
+
+    Numeric semantics (pytest-reconstructed, tests/test_textops.py):
+    term counts fold into ``hash(term) mod num_features`` buckets
+    (collisions MERGE counts — the documented accuracy trade vs the
+    exact explode-based :func:`tfidf_top_terms`), idf is Spark-ML's
+    ln((N+1)/(df_bucket+1)) with df computed on the hashed buckets,
+    and the norm is the plain Euclidean norm of the bucket vector.
+    """
+    from pyspark.ml.feature import IDF, HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    tf = HashingTF(
+        inputCol="toks", outputCol="tf", numFeatures=num_features
+    ).transform(toked)
+    model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    arr = vector_to_array(F.col("tfidf"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    return model.transform(tf).select("doc_id", F.round(norm, 6).alias("tfidf_l2_norm"))

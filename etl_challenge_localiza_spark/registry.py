@@ -1337,27 +1337,13 @@ def q_hashing_tfidf_norms(spark, sf_dir):
     """The production TF-IDF path at scale: pyspark.ml HashingTF
     (fixed-width feature hashing, no vocabulary shuffle) + IDF fit.
     Output: per-doc L2 norm of the tf-idf vector (deterministic for a
-    fixed bucket count). The exact explode-based tfidf_top_terms query
-    is this operator's accuracy oracle."""
-    from pyspark.ml.feature import IDF, HashingTF
+    fixed bucket count). Value-checked by
+    tests/test_textops.py::test_hashing_tfidf_norms_*: an exact
+    reconstruction (indexOf-bucketed counts, bucket-level df, Spark-ML
+    idf) on the real corpus AND on a collision-forcing synthetic one."""
+    from .operators.textops import hashing_tfidf_norms
 
-    from .functions.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
-    )
-    tf = HashingTF(inputCol="toks", outputCol="tf", numFeatures=1024).transform(docs)
-    model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
-    out = model.transform(tf)
-    from pyspark.ml.functions import vector_to_array
-
-    arr = vector_to_array(F.col("tfidf"))
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
-        )
-    )
-    return out.select("doc_id", F.round(norm, 6).alias("tfidf_l2_norm"))
+    return hashing_tfidf_norms(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

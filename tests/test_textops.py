@@ -59,3 +59,88 @@ def test_lang_id_marker_argmax(spark):
     )
     out = {r["doc_id"]: r["lang_guess"] for r in lang_id(df).collect()}
     assert out == {1: "de", 2: "en", 3: "unknown"}
+
+
+def _reconstruct_norms(rows, num_features):
+    """Exact reconstruction of HashingTF+IDF L2 norms: indexOf-bucketed
+    counts (collisions merge), bucket-level df, Spark-ML ln((N+1)/(df+1))."""
+    import math
+    from collections import Counter
+
+    from pyspark.ml.feature import HashingTF
+
+    ht = HashingTF(numFeatures=num_features)
+    bucket: dict[str, int] = {}
+    tf_by_doc: dict = {}
+    for doc_id, toks in rows:
+        c: Counter = Counter()
+        for t in toks:
+            b = bucket.get(t)
+            if b is None:
+                b = ht.indexOf(t)
+                bucket[t] = b
+            c[b] += 1
+        tf_by_doc[doc_id] = c
+    n_docs = len(rows)
+    df: Counter = Counter()
+    for c in tf_by_doc.values():
+        df.update(c.keys())
+    n_collisions = len(bucket) - len(set(bucket.values()))
+    return {
+        doc_id: math.sqrt(
+            sum((tf * math.log((n_docs + 1) / (df[b] + 1))) ** 2 for b, tf in c.items())
+        )
+        for doc_id, c in tf_by_doc.items()
+    }, n_collisions
+
+
+def test_hashing_tfidf_norms_match_exact_reconstruction(spark):
+    """Numeric accuracy check for the rows-only hashing_tfidf_norms
+    query (the one registry entry with no SQL oracle) on the real
+    sf0.01 corpus: its per-doc L2 norms must equal the exact
+    reconstruction of the HashingTF+IDF pipeline."""
+    from etl_challenge_localiza_spark.functions.text import tokens
+    from etl_challenge_localiza_spark.registry import QUERIES
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = {
+        r["doc_id"]: r["tfidf_l2_norm"]
+        for r in QUERIES["hashing_tfidf_norms"].fn(spark, sf_dir).collect()
+    }
+    docs = [
+        (r["doc_id"], r["toks"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .collect()
+    ]
+    want, _ = _reconstruct_norms(docs, 1024)
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id] == pytest.approx(want[doc_id], abs=2e-6)  # 6dp rounding
+
+
+def test_hashing_tfidf_norms_collision_semantics(spark):
+    """The testdata vocabulary (31 tokens) never collides in 1024
+    buckets, so this variant forces collisions — 60 distinct tokens
+    into 16 buckets — and asserts the operator still matches the
+    reconstruction (which MERGES counts per bucket). Proves the check
+    verifies hashed-pipeline semantics, not just the exact path."""
+    from etl_challenge_localiza_spark.operators.textops import hashing_tfidf_norms
+
+    rows = [
+        (i, " ".join(f"tok{(i * 7 + j) % 60}" for j in range(1 + i % 9)), "en", "syn", 0)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = {
+        r["doc_id"]: r["tfidf_l2_norm"]
+        for r in hashing_tfidf_norms(docs, num_features=16).collect()
+    }
+    toked = [
+        (r[0], r[1].split()) for r in rows
+    ]
+    want, n_collisions = _reconstruct_norms(toked, 16)
+    assert n_collisions > 0  # the whole point of this variant
+    for doc_id in want:
+        assert got[doc_id] == pytest.approx(want[doc_id], abs=2e-6)
