@@ -120,3 +120,45 @@ def test_label_pca_variance_matches_numpy(spark):
     assert r["total_variance"] == pytest.approx(float(np.trace(c)), abs=1e-6)
     assert r["leading_eigenvalue"] == pytest.approx(float(eig[-1]), abs=1e-6)
     assert r["explained_ratio"] == pytest.approx(float(eig[-1] / np.trace(c)), abs=1e-6)
+
+
+def test_brp_lsh_recall_floor_vs_brute_force(spark):
+    """Accuracy bound for the rows-only brp_lsh_ann_pairs query (the
+    IVF path has recall@10 = 1.0 vs brute force; this closes the same
+    loop for BRP-LSH): on the real sf0.01 embeddings, the LSH pair set
+    must recover >= 90% of the TRUE close pairs (brute-force euclidean
+    < max_distance), and every pair it reports must be genuinely within
+    the threshold (precision = 1.0 by construction — approxSimilarityJoin
+    verifies exact distances on candidates; recall is what the bucketing
+    can lose)."""
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.operators.similarity import (
+        brp_lsh_ann_pairs,
+        euclidean_sq,
+    )
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_distance = 1.2  # the registry query's threshold
+
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    truth = {
+        (r["ia"], r["ib"])
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("d2", euclidean_sq(F.col("ea"), F.col("eb")))
+        .filter(F.col("d2") < max_distance * max_distance)
+        .select("ia", "ib")
+        .collect()
+    }
+    assert truth, "degenerate: no close pairs in the corpus at this threshold"
+
+    found = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in brp_lsh_ann_pairs(emb, max_distance=max_distance).collect()
+    }
+    assert found <= truth  # exact-distance verification on candidates
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"BRP-LSH recall {recall:.3f} < 0.9 ({len(truth)} true pairs)"

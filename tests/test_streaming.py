@@ -347,3 +347,74 @@ def test_left_outer_interval_join_emits_abandoned_clicks(spark, tmp_path):
     assert (1, 10) in rows, rows  # matched pair
     assert (2, None) in rows, rows  # abandoned click emitted with null
     assert (1, None) not in rows, rows  # matched click has no null row
+
+
+def test_dedup_state_size_bounded_by_watermark(spark, tmp_path):
+    """The 100 TB streaming concern, measured: drive
+    dropDuplicatesWithinWatermark across 3 micro-batches of DISJOINT
+    keys with event time advancing far past the watermark each batch,
+    and assert via the state-store metrics that state does NOT
+    accumulate — rows behind the watermark are physically removed, so
+    numRowsTotal stays ~one batch's key count instead of growing to
+    the cumulative distinct-key count (which is unbounded in
+    production)."""
+    import datetime as dt
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    per_batch = 50
+    src, ckpt, sink = (
+        str(tmp_path / "src"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "sink"),
+    )
+
+    def run(batch_no):
+        base_ts = t0 + dt.timedelta(hours=3 * batch_no)  # 3h apart, 1h watermark
+        rows = [
+            (batch_no * 1000 + j, base_ts, batch_no * 1000 + j, "click", 1.0, "{}")
+            for j in range(per_batch)
+        ]
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(
+            f"{src}/b{batch_no}"
+        )
+        stream = (
+            spark.readStream.schema(spark.createDataFrame(rows, cols).schema)
+            .parquet(src + "/b*")
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("event_id")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        states = [
+            p["stateOperators"][0]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        assert states, "no state-operator progress reported"
+        return states[-1]
+
+    totals, removed = [], 0
+    for b in range(3):
+        s = run(b)
+        totals.append(s["numRowsTotal"])
+        removed += s.get("numRowsRemoved", 0)
+
+    # every batch's keys are new, so WITHOUT eviction state would be
+    # cumulative: 50, 100, 150. With watermark eviction each batch
+    # clears the previous batch's keys before (or as) the next lands.
+    assert totals[0] == per_batch
+    assert max(totals[1:]) <= 2 * per_batch  # never the cumulative count
+    assert totals[2] < 3 * per_batch
+    assert removed >= per_batch  # eviction physically removed rows
+    # and the sink saw every key exactly once (no drops, no dups)
+    out = [r["event_id"] for r in spark.read.parquet(sink).collect()]
+    assert len(out) == len(set(out)) == 3 * per_batch
