@@ -87,3 +87,49 @@ def merge_latest(
             for c in value_cols
         ],
     )
+
+
+def snapshot_merge(
+    spark,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    order_cols: list[str] | None = None,
+    delete_col: str | None = None,
+) -> int:
+    """Transactional-read CDC MERGE on plain parquet: compose the
+    full-outer-join MERGE with ``sources.sinks.snapshot_write`` so each
+    batch of upserts produces a NEW immutable snapshot version behind
+    an atomically-swapped pointer — the poor-man's Delta ``MERGE INTO``.
+
+    Reader guarantees (pytest-verified with a concurrent reader thread):
+    a reader never observes a half-merged table — it sees the previous
+    version until the pointer swap, the new version after, and old
+    versions stay time-travel readable. Writer crash before the swap
+    leaves the previous version live (the orphan directory is skipped
+    by the next writer). Single-writer only: concurrent writers need a
+    commit log + conflict detection (the part Delta/Iceberg add on
+    top; documented out of scope).
+
+    ``order_cols`` selects conditional apply-latest semantics
+    (:func:`merge_latest`); otherwise last-write-wins
+    (:func:`merge_upsert`). First call on an empty path snapshots the
+    updates themselves (minus delete rows) as version 1.
+
+    Returns the committed snapshot version.
+    """
+    from ..sources.sinks import snapshot_current_version, snapshot_read, snapshot_write
+
+    if snapshot_current_version(path) <= 0:
+        first = updates
+        if delete_col is not None:
+            first = first.filter(~F.col(delete_col)).drop(delete_col)
+        return snapshot_write(spark, first, path)
+    target = snapshot_read(spark, path)
+    if order_cols:
+        if delete_col is not None:
+            raise ValueError("delete_col is only supported with last-write-wins merge")
+        merged = merge_latest(target, updates, key, order_cols)
+    else:
+        merged = merge_upsert(target, updates, key, delete_col)
+    return snapshot_write(spark, merged, path)

@@ -36,3 +36,113 @@ def test_merge_idempotent(spark):
     once = merge_upsert(target, updates, "id")
     twice = merge_upsert(once, updates, "id")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_snapshot_merge_versioned_roundtrip(spark, tmp_path):
+    """snapshot_merge: each CDC batch commits a new atomic version;
+    old versions stay time-travel readable; deletes cascade."""
+    from etl_challenge_localiza_spark.operators.merge import snapshot_merge
+    from etl_challenge_localiza_spark.sources.sinks import snapshot_read
+
+    path = str(tmp_path / "tbl")
+    v1 = snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"]),
+        key="id",
+    )
+    assert v1 == 1
+    v2 = snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(2, "B", False), (3, "c", False), (1, None, True)],
+            ["id", "name", "is_delete"],
+        ),
+        key="id",
+        delete_col="is_delete",
+    )
+    assert v2 == 2
+    now = {r["id"]: r["name"] for r in snapshot_read(spark, path).collect()}
+    assert now == {2: "B", 3: "c"}  # 1 deleted, 2 updated, 3 inserted
+    then = {r["id"]: r["name"] for r in snapshot_read(spark, path, version=1).collect()}
+    assert then == {1: "a", 2: "b"}  # time travel unchanged
+
+
+def test_snapshot_merge_apply_latest_semantics(spark, tmp_path):
+    """order_cols engages conditional merge: stale updates lose."""
+    from etl_challenge_localiza_spark.operators.merge import snapshot_merge
+    from etl_challenge_localiza_spark.sources.sinks import snapshot_read
+
+    path = str(tmp_path / "tbl")
+    snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame([(1, 5, "fresh"), (2, 5, "old")], ["id", "ts", "val"]),
+        key="id",
+    )
+    snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame([(1, 3, "stale"), (2, 9, "new")], ["id", "ts", "val"]),
+        key="id",
+        order_cols=["ts"],
+    )
+    out = {r["id"]: (r["ts"], r["val"]) for r in snapshot_read(spark, path).collect()}
+    assert out == {1: (5, "fresh"), 2: (9, "new")}  # stale lost, newer won
+
+
+def test_snapshot_merge_concurrent_reader_sees_consistent_versions(spark, tmp_path):
+    """The read-consistency claim, exercised: a reader thread hammering
+    the table DURING a merge commit must only ever observe a complete
+    version's row set (pre- or post-merge), never a mix, a partial
+    file listing, or an error."""
+    import threading
+
+    from etl_challenge_localiza_spark.operators.merge import snapshot_merge
+    from etl_challenge_localiza_spark.sources.sinks import snapshot_read
+
+    path = str(tmp_path / "tbl")
+    base = [(i, "v1") for i in range(200)]
+    snapshot_merge(spark, path, spark.createDataFrame(base, ["id", "tag"]), key="id")
+    expect_v1 = {(i, "v1") for i in range(200)}
+    # updates rewrite half the keys and add 100 new ones
+    upd = [(i, "v2") for i in range(100)] + [(i, "v2") for i in range(200, 300)]
+    expect_v2 = (
+        {(i, "v2") for i in range(100)}
+        | {(i, "v1") for i in range(100, 200)}
+        | {(i, "v2") for i in range(200, 300)}
+    )
+
+    seen: list[frozenset] = []
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                rows = frozenset(
+                    (r["id"], r["tag"]) for r in snapshot_read(spark, path).collect()
+                )
+                seen.append(rows)
+        except BaseException as e:  # noqa: BLE001 — re-raised via `errors`
+            errors.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        snapshot_merge(
+            spark, path, spark.createDataFrame(upd, ["id", "tag"]), key="id"
+        )
+        # a few post-commit reads so the thread observes v2 too
+        deadline = threading.Event()
+        while frozenset(expect_v2) not in seen and len(seen) < 500:
+            if deadline.wait(0.05):
+                break
+    finally:
+        stop.set()
+        t.join(timeout=60)
+    assert not errors, errors
+    assert seen, "reader never completed a read"
+    bad = [s for s in seen if s not in (frozenset(expect_v1), frozenset(expect_v2))]
+    assert not bad, f"reader observed {len(bad)} inconsistent states; first: {sorted(bad[0])[:5]}"
