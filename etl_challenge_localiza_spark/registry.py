@@ -5414,3 +5414,295 @@ def q_contrastive_negatives(spark, sf_dir):
             ).cast("long").alias("neg_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: cluster-aware curation + incremental ingest + attribution
+# ---------------------------------------------------------------------------
+
+#: shared recursive-CTE text: near-dup components over documents
+#: (exact-dup keeper edges ∪ jaccard>=0.2 edges — identical to the
+#: near_dup_components oracle), then completed with singleton clusters.
+_SQL_COMPONENT_CTES = f"""{SQL_JACCARD_CTES},
+exact_pairs as (
+  select keeper as a, doc_id as b from (
+    select doc_id, min(doc_id) over (partition by md5(text)) as keeper
+    from documents
+  ) where doc_id <> keeper
+),
+e0 as (
+  select da as a, db as b from jaccard_pairs where jaccard >= 0.2
+  union
+  select a, b from exact_pairs
+),
+e as (select a, b from e0 union select b as a, a as b from e0),
+reach(node, r) as (
+  select a, a from e
+  union
+  select e.b, reach.r from reach join e on e.a = reach.node
+),
+comp as (
+  select cast(node as bigint) as doc_id, cast(min(r) as bigint) as component
+  from reach group by node
+),
+call as (
+  select d.doc_id, coalesce(c.component, d.doc_id) as component
+  from documents d left join comp c on d.doc_id = c.doc_id
+)"""
+
+#: quality_score expression over a toks list column (doc_quality's
+#: exact fixed-order double arithmetic)
+_SQL_QUALITY = """
+0.4 * least(1.0, cast(len(toks) as double) / 50.0)
+  + 0.3 * (case when len(toks) > 0
+           then cast(len(list_distinct(toks)) as double) / cast(len(toks) as double)
+           else 0.0 end)
+  + 0.3 * (1.0 - (case when len(toks) > 0
+           then cast(len(list_filter(toks, x -> list_contains({sw}, x))) as double)
+                / cast(len(toks) as double)
+           else 0.0 end))
+""".format(sw=_SW)
+
+
+def _doc_components(spark, sf_dir):
+    """doc_id → component over the exact∪near-dup edge set, singletons
+    included (a doc with no duplicate is its own cluster) — the shared
+    Spark half of the cluster-granular curation queries."""
+    from pyspark.sql import Window
+
+    from .operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    )
+    w = Window.partitionBy("h")
+    exact = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    comp = connected_components(near.union(exact)).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+    return docs, docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+
+
+@register(
+    "dedup_canonical_docs",
+    headline=True,
+    oracle=f"""
+with recursive {_SQL_COMPONENT_CTES},
+qt as (select doc_id, {SQL_TOKS} as toks from documents),
+q as (select doc_id, {_SQL_QUALITY} as quality_score from qt),
+ranked as (
+  select call.component, call.doc_id, q.quality_score,
+         count(*) over (partition by call.component) as n_members
+  from call join q on call.doc_id = q.doc_id
+)
+select cast(component as bigint) as component,
+       cast(doc_id as bigint) as canonical_doc_id,
+       cast(n_members as bigint) as n_members,
+       round(quality_score, 6) as canonical_quality
+from ranked
+qualify row_number() over (partition by component
+                           order by quality_score desc, doc_id) = 1
+""",
+)
+def q_dedup_canonical_docs(spark, sf_dir):
+    """Cluster-canonical dedup — the step AFTER pair finding and
+    component labeling: per duplicate cluster (singletons included),
+    KEEP exactly one representative, chosen by quality score (ties →
+    lowest doc_id). This is the curation decision an LLM-data pipeline
+    actually ships: near-dup pairs → clusters → one canonical doc per
+    cluster, so the training set keeps the best-written variant
+    instead of an arbitrary one.
+
+    Scale shape: reuses the blocked-jaccard + iterative-components
+    plans (both audited sub-quadratic), then ONE window over docs keyed
+    by component for the argmax — no new shuffle class. Quality is
+    fixed-order double arithmetic (doc_quality), so the cross-engine
+    argmax ordering is deterministic."""
+    from pyspark.sql import Window
+
+    from .operators.textops import doc_quality
+
+    docs, comp_all = _doc_components(spark, sf_dir)
+    q = doc_quality(docs).select("doc_id", "quality_score")
+    joined = comp_all.join(q, "doc_id")
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.col("quality_score").desc(), F.col("doc_id"))
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").cast("long").alias("canonical_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.round("quality_score", 6).alias("canonical_quality"),
+        )
+    )
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+with recursive {_SQL_COMPONENT_CTES}
+select cast(doc_id as bigint) as doc_id,
+       cast(component as bigint) as component,
+       case when substr(md5(cast(component as varchar)), 1, 1) between '0' and 'b' then 'train'
+            when substr(md5(cast(component as varchar)), 1, 1) between 'c' and 'd' then 'val'
+            else 'test' end as split
+from call
+""",
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: assignment is deterministic
+    per duplicate CLUSTER, not per doc — near-duplicates can never
+    straddle train and test (the benchmark-contamination failure mode
+    deterministic_split alone cannot prevent). Same md5-nibble
+    bucketing as deterministic_split (12/2/2 → 75/12.5/12.5%), keyed
+    by the cluster's stable min-doc_id label; singleton docs hash by
+    their own id, so the split converges to per-doc hashing as the
+    dup rate → 0."""
+    _docs, comp_all = _doc_components(spark, sf_dir)
+    nib = F.substring(F.md5(F.col("component").cast("string").cast("binary")), 1, 1)
+    split = (
+        F.when(nib.between("0", "b"), "train")
+        .when(nib.between("c", "d"), "val")
+        .otherwise("test")
+    )
+    return comp_all.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        split.alias("split"),
+    )
+
+
+@register(
+    "incremental_dedup_new_batch",
+    oracle="""
+with thr as (select max(doc_id) // 2 as t from documents),
+h as (select doc_id, md5(text) as ch from documents),
+hist as (select distinct ch from h, thr where doc_id < t),
+batch as (select doc_id, ch from h, thr where doc_id >= t),
+batch_first as (
+  select doc_id, ch from batch
+  qualify row_number() over (partition by ch order by doc_id) = 1
+)
+select cast(b.doc_id as bigint) as doc_id, b.ch as content_hash
+from batch_first b
+where not exists (select 1 from hist where hist.ch = b.ch)
+""",
+)
+def q_incremental_dedup_new_batch(spark, sf_dir):
+    """Incremental ingest dedup — the production shape for a
+    continuously-crawled corpus: a new batch is admitted only where
+    its content hash is (a) unseen in the HISTORICAL fingerprint store
+    and (b) first within the batch itself. Here 'history' is the lower
+    half of doc_ids and the 'batch' the upper half, derived from one
+    1-row max aggregate so the query is SF-independent.
+
+    Scale shape: the fingerprint store is a hash-keyed table one md5
+    wide per historical doc (bucketed on the hash in production, so
+    the anti join co-locates); the batch-first window and the anti
+    join shuffle only the NEW batch, never the store. The left-anti
+    side carries no broadcast hint — history is the scaling side."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.agg(F.expr("max(doc_id) div 2").alias("t"))
+    h = docs.select("doc_id", F.md5("text").alias("ch")).crossJoin(F.broadcast(thr))
+    hist = h.filter(F.col("doc_id") < F.col("t")).select("ch").distinct()
+    batch = h.filter(F.col("doc_id") >= F.col("t"))
+    w = Window.partitionBy("ch").orderBy("doc_id")
+    batch_first = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return batch_first.join(hist, "ch", "left_anti").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("ch").alias("content_hash"),
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+with u as (
+  select user_id, ts, event_id,
+         case when event_type = 'click' then event_id end as click_id,
+         case when event_type = 'click' then ts end as click_ts
+  from events where event_type in ('click', 'purchase')
+),
+m as (
+  select user_id, ts, event_id, click_id,
+         last_value(click_id ignore nulls) over w as attr_click_id,
+         last_value(click_ts ignore nulls) over w as attr_click_ts
+  from u
+  window w as (partition by user_id
+               order by ts, (click_id is not null) desc, event_id
+               rows between unbounded preceding and current row)
+)
+select cast(event_id as bigint) as purchase_id,
+       cast(user_id as bigint) as user_id, ts,
+       cast(case when attr_click_ts >= ts - interval 7 days
+                 then attr_click_id end as bigint) as attributed_click_id,
+       cast(case when attr_click_ts >= ts - interval 7 days
+                 then epoch_us(ts) - epoch_us(attr_click_ts) end as bigint)
+         as attribution_age_us
+from m where click_id is null
+""",
+)
+def q_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution with a 7-day lookback: each purchase is
+    attributed to the same user's most recent click at-or-before the
+    purchase instant (same-instant clicks sort before the purchase —
+    the deterministic tie rule, identical in the oracle's window), or
+    to nothing if the newest prior click is older than 7 days.
+
+    Scale shape: the as-of carry-forward trick (union both event roles,
+    ONE keyed window with last(ignorenulls)) — |clicks|+|purchases|
+    shuffled once on user_id, no range-join explosion, no second pass
+    for the lookback bound (it's a post-window filter on the carried
+    timestamp)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("click_id").isNotNull().desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "click_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("attr_click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("attr_click_ts"),
+    )
+    in_window = F.col("attr_click_ts") >= F.col("ts") - F.expr("interval 7 days")
+    return m.filter(F.col("click_id").isNull()).select(
+        F.col("event_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.when(in_window, F.col("attr_click_id")).cast("long").alias("attributed_click_id"),
+        F.when(
+            in_window,
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("attr_click_ts").cast("timestamp")),
+        ).cast("long").alias("attribution_age_us"),
+    )
