@@ -158,3 +158,35 @@ def read_csv_with_quarantine(
     finally:
         raw.unpersist()
     return good, quarantine
+
+
+def read_binary_assets(
+    spark: SparkSession, dir_path: str, glob: str = "*"
+) -> DataFrame:
+    """Multimodal ingest source: read a directory of opaque media files
+    (images/audio/video) with Spark's built-in ``binaryFile`` format —
+    one row per file with (path, modificationTime, length, content) —
+    normalized to the (asset_id, payload) shape the multimodal
+    operators consume (asset_id = filename stem; payload = raw bytes).
+
+    Scale notes: binaryFile is a real FileFormat — listings shard
+    across executors, each file is read on one task (media files are
+    row-atomic by nature), and ``pathGlobFilter`` prunes the listing
+    server-side. Spark caps per-file size at
+    spark.sql.sources.binaryFile.maxLength (default 2^31-1); bigger
+    assets belong in chunked storage, not single files.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(dir_path)
+        .select(
+            F.regexp_extract(
+                F.element_at(F.split(F.col("path"), "/"), -1), r"^(.*?)(\.[^.]*)?$", 1
+            ).alias("asset_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.col("content").alias("payload"),
+        )
+    )

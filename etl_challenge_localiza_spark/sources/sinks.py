@@ -224,3 +224,17 @@ def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
     if v <= 0:
         raise FileNotFoundError(f"no snapshot at {path}")
     return spark.read.parquet(os.path.join(path, f"v={v}"))
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list | None = None) -> str:
+    """ORC sink — Spark's second native columnar format (built into the
+    distribution, unlike Avro/Delta which need external packages).
+    Kept API-parallel with the parquet writers so pipelines can switch
+    formats per-table; ORC scans support the same predicate pushdown /
+    column pruning / partition pruning (pytest asserts the round-trip
+    and the pushed filter in the executed plan)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+    return path

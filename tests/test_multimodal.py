@@ -150,3 +150,43 @@ def test_multimodal_decode_end_to_end(spark, sf0001):
         assert r["mean_pixel"] == mean
         assert r["n_bytes"] == len(payload)
         assert (w, h) == (4 + aid % 13, 3 + aid % 7)
+
+
+def test_binary_file_ingest_feeds_decoder(spark, tmp_path):
+    """The production multimodal ingest path: a directory of real image
+    files read via the binaryFile source, normalized to
+    (asset_id, payload), and decoded by the Arrow-batched pipeline —
+    dimensions and mean intensity come back per file."""
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        extract_image_features,
+    )
+    from etl_challenge_localiza_spark.sources.readers import read_binary_assets
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "assets"
+    d.mkdir()
+    want = {}
+    for i, (w, h, px) in enumerate([(4, 3, 7), (6, 2, 200), (5, 5, 0)]):
+        (d / f"img{i}.ppm").write_bytes(
+            b"P6\n%d %d\n255\n" % (w, h) + bytes([px]) * (3 * w * h)
+        )
+        want[i] = (w, h, float(px))
+    (d / "notes.txt").write_text("not an image")  # pruned by the glob
+
+    assets = read_binary_assets(spark, str(d), glob="*.ppm")
+    rows = assets.collect()
+    assert {r["asset_id"] for r in rows} == {f"img{i}" for i in want}
+    assert all(r["n_bytes"] == len(r["payload"]) for r in rows)
+
+    # the feature extractor keys assets by numeric id — map the
+    # filename stem to one (the normal ingest-join step)
+    numbered = assets.select(
+        F.regexp_extract("asset_id", r"(\d+)$", 1).cast("long").alias("asset_id"),
+        "payload",
+    )
+    feats = {
+        r["asset_id"]: (r["width"], r["height"], r["mean_pixel"])
+        for r in extract_image_features(numbered).collect()
+    }
+    assert feats == want

@@ -321,3 +321,50 @@ def test_snapshot_write_read_and_time_travel(spark, tmp_path):
     assert v4 == 4
     assert snapshot_read(spark, path).count() == 5
     assert snapshot_read(spark, path, version=2).count() == 20
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf0001, tmp_path):
+    """ORC sink/source: values survive the round-trip bit-for-bit and
+    a filter on the ORC scan is pushed down (the format keeps the
+    pruning/pushdown properties the parquet path relies on)."""
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from etl_challenge_localiza_spark.sources.sinks import write_orc
+
+    src = load_table(spark, sf0001, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = spark.read.orc(path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:200]
+
+
+def test_orc_partitioned_write_prunes(spark, sf0001, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from etl_challenge_localiza_spark.sources.sinks import write_orc
+
+    src = load_table(spark, sf0001, "orders")
+    path = str(tmp_path / "orders_orc_part")
+    write_orc(src, path, partition_by=["o_orderstatus"])
+    back = spark.read.orc(path)
+    plan = (
+        back.filter(F.col("o_orderstatus") == "F")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    n_f = back.filter(F.col("o_orderstatus") == "F").count()
+    assert n_f == src.filter(F.col("o_orderstatus") == "F").count()
