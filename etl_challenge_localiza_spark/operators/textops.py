@@ -203,3 +203,66 @@ def hashing_tfidf_norms(docs: DataFrame, num_features: int = 1024) -> DataFrame:
         F.aggregate(F.transform(arr, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
     )
     return model.transform(tf).select("doc_id", F.round(norm, 6).alias("tfidf_l2_norm"))
+
+
+def boilerplate_segment_scrub(
+    docs: DataFrame, width: int = 8, max_df: int = 10
+) -> DataFrame:
+    """Corpus-level boilerplate removal — the Common-Crawl curation
+    step: chop each document into NON-OVERLAPPING ``width``-token
+    segments, count each segment's document frequency across the
+    corpus, drop segments appearing in more than ``max_df`` documents
+    (navigation chrome, license banners, templated headers), and
+    reassemble the surviving text IN ORDER.
+
+    Scale shape: one explode of the segment stream, one hash aggregate
+    for df, one anti join (hot side is small by Zipf — no hint, AQE
+    decides), and an order-preserving reassembly via
+    collect_list(struct(pos, seg)) + array_sort — per-doc state only,
+    no window. The df aggregate is the same sub-quadratic pattern the
+    jaccard/minhash family uses.
+    """
+    t = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        "toks",
+        F.when(F.size("toks") > 0, F.ceil(F.size("toks") / F.lit(width)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_segments"),
+    )
+    segs = F.when(
+        F.col("n_segments") > 0,
+        F.transform(
+            F.sequence(F.lit(0), (F.col("n_segments") - 1).cast("int")),
+            lambda i: F.array_join(F.slice("toks", i * width + 1, width), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    chunks = t.select(
+        "doc_id", F.posexplode(segs).alias("pos", "seg")
+    )
+    dfc = chunks.groupBy("seg").agg(
+        F.count_distinct("doc_id").alias("seg_df")
+    )
+    kept = chunks.join(dfc.filter(F.col("seg_df") > max_df), "seg", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        t.select("doc_id", "n_segments")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_segments",
+            (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

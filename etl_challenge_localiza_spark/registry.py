@@ -5706,3 +5706,52 @@ def q_attribution_last_touch(spark, sf_dir):
             - F.unix_micros(F.col("attr_click_ts").cast("timestamp")),
         ).cast("long").alias("attribution_age_us"),
     )
+
+
+@register(
+    "boilerplate_scrub",
+    oracle=f"""
+with t as (select doc_id, {SQL_TOKS} as toks from documents),
+base as (
+  select doc_id, toks,
+         case when len(toks) > 0
+              then cast(ceil(len(toks) / 2.0) as bigint) else 0 end as n_segments
+  from t
+),
+chunks as (
+  select doc_id, g as pos,
+         array_to_string(toks[(g*2+1):(g*2+2)], ' ') as seg
+  from base, unnest(generate_series(0, cast(n_segments as int) - 1)) as s(g)
+  where n_segments > 0
+),
+dfc as (select seg, count(distinct doc_id) as seg_df from chunks group by seg),
+kept as (
+  select c.doc_id, c.pos, c.seg from chunks c
+  join dfc on c.seg = dfc.seg
+  where dfc.seg_df <= 20
+),
+reassembled as (
+  select doc_id, string_agg(seg, ' ' order by pos) as clean_text,
+         count(*) as n_kept
+  from kept group by doc_id
+)
+select cast(b.doc_id as bigint) as doc_id,
+       coalesce(r.clean_text, '') as clean_text,
+       cast(b.n_segments as bigint) as n_segments,
+       cast(b.n_segments - coalesce(r.n_kept, 0) as bigint) as n_removed
+from base b left join reassembled r on b.doc_id = r.doc_id
+""",
+)
+def q_boilerplate_scrub(spark, sf_dir):
+    """Corpus-frequent segment removal (boilerplate scrub) over the
+    documents table: width-2 token segments, drop those appearing in
+    more than 20 documents, reassemble the survivors in order. Width 2
+    + df cap 20 are sized to this corpus's 31-token vocabulary so the
+    hot-segment path genuinely fires (wider segments are unique here
+    and nothing would be scrubbed); production uses width 8-16 and a
+    df cap scaled to corpus size."""
+    from .operators.textops import boilerplate_segment_scrub
+
+    return boilerplate_segment_scrub(
+        load_table(spark, sf_dir, "documents"), width=2, max_df=20
+    )

@@ -144,3 +144,32 @@ def test_hashing_tfidf_norms_collision_semantics(spark):
     assert n_collisions > 0  # the whole point of this variant
     for doc_id in want:
         assert got[doc_id] == pytest.approx(want[doc_id], abs=2e-6)
+
+
+def test_boilerplate_segment_scrub(spark):
+    """Hot segments vanish, survivors keep document order, empty and
+    fully-boilerplate docs come back as empty strings."""
+    from etl_challenge_localiza_spark.operators.textops import (
+        boilerplate_segment_scrub,
+    )
+
+    boiler = "subscribe now"
+    rows = [(i, f"{boiler} unique{i}a text{i}", "en", "s", 0) for i in range(5)]
+    rows.append((90, f"intro{90} only {boiler}", "en", "s", 0))  # boiler mid-doc... at end
+    rows.append((91, boiler, "en", "s", 0))  # nothing but boilerplate
+    rows.append((92, "", "en", "s", 0))  # empty doc
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_segment_scrub(docs, width=2, max_df=4).collect()
+    }
+    # "subscribe now" occupies a width-2 segment in 7 docs > max_df 4 → dropped
+    for i in range(5):
+        assert out[i]["clean_text"] == f"unique{i}a text{i}"
+        assert out[i]["n_segments"] == 2 and out[i]["n_removed"] == 1
+    assert out[90]["clean_text"] == f"intro{90} only"  # order preserved
+    assert out[91]["clean_text"] == "" and out[91]["n_removed"] == 1
+    assert out[92]["clean_text"] == "" and out[92]["n_segments"] == 0
+    assert out[92]["n_removed"] == 0
