@@ -107,3 +107,71 @@ def run_streaming_upsert_latest(
     if state["version"] == 0:
         raise RuntimeError("streaming upsert processed no micro-batches")
     return spark.read.parquet(os.path.join(base, f"v{state['version']}")).select(*_COLS)
+
+
+def run_streaming_snapshot_cdc(
+    spark: SparkSession,
+    sf_dir: str,
+    table_path: str,
+    timeout_sec: int = 300,
+    n_input_files: int = 4,
+) -> DataFrame:
+    """Streaming CDC into a VERSIONED table: the composition of the
+    foreachBatch apply-latest reducer with ``operators.merge.
+    snapshot_merge`` — every micro-batch commits a new immutable
+    snapshot version behind the atomic pointer, so concurrent readers
+    always see a complete committed state (never a half-applied
+    batch), historical versions remain time-travel readable, and a
+    crash between batches leaves the last committed version live; on
+    restart the checkpoint replays only unprocessed batches.
+
+    Because the per-key argmax merge is batch-order independent, the
+    FINAL version equals the batch latest-event-per-user table under
+    any input slicing (pytest-asserted along with per-version
+    monotonicity)."""
+    from ..operators.merge import snapshot_merge
+
+    src = tempfile.mkdtemp(prefix=f"snapcdc_{uuid.uuid4().hex[:8]}_")
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    ev.repartition(n_input_files).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        snapshot_merge(
+            batch_df.sparkSession,
+            table_path,
+            latest,
+            key="user_id",
+            order_cols=["ts", "event_id"],
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(src, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow snapshot-CDC stream did not finish within {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    from ..sources.sinks import snapshot_read
+
+    return snapshot_read(spark, table_path).select(*_COLS)

@@ -418,3 +418,44 @@ def test_dedup_state_size_bounded_by_watermark(spark, tmp_path):
     # and the sink saw every key exactly once (no drops, no dups)
     out = [r["event_id"] for r in spark.read.parquet(sink).collect()]
     assert len(out) == len(set(out)) == 3 * per_batch
+
+
+def test_streaming_snapshot_cdc_versions_and_converges(spark, sf0001, tmp_path):
+    """foreachBatch CDC into versioned snapshots: the final version
+    equals the batch latest-event-per-user table, one version commits
+    per micro-batch, and every historical version stays readable with
+    monotonically growing key coverage."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from etl_challenge_localiza_spark.sources.sinks import (
+        snapshot_current_version,
+        snapshot_read,
+    )
+    from etl_challenge_localiza_spark.streaming.upsert import (
+        run_streaming_snapshot_cdc,
+    )
+
+    path = str(tmp_path / "cdc_table")
+    out = run_streaming_snapshot_cdc(spark, sf0001, path, n_input_files=4)
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = (
+        load_table(spark, sf0001, "events")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, want.collect()))
+
+    n_versions = snapshot_current_version(path)
+    assert n_versions == 4  # one commit per micro-batch
+    prev_keys: set = set()
+    for v in range(1, n_versions + 1):
+        rows = snapshot_read(spark, path, version=v).collect()
+        keys = {r["user_id"] for r in rows}
+        assert prev_keys <= keys  # coverage only grows
+        assert len(rows) == len(keys)  # one row per key at every version
+        prev_keys = keys
