@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["region_risk_avg"].fn(spark, SF0001_DIR)
 
 
-def _driver_last_checked() -> dict[str, int]:
+def _driver_last_checked(here: str | None = None) -> dict[str, int]:
     """query name -> last round with a driver CORRECTNESS row, read
     from the CORRECTNESS_r{N}.json files the driver writes into the
     repo root.
@@ -58,7 +58,8 @@ def _driver_last_checked() -> dict[str, int]:
     import json
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     # latest round seen per name, and whether that latest row passed
     latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):

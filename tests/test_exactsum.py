@@ -96,3 +96,53 @@ def test_money_unscaled_half_up_matches_decimal_cast(spark):
     ).collect()
     for r in got:
         assert r["u"] == r["want"]
+
+
+def test_split_sum_property_random_money(spark):
+    """Property check (seeded sweep standing in for hypothesis — a
+    Spark action per example is too slow for shrinking): for assorted
+    adversarial money distributions, split-long totals must equal the
+    full-decimal aggregation bit-for-bit."""
+    from decimal import Decimal
+
+    cases = [
+        [0.0] * 10,
+        [0.01] * 999,
+        [105_000.00] * 1000,  # max-magnitude rows
+        [0.005, 0.015, 2.675, 99.995] * 50,  # half-up boundary shapes
+        [float(f"{(i * 97) % 100000}.{i % 100:02d}") for i in range(2000)],
+    ]
+    for idx, vals in enumerate(cases):
+        df = spark.createDataFrame([(v,) for v in vals], "amount double")
+        got = (
+            df.select(money_unscaled("amount").alias("u"))
+            .groupBy()
+            .agg(*split_sum("u", "t"), F.sum("u").alias("t_s"))
+            .select(
+                split_total("t", 2).alias("total"),
+                direct_total("t_s", 2).alias("total_direct"),
+            )
+            .collect()[0]
+        )
+        want = float(
+            df.select(
+                F.sum(F.col("amount").cast("decimal(12,2)"))
+                .cast("double")
+                .alias("w")
+            ).collect()[0]["w"]
+        )
+        assert got["total"] == want, (idx, got["total"], want)
+        assert got["total_direct"] == want, (idx, got["total_direct"], want)
+        # and the exact rational matches an independent Decimal fold.
+        # Spark's double→decimal cast rounds the SHORTEST DECIMAL REPR
+        # of the double (Java BigDecimal.valueOf semantics) HALF_UP —
+        # verified here: Decimal(str(v)) matches, Decimal(v) (the raw
+        # binary expansion) does not for reprs like 2.675 whose binary
+        # value sits just below the half boundary.
+        from decimal import ROUND_HALF_UP
+
+        dec_sum = sum(
+            Decimal(str(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            for v in vals
+        )
+        assert got["total"] == float(dec_sum), (idx, got["total"], dec_sum)
