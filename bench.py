@@ -33,17 +33,32 @@ def main() -> int:
     # codegen/broadcast warm-up that a long-lived cluster amortizes;
     # steady-state throughput is the comparable number.
     timings: dict[str, float] = {}
+    timings_full: dict[str, float] = {}
     for name, q in QUERIES.items():
         if not q.headline:
             continue
         best = float("inf")
+        best_full = float("inf")
         for _ in range(2):
+            # two timers, both reported:
+            # - exec-only (historical series, r1-r5 comparable): the
+            #   distributed execution of the built plan;
+            # - full-call: fn() + execution, which additionally counts
+            #   driver-side planning (py4j, Catalyst analysis, parquet
+            #   footer listing — amortized to ~0 in production) AND the
+            #   eager driver-sequenced work of the iterative queries
+            #   (components/pagerank run their loop inside fn(), which
+            #   exec-only timing structurally under-reports).
+            t_full0 = time.perf_counter()
             df = q.fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            best = min(best, t1 - t0)
+            best_full = min(best_full, t1 - t_full0)
         timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        timings_full[name] = round(best_full, 3)
+        print(f"  {name}: {timings[name]:.3f}s (full {timings_full[name]:.3f}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -53,6 +68,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "full_call_total": round(sum(timings_full.values()), 3),
+                "queries_full": timings_full,
                 "sf": sf,
             }
         )

@@ -29,55 +29,105 @@ def connected_components(
     """Return (node, component) where component = min node id in the
     connected component. ``edges`` is undirected input (one row per
     pair, any orientation)."""
-    both = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().cache()
+    # materialize the (already pair-finding-REDUCED) edge list ONCE
+    # before symmetrizing: a plain union would embed the upstream
+    # pipeline in BOTH branches and Spark recomputes non-identical
+    # union arms (profiled round 5: the jaccard pair pipeline ran
+    # twice, ~2x the edge-build cost). localCheckpoint also keeps the
+    # loop's plans free of the upstream lineage.
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    both = e0.union(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().cache()
     labels = (
         both.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
         .cache()
     )
+    spark = edges.sparkSession
+    # materialize the edge cache FIRST (under the caller's tuned confs —
+    # this runs the full upstream pair-finding pipeline), then size the
+    # fixpoint loop to the REDUCED data: near-dup edge lists are orders
+    # of magnitude smaller than the corpus, and iterating tiny cached
+    # joins at full shuffle width under AQE costs ~1-2 s/round in
+    # re-planning + task dispatch alone (profiled round 5: 3 rounds on
+    # a 12-edge graph took 6.5 s at width 16 with AQE, 0.9 s at width 1
+    # without). One partition per ~1M edges, capped at the session
+    # setting, floor 1 — at 10^9+ edges the loop keeps full width.
+    n_edges = both.count()
     try:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        session_parts = 16
+    loop_parts = max(1, min(session_parts, n_edges // 1_000_000))
+    old_aqe = None
+    try:
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    except Exception:
+        pass
+    cached = labels  # the cached frame backing the current labels view
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         for _ in range(max_iter):
             neighbor_min = (
                 both.join(labels, both["b"] == labels["node"])
                 .groupBy(F.col("a").alias("node"))
                 .agg(F.min("component").alias("nbr_min"))
             )
-            new_labels = (
+            # carry the OLD label through the update so convergence
+            # detection is a filter over this round's cached frame
+            # instead of a second labels⋈labels join per iteration
+            stepped = (
                 labels.join(neighbor_min, "node", "left")
                 .select(
                     "node",
                     F.least(
                         F.col("component"), F.coalesce("nbr_min", F.col("component"))
                     ).alias("component"),
+                    F.col("component").alias("__prev"),
                 )
                 .cache()
             )
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.component") != F.col("o.component"))
+                stepped.filter(F.col("component") != F.col("__prev"))
                 .limit(1)
                 .count()
             )
-            labels.unpersist()
-            labels = new_labels
+            cached.unpersist()
+            cached = stepped
+            labels = stepped.select("node", "component")
             if changed == 0:
                 break
         else:
             # fell out of the loop with labels still moving: a component
             # whose diameter exceeds max_iter would get WRONG (split)
             # labels — refuse to return silently-unconverged results.
-            # unpersist the still-cached frame before raising so repeated
-            # failing calls in a long-lived session don't pin blocks.
-            labels.unpersist()
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
                 "iterations (a component's diameter exceeds max_iter); "
                 "raise max_iter"
             )
+        # hand back a LINEAGE-FREE frame: a returned cache entry would
+        # otherwise be pinned forever (CacheManager entries don't GC —
+        # the round-4 advisory's leak class), and downstream consumers
+        # would drag the whole iterative join lineage into their plans.
+        # localCheckpoint materializes the bounded (node, component)
+        # set into ContextCleaner-managed blocks; on a real cluster an
+        # executor loss would need reliable checkpoint() instead — the
+        # result is ≤|V| rows either way, the cheapest frame in the
+        # whole computation to persist.
+        return labels.localCheckpoint(eager=True)
     finally:
+        # restore caller confs, then release the last round's cache
+        # (the checkpoint has already read it) and the edge frame, on
+        # success AND failure paths
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+            if old_aqe is not None:
+                spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        except Exception:
+            pass
+        cached.unpersist()
         both.unpersist()
-    return labels
