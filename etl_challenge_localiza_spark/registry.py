@@ -5755,3 +5755,23 @@ def q_boilerplate_scrub(spark, sf_dir):
     return boilerplate_segment_scrub(
         load_table(spark, sf_dir, "documents"), width=2, max_df=20
     )
+
+
+@register("mg_heavy_hitter_tokens")  # rows-only: sketch contents are
+# partitioning-dependent by construction (pytest asserts the MG error
+# bounds + merge consistency instead)
+def q_mg_heavy_hitter_tokens(spark, sf_dir):
+    """Misra-Gries frequent-token sketch over the exploded corpus
+    token stream (k=16): bounded-memory heavy hitters without the
+    exact groupBy's full-vocabulary shuffle — the mergeable-summaries
+    companion to the exact heavy_hitter_customers and token_top20
+    queries. est_count undercounts by ≤ n/(k+1); anything more
+    frequent is guaranteed present (tests/test_sketches.py)."""
+    from .functions.text import tokens
+    from .operators.sketches import misra_gries_topk
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("token"))
+    )
+    return misra_gries_topk(toks, "token", k=16)

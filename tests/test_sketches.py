@@ -1,0 +1,77 @@
+"""Misra-Gries heavy-hitter sketch: classic error bounds, asserted
+against exact counts, including under partition-merge."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from etl_challenge_localiza_spark.operators.sketches import misra_gries_topk
+
+
+def _skewed(spark, n=20000, seed=3, parts=8):
+    rng = random.Random(seed)
+    # zipf-ish: a few hot items + long tail
+    rows = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.30:
+            rows.append("hot0")
+        elif r < 0.45:
+            rows.append("hot1")
+        elif r < 0.55:
+            rows.append("hot2")
+        else:
+            rows.append(f"tail{rng.randrange(5000)}")
+    return spark.createDataFrame([(v,) for v in rows], "item string").repartition(parts)
+
+
+def test_mg_bounds_vs_exact(spark):
+    k = 16
+    df = _skewed(spark)
+    n = df.count()
+    exact = {r["item"]: r["c"] for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    sketch = {r["item"]: r["est_count"] for r in misra_gries_topk(df, "item", k).collect()}
+    assert 0 < len(sketch) <= k
+    slack = n / (k + 1)
+    for item, est in sketch.items():
+        true = exact[item]
+        assert est <= true, (item, est, true)  # never overcounts
+        assert est >= true - slack, (item, est, true, slack)  # bounded undercount
+    # completeness: every item above the guarantee threshold is present
+    for item, true in exact.items():
+        if true > slack:
+            assert item in sketch, (item, true, slack)
+
+
+def test_mg_merge_consistency_across_partitionings(spark):
+    """The same data sketched at 1 partition and at 16 partitions must
+    both satisfy the bound — the merge step neither double-counts nor
+    loses guaranteed hitters."""
+    k = 8
+    base = _skewed(spark, n=8000, parts=1)
+    n = base.count()
+    slack = n / (k + 1)
+    exact = {r["item"]: r["c"] for r in base.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    for parts in (1, 16):
+        sk = {
+            r["item"]: r["est_count"]
+            for r in misra_gries_topk(base.repartition(parts), "item", k).collect()
+        }
+        assert 0 < len(sk) <= k
+        for item, est in sk.items():
+            assert est <= exact[item]
+            assert est >= exact[item] - slack
+        for item, true in exact.items():
+            if true > slack:
+                assert item in sk, (parts, item, true, slack)
+
+
+def test_mg_few_distinct_items_exact(spark):
+    """Fewer distinct items than k → the sketch IS the exact counts."""
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "item string"
+    ).repartition(4)
+    sk = {r["item"]: r["est_count"] for r in misra_gries_topk(df, "item", 16).collect()}
+    assert sk == {"a": 5, "b": 3, "c": 1}
