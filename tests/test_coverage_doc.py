@@ -35,3 +35,13 @@ def test_every_registry_query_named_in_coverage():
     text = open(COVERAGE).read()
     missing = [name for name in _registry() if name not in text]
     assert not missing, f"registry queries absent from COVERAGE.md: {missing}"
+
+
+def test_readme_counts_match_registry():
+    text = open("/root/repo/README.md").read()
+    m = re.search(r"(\d+) named queries, (\d+) of", text)
+    assert m, "README registry-count line missing"
+    queries = _registry()
+    n_oracle = sum(1 for q in queries.values() if q.oracle is not None)
+    assert int(m.group(1)) == len(queries)
+    assert int(m.group(2)) == n_oracle
