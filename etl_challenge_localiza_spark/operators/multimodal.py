@@ -288,3 +288,113 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real pure-Python audio decoder: PCM WAV (RIFF) header + sample stats
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, float, float]:
+    """Parse an uncompressed PCM WAV (RIFF) file: returns
+    (n_channels, sample_rate, bits_per_sample, duration_sec, mean_abs)
+    where mean_abs is the mean absolute sample amplitude normalized to
+    [0, 1] — the loudness proxy an audio curation pipeline buckets on.
+
+    Walks the RIFF chunk list (fmt may precede data with LIST/INFO
+    chunks between), supports 8-bit unsigned and 16-bit signed PCM,
+    and raises ValueError on compressed formats — same honesty rule as
+    the image side: real parsing for the formats a pure-Python decoder
+    can own, explicit refusal for codec formats (MP3/AAC/FLAC need
+    libraries absent from this environment).
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    if audio_format != 1:
+        raise ValueError("only uncompressed PCM WAV supported")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if bits == 16:
+        n = len(data) // 2
+        total = 0
+        for i in range(n):
+            s = int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
+            total += abs(s)
+        mean_abs = (total / n / 32768.0) if n else 0.0
+        n_frames = n // max(1, n_channels)
+    elif bits == 8:
+        n = len(data)
+        mean_abs = (sum(abs(b - 128) for b in data) / n / 128.0) if n else 0.0
+        n_frames = n // max(1, n_channels)
+    else:
+        raise ValueError("only 8/16-bit PCM supported")
+    duration = n_frames / sample_rate if sample_rate else 0.0
+    return n_channels, sample_rate, bits, duration, mean_abs
+
+
+def make_wav(
+    n_channels: int = 1,
+    sample_rate: int = 8000,
+    samples: list[int] | None = None,
+) -> bytes:
+    """Build a minimal 16-bit PCM WAV payload (the synthetic-asset
+    generator for tests — the audio counterpart of synthetic_ppm)."""
+    samples = samples if samples is not None else []
+    data = b"".join(
+        int(s).to_bytes(2, "little", signed=True) for s in samples
+    )
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * n_channels * 2).to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, n_channels int, sample_rate int, bits int, "
+    "duration_sec double, mean_abs double, n_bytes long"
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched WAV feature extraction over (asset_id, payload) —
+    same one-Python-crossing-per-batch shape as the image path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_channels": [r[0] for r in rows],
+                    "sample_rate": [r[1] for r in rows],
+                    "bits": [r[2] for r in rows],
+                    "duration_sec": [r[3] for r in rows],
+                    "mean_abs": [r[4] for r in rows],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

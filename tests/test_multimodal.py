@@ -190,3 +190,55 @@ def test_binary_file_ingest_feeds_decoder(spark, tmp_path):
         for r in extract_image_features(numbered).collect()
     }
     assert feats == want
+
+
+def test_wav_decode_and_audio_features(spark, tmp_path):
+    """Real PCM WAV parsing through binaryFile ingest + the Arrow
+    pipeline: channels/rate/bits/duration/amplitude all come back in
+    closed form; compressed formats refuse loudly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        decode_wav,
+        extract_audio_features,
+        make_wav,
+    )
+    from etl_challenge_localiza_spark.sources.readers import read_binary_assets
+
+    # closed-form check: 8000 Hz mono, 4000 samples of a square wave
+    sq = [16384 if i % 2 else -16384 for i in range(4000)]
+    ch, rate, bits, dur, amp = decode_wav(make_wav(1, 8000, sq))
+    assert (ch, rate, bits) == (1, 8000, 16)
+    assert dur == pytest.approx(0.5)
+    assert amp == pytest.approx(16384 / 32768.0)
+
+    # stereo frame counting: 2 channels halve the duration
+    ch, rate, bits, dur, _ = decode_wav(make_wav(2, 8000, sq))
+    assert (ch, dur) == (2, pytest.approx(0.25))
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x00\x00\x00\x00WAVEjunk")
+    with pytest.raises(ValueError):
+        decode_wav(b"ID3\x03mp3-ish")
+
+    d = tmp_path / "audio"
+    d.mkdir()
+    want = {}
+    for i, n in enumerate([800, 1600, 2400]):
+        tone = [int(10000 * math.sin(i + j / 5)) for j in range(n)]
+        (d / f"clip{i}.wav").write_bytes(make_wav(1, 8000, tone))
+        want[i] = n / 8000
+    assets = read_binary_assets(spark, str(d), glob="*.wav").select(
+        F.regexp_extract("asset_id", r"(\d+)$", 1).cast("long").alias("asset_id"),
+        "payload",
+    )
+    out = {
+        r["asset_id"]: r for r in extract_audio_features(assets).collect()
+    }
+    assert set(out) == set(want)
+    for i, dur in want.items():
+        assert out[i]["duration_sec"] == pytest.approx(dur)
+        assert out[i]["sample_rate"] == 8000 and out[i]["bits"] == 16
+        assert 0.0 < out[i]["mean_abs"] < 1.0
