@@ -56,16 +56,18 @@ def connected_components(
     # without). One partition per ~1M edges, capped at the session
     # setting, floor 1 — at 10^9+ edges the loop keeps full width.
     n_edges = both.count()
-    try:
-        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        session_parts = 16
-    loop_parts = max(1, min(session_parts, n_edges // 1_000_000))
-    old_aqe = None
-    try:
-        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-    except Exception:
-        pass
+
+    def _get_conf(key):
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None
+
+    old_parts = _get_conf("spark.sql.shuffle.partitions")
+    old_aqe = _get_conf("spark.sql.adaptive.enabled")
+    loop_parts = max(
+        1, min(int(old_parts) if old_parts else 16, n_edges // 1_000_000)
+    )
     cached = labels  # the cached frame backing the current labels view
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
@@ -120,14 +122,21 @@ def connected_components(
         # whole computation to persist.
         return labels.localCheckpoint(eager=True)
     finally:
-        # restore caller confs, then release the last round's cache
-        # (the checkpoint has already read it) and the edge frame, on
-        # success AND failure paths
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
-            if old_aqe is not None:
-                spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
-        except Exception:
-            pass
+        # restore caller confs (set back the saved value, or unset to
+        # the session default when the old value was unreadable — never
+        # force-set a guessed number, and never leave AQE disabled),
+        # then release the last round's cache (the checkpoint has
+        # already read it) and the edge frame, on success AND failure
+        for key, old in (
+            ("spark.sql.shuffle.partitions", old_parts),
+            ("spark.sql.adaptive.enabled", old_aqe),
+        ):
+            try:
+                if old is not None:
+                    spark.conf.set(key, old)
+                else:
+                    spark.conf.unset(key)
+            except Exception:
+                pass
         cached.unpersist()
         both.unpersist()

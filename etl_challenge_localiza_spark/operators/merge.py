@@ -33,8 +33,13 @@ def merge_upsert(
     value_cols = [c for c in target.columns if c != key]
     u = updates
     if delete_col is not None:
-        deletes = u.filter(F.col(delete_col)).select(F.col(key).alias("__delk"))
-        u = u.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL flag means "not a delete" (the common nullable CDC
+        # payload), NOT "drop the row": a bare ~col(delete_col) filter
+        # would evaluate NULL → NULL and silently lose the row from
+        # both branches (round-5 self-review finding)
+        is_del = F.coalesce(F.col(delete_col), F.lit(False))
+        deletes = u.filter(is_del).select(F.col(key).alias("__delk"))
+        u = u.filter(~is_del).drop(delete_col)
         target = target.join(
             deletes, target[key] == deletes["__delk"], "left_anti"
         )
@@ -123,7 +128,10 @@ def snapshot_merge(
     if snapshot_current_version(path) <= 0:
         first = updates
         if delete_col is not None:
-            first = first.filter(~F.col(delete_col)).drop(delete_col)
+            # NULL = not a delete (see merge_upsert)
+            first = first.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
         return snapshot_write(spark, first, path)
     target = snapshot_read(spark, path)
     if order_cols:

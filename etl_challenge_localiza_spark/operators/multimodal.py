@@ -316,6 +316,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float, float]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if pos + 8 + size > len(payload):
+            # a declared chunk size past the end of the payload is a
+            # truncated download — refuse rather than silently compute
+            # duration/loudness from partial data
+            raise ValueError("truncated WAV chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -330,17 +335,24 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, float, float]:
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
+    import numpy as np
+
     if bits == 16:
-        n = len(data) // 2
-        total = 0
-        for i in range(n):
-            s = int.from_bytes(data[2 * i : 2 * i + 2], "little", signed=True)
-            total += abs(s)
-        mean_abs = (total / n / 32768.0) if n else 0.0
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+        n = len(samples)
+        # abs in int32: |−32768| overflows int16
+        mean_abs = (
+            float(np.abs(samples.astype(np.int32)).mean()) / 32768.0 if n else 0.0
+        )
         n_frames = n // max(1, n_channels)
     elif bits == 8:
-        n = len(data)
-        mean_abs = (sum(abs(b - 128) for b in data) / n / 128.0) if n else 0.0
+        samples = np.frombuffer(data, dtype=np.uint8)
+        n = len(samples)
+        mean_abs = (
+            float(np.abs(samples.astype(np.int16) - 128).mean()) / 128.0
+            if n
+            else 0.0
+        )
         n_frames = n // max(1, n_channels)
     else:
         raise ValueError("only 8/16-bit PCM supported")

@@ -35,17 +35,56 @@ _COLS = ["user_id", "event_id", "ts", "event_type", "value"]
 def apply_latest_batch(target: DataFrame | None, batch: DataFrame) -> DataFrame:
     """Reduce a micro-batch to its latest row per user, then merge it
     into ``target`` (None → first batch)."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    latest = (
-        batch.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    latest = _latest_per_user(batch)
     if target is None:
         return latest
     return merge_latest(target, latest, "user_id", ["ts", "event_id"])
+
+
+def _staged_event_stream(spark: SparkSession, sf_dir: str, n_input_files: int):
+    """Stage the events table as ``n_input_files`` parquet files in a
+    temp dir and return (stream, base_dir): a file stream delivering
+    ONE file per micro-batch (maxFilesPerTrigger=1) plus the staging
+    dir (sources under base/src, checkpoint under base/ckpt — outside
+    the watched directory). Caller owns base_dir cleanup."""
+    base = tempfile.mkdtemp(prefix=f"stream_stage_{uuid.uuid4().hex[:8]}_")
+    src = os.path.join(base, "src")
+    load_table(spark, sf_dir, "events").select(*_COLS).repartition(
+        n_input_files
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    return stream, base
+
+
+def _run_foreach_batch(stream, base: str, apply_fn, timeout_sec: int, label: str) -> None:
+    q = (
+        stream.writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"availableNow {label} did not finish within {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def run_streaming_upsert_latest(
@@ -62,26 +101,13 @@ def run_streaming_upsert_latest(
     batch reads the previous version and writes the next — the plain-
     parquet stand-in for a Delta/Iceberg MERGE INTO target.
     """
-    base = tempfile.mkdtemp(prefix=f"stream_upsert_{uuid.uuid4().hex[:8]}_")
-    src = os.path.join(base, "src")
-    ev = load_table(spark, sf_dir, "events").select(*_COLS)
-    ev.repartition(n_input_files).write.mode("overwrite").parquet(src)
-
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-
+    stream, base = _staged_event_stream(spark, sf_dir, n_input_files)
     state = {"version": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         v = state["version"]
-        target = (
-            sess.read.parquet(os.path.join(base, f"v{v}")) if v > 0 else None
-        )
+        target = sess.read.parquet(os.path.join(base, f"v{v}")) if v > 0 else None
         merged = apply_latest_batch(target, batch_df)
         merged.write.mode("overwrite").parquet(os.path.join(base, f"v{v + 1}"))
         state["version"] = v + 1
@@ -89,24 +115,18 @@ def run_streaming_upsert_latest(
             # only the last two versions are ever needed; prune older
             shutil.rmtree(os.path.join(base, f"v{v - 1}"), ignore_errors=True)
 
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"availableNow foreachBatch upsert did not finish within {timeout_sec}s"
-            )
+        _run_foreach_batch(stream, base, _apply, timeout_sec, "foreachBatch upsert")
+        if state["version"] == 0:
+            raise RuntimeError("streaming upsert processed no micro-batches")
+        # materialize before the staging dir disappears
+        return (
+            spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+            .select(*_COLS)
+            .localCheckpoint(eager=True)
+        )
     finally:
-        if q.isActive:
-            q.stop()
-    if state["version"] == 0:
-        raise RuntimeError("streaming upsert processed no micro-batches")
-    return spark.read.parquet(os.path.join(base, f"v{state['version']}")).select(*_COLS)
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def run_streaming_snapshot_cdc(
@@ -131,47 +151,21 @@ def run_streaming_snapshot_cdc(
     monotonicity)."""
     from ..operators.merge import snapshot_merge
 
-    src = tempfile.mkdtemp(prefix=f"snapcdc_{uuid.uuid4().hex[:8]}_")
-    ev = load_table(spark, sf_dir, "events").select(*_COLS)
-    ev.repartition(n_input_files).write.mode("overwrite").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    stream, base = _staged_event_stream(spark, sf_dir, n_input_files)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        latest = (
-            batch_df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
         snapshot_merge(
             batch_df.sparkSession,
             table_path,
-            latest,
+            _latest_per_user(batch_df),
             key="user_id",
             order_cols=["ts", "event_id"],
         )
 
-    q = (
-        stream.writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", os.path.join(src, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
     try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"availableNow snapshot-CDC stream did not finish within {timeout_sec}s"
-            )
+        _run_foreach_batch(stream, base, _apply, timeout_sec, "snapshot-CDC stream")
     finally:
-        if q.isActive:
-            q.stop()
+        shutil.rmtree(base, ignore_errors=True)
     from ..sources.sinks import snapshot_read
 
     return snapshot_read(spark, table_path).select(*_COLS)

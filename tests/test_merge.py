@@ -134,11 +134,19 @@ def test_snapshot_merge_concurrent_reader_sees_consistent_versions(spark, tmp_pa
         snapshot_merge(
             spark, path, spark.createDataFrame(upd, ["id", "tag"]), key="id"
         )
-        # a few post-commit reads so the thread observes v2 too
-        deadline = threading.Event()
-        while frozenset(expect_v2) not in seen and len(seen) < 500:
-            if deadline.wait(0.05):
-                break
+        # a few post-commit reads so the thread observes v2 too —
+        # bounded by wall clock so a dead reader thread fails the
+        # assertions below instead of spinning forever
+        import time as _time
+
+        wait_until = _time.monotonic() + 30
+        while (
+            frozenset(expect_v2) not in seen
+            and len(seen) < 500
+            and t.is_alive()
+            and _time.monotonic() < wait_until
+        ):
+            _time.sleep(0.05)
     finally:
         stop.set()
         t.join(timeout=60)
@@ -146,3 +154,29 @@ def test_snapshot_merge_concurrent_reader_sees_consistent_versions(spark, tmp_pa
     assert seen, "reader never completed a read"
     bad = [s for s in seen if s not in (frozenset(expect_v1), frozenset(expect_v2))]
     assert not bad, f"reader observed {len(bad)} inconsistent states; first: {sorted(bad[0])[:5]}"
+
+
+def test_merge_null_delete_flag_is_not_a_delete(spark):
+    """NULL in a nullable is_delete column (Debezium-style CDC) must
+    mean 'not a delete' — the row upserts normally instead of
+    silently vanishing from both branches."""
+    from etl_challenge_localiza_spark.operators.merge import snapshot_merge
+    from etl_challenge_localiza_spark.sources.sinks import snapshot_read
+
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    updates = spark.createDataFrame(
+        [(1, "A", None), (2, None, True), (3, "c", None)],
+        "id long, name string, is_delete boolean",
+    )
+    out = {
+        r["id"]: r["name"]
+        for r in merge_upsert(target, updates, "id", "is_delete").collect()
+    }
+    assert out == {1: "A", 3: "c"}  # NULL-flag rows upserted; 2 deleted
+
+    # first-batch path of snapshot_merge: NULL-flag rows must survive
+    import tempfile
+
+    path = tempfile.mkdtemp() + "/t"
+    snapshot_merge(spark, path, updates, key="id", delete_col="is_delete")
+    assert {r["id"] for r in snapshot_read(spark, path).collect()} == {1, 3}

@@ -242,3 +242,19 @@ def test_wav_decode_and_audio_features(spark, tmp_path):
         assert out[i]["duration_sec"] == pytest.approx(dur)
         assert out[i]["sample_rate"] == 8000 and out[i]["bits"] == 16
         assert 0.0 < out[i]["mean_abs"] < 1.0
+
+
+def test_wav_truncated_chunk_refuses():
+    """A data chunk whose declared size runs past the payload end is a
+    truncated download — loud ValueError, never silent partial stats."""
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        decode_wav,
+        make_wav,
+    )
+
+    full = make_wav(1, 8000, [1000] * 100)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(full[:-10])
+    # min-int16 samples must not overflow the abs computation
+    _, _, _, _, amp = decode_wav(make_wav(1, 8000, [-32768] * 10))
+    assert amp == pytest.approx(1.0)
