@@ -112,9 +112,12 @@ def snapshot_merge(
     version until the pointer swap, the new version after, and old
     versions stay time-travel readable. Writer crash before the swap
     leaves the previous version live (the orphan directory is skipped
-    by the next writer). Single-writer only: concurrent writers need a
-    commit log + conflict detection (the part Delta/Iceberg add on
-    top; documented out of scope).
+    by the next writer). Single-writer only — and ENFORCED: a second
+    concurrent committer raises :class:`~...sources.sinks.
+    ConcurrentWriterError` via the table's writer lock (stale locks
+    from crashed writers are broken after an hour). True multi-writer
+    ACID needs a commit log + conflict detection — the part
+    Delta/Iceberg add on top; documented out of scope.
 
     ``order_cols`` selects conditional apply-latest semantics
     (:func:`merge_latest`); otherwise last-write-wins
@@ -123,21 +126,29 @@ def snapshot_merge(
 
     Returns the committed snapshot version.
     """
-    from ..sources.sinks import snapshot_current_version, snapshot_read, snapshot_write
+    from ..sources.sinks import (
+        snapshot_current_version,
+        snapshot_read,
+        snapshot_write,
+        snapshot_writer_lock,
+    )
 
-    if snapshot_current_version(path) <= 0:
-        first = updates
-        if delete_col is not None:
-            # NULL = not a delete (see merge_upsert)
-            first = first.filter(
-                ~F.coalesce(F.col(delete_col), F.lit(False))
-            ).drop(delete_col)
-        return snapshot_write(spark, first, path)
-    target = snapshot_read(spark, path)
-    if order_cols:
-        if delete_col is not None:
-            raise ValueError("delete_col is only supported with last-write-wins merge")
-        merged = merge_latest(target, updates, key, order_cols)
-    else:
-        merged = merge_upsert(target, updates, key, delete_col)
-    return snapshot_write(spark, merged, path)
+    with snapshot_writer_lock(path):
+        if snapshot_current_version(path) <= 0:
+            first = updates
+            if delete_col is not None:
+                # NULL = not a delete (see merge_upsert)
+                first = first.filter(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+            return snapshot_write(spark, first, path)
+        target = snapshot_read(spark, path)
+        if order_cols:
+            if delete_col is not None:
+                raise ValueError(
+                    "delete_col is only supported with last-write-wins merge"
+                )
+            merged = merge_latest(target, updates, key, order_cols)
+        else:
+            merged = merge_upsert(target, updates, key, delete_col)
+        return snapshot_write(spark, merged, path)

@@ -11,6 +11,8 @@ import glob
 import json
 import os
 import shutil
+import time
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -238,3 +240,59 @@ def write_orc(df: DataFrame, path: str, partition_by: list | None = None) -> str
         w = w.partitionBy(*partition_by)
     w.orc(path)
     return path
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted to commit to a snapshot table."""
+
+
+@contextmanager
+def snapshot_writer_lock(path: str, stale_sec: float = 3600.0):
+    """Single-writer enforcement for snapshot tables: an O_EXCL lock
+    file under the table path. The snapshot design is single-writer
+    (the commit-log/conflict-detection layer is what Delta/Iceberg
+    add); without detection a second writer could race the version
+    numbering and pointer swap — this makes that a loud
+    :class:`ConcurrentWriterError` instead of a silent corruption.
+
+    Crash recovery: a writer that died leaves its lock behind; locks
+    older than ``stale_sec`` are broken (single takeover attempt). A
+    crashed writer never corrupts committed state either way — it only
+    leaves an orphan v-directory the next version skips.
+    """
+    os.makedirs(path, exist_ok=True)
+    lock = os.path.join(path, "_writer_lock")
+    acquired = False
+    for attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(f"pid={os.getpid()}\n")
+            acquired = True
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # holder released between check and stat; retry
+            if attempt == 0 and age > stale_sec:
+                # stale lock from a crashed writer — break it once
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+                continue
+            raise ConcurrentWriterError(
+                f"another writer holds {lock} (age {age:.0f}s); snapshot "
+                "tables are single-writer — serialize commits or use a "
+                "table format with a commit log"
+            )
+    if not acquired:
+        raise ConcurrentWriterError(f"could not acquire {lock}")
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass

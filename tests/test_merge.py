@@ -180,3 +180,38 @@ def test_merge_null_delete_flag_is_not_a_delete(spark):
     path = tempfile.mkdtemp() + "/t"
     snapshot_merge(spark, path, updates, key="id", delete_col="is_delete")
     assert {r["id"] for r in snapshot_read(spark, path).collect()} == {1, 3}
+
+
+def test_snapshot_merge_detects_concurrent_writer(spark, tmp_path):
+    """Single-writer enforcement: a live lock raises loudly; a stale
+    lock from a crashed writer is broken and the commit proceeds."""
+    import os
+    import time as _t
+
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.merge import snapshot_merge
+    from etl_challenge_localiza_spark.sources.sinks import (
+        ConcurrentWriterError,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    snapshot_merge(spark, path, df, key="id")
+    assert not os.path.exists(os.path.join(path, "_writer_lock"))  # released
+
+    lock = os.path.join(path, "_writer_lock")
+    open(lock, "w").write("pid=other\n")
+    with _pytest.raises(ConcurrentWriterError, match="another writer"):
+        snapshot_merge(spark, path, df, key="id")
+
+    # stale (crashed) writer: age the lock past the threshold
+    old = _t.time() - 7200
+    os.utime(lock, (old, old))
+    v = snapshot_merge(
+        spark, path, spark.createDataFrame([(2, "b")], ["id", "name"]), key="id"
+    )
+    assert v == 2
+    assert {r["id"] for r in snapshot_read(spark, path).collect()} == {1, 2}
+    assert not os.path.exists(lock)
