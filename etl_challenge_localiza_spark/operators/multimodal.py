@@ -410,3 +410,25 @@ def extract_audio_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def synthetic_wav_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL WAV clips derived from doc_id (mono 8 kHz
+    16-bit, 400 + 4*(id%100) samples of constant amplitude
+    (id*7)%20000 - 10000) — like synthetic_ppm_assets, the decoded
+    output is closed-form arithmetic a SQL oracle can state while the
+    decoder still parses genuine RIFF bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 400 + 4 * (did % 100)
+                amp = (did * 7) % 20000 - 10000
+                payloads.append(make_wav(1, 8000, [amp] * n))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )

@@ -5775,3 +5775,30 @@ def q_mg_heavy_hitter_tokens(spark, sf_dir):
         .select(F.explode(tokens("text")).alias("token"))
     )
     return misra_gries_topk(toks, "token", k=16)
+
+
+@register(
+    "multimodal_audio_decode",
+    oracle="""
+select cast(doc_id as bigint) as asset_id,
+       1 as n_channels,
+       8000 as sample_rate,
+       16 as bits,
+       cast(400 + 4 * (doc_id % 100) as double) / 8000.0 as duration_sec,
+       cast(abs((doc_id * 7) % 20000 - 10000) as double) / 32768.0 as mean_abs,
+       cast(44 + 2 * (400 + 4 * (doc_id % 100)) as bigint) as n_bytes
+from documents
+""",
+)
+def q_multimodal_audio_decode(spark, sf_dir):
+    """Audio counterpart of multimodal_decode: REAL PCM-WAV bytes
+    (RIFF header + constant-amplitude samples, deterministically
+    generated per doc_id) parsed by the pure-Python decoder behind the
+    Arrow-batched hook; channels/rate/bits/duration/loudness/size all
+    reduce to closed-form arithmetic the DuckDB oracle states exactly
+    (amplitude/32768 and n/8000 are exact binary scales, so the
+    doubles hash-match bit-for-bit)."""
+    from .operators.multimodal import extract_audio_features, synthetic_wav_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_audio_features(synthetic_wav_assets(docs))
