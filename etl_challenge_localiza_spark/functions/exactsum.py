@@ -62,16 +62,22 @@ def money_unscaled(expr_sql: str, decimals: int = 2, precision: int = 12) -> Col
 
 def split_sum(unscaled_col: str, name: str) -> list[Column]:
     """Two int64 aggregate expressions jointly carrying an exact sum
-    of ``unscaled_col``: ``<name>_hi`` = sum(u div 2^20), ``<name>_lo``
-    = sum(u mod 2^20). Recombine with :func:`split_total`.
+    of ``unscaled_col``: ``<name>_lo`` = sum(pmod(u, 2^20)) and
+    ``<name>_hi`` = sum((u - pmod(u, 2^20)) div 2^20). Recombine with
+    :func:`split_total`.
 
-    Requires non-negative inputs (``div``/``%`` truncate toward zero);
-    money quantities here are non-negative by the reference's own
-    ``amount >= 0`` gate semantics.
+    The decomposition uses FLOOR semantics (pmod is always in
+    [0, 2^20); u - pmod(u, 2^20) is an exact multiple of 2^20, so the
+    div is exact regardless of sign), which makes
+    hi * 2^20 + lo == u hold for NEGATIVE values too — signed money
+    (refunds, adjustments) sums exactly. A truncate-toward-zero
+    div/% pair would silently mis-reconstruct negatives; pinned by
+    tests/test_exactsum.py.
     """
+    lo = f"pmod({unscaled_col}, {SPLIT})"
     return [
-        F.sum(F.expr(f"{unscaled_col} div {SPLIT}")).alias(f"{name}_hi"),
-        F.sum(F.expr(f"{unscaled_col} % {SPLIT}")).alias(f"{name}_lo"),
+        F.sum(F.expr(f"({unscaled_col} - {lo}) div {SPLIT}")).alias(f"{name}_hi"),
+        F.sum(F.expr(lo)).alias(f"{name}_lo"),
     ]
 
 

@@ -19,6 +19,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+try:  # pyspark>=3.4 structured errors; fall back for older APIs
+    from pyspark.errors import PySparkException
+except ImportError:  # pragma: no cover
+    PySparkException = Exception
+
+try:
+    from py4j.protocol import Py4JError
+except ImportError:  # pragma: no cover (Spark Connect: no py4j)
+    Py4JError = PySparkException
+
+#: exceptions a conf get/set/unset can raise: structured pyspark errors
+#: (missing key, static conf) or a raw py4j bridge error.
+_CONF_ERRORS = (PySparkException, Py4JError)
+
 
 def connected_components(
     edges: DataFrame,
@@ -60,15 +74,25 @@ def connected_components(
     def _get_conf(key):
         try:
             return spark.conf.get(key)
-        except Exception:
+        except _CONF_ERRORS:
             return None
 
     old_parts = _get_conf("spark.sql.shuffle.partitions")
     old_aqe = _get_conf("spark.sql.adaptive.enabled")
-    loop_parts = max(
-        1, min(int(old_parts) if old_parts else 16, n_edges // 1_000_000)
-    )
+    try:
+        # the conf can hold a non-numeric value on some platforms
+        # (e.g. "auto" under certain AQE distros) — fall back to 16
+        session_width = int(old_parts) if old_parts else 16
+    except ValueError:
+        session_width = 16
+    loop_parts = max(1, min(session_width, n_edges // 1_000_000))
     cached = labels  # the cached frame backing the current labels view
+    # NOTE: the loop narrows SESSION-GLOBAL confs (shuffle width, AQE)
+    # for its duration and restores them in the finally. That assumes
+    # no concurrent query shares this SparkSession during the loop —
+    # the engine's batch entry points are single-threaded per session
+    # by design. A multi-tenant caller should run components on
+    # spark.newSession() to isolate the conf scope.
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
         spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -136,7 +160,7 @@ def connected_components(
                     spark.conf.set(key, old)
                 else:
                     spark.conf.unset(key)
-            except Exception:
+            except _CONF_ERRORS:
                 pass
         cached.unpersist()
         both.unpersist()

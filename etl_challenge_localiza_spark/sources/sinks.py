@@ -220,6 +220,61 @@ def snapshot_current_version(path: str) -> int:
         return 0
 
 
+def snapshot_vacuum(
+    path: str,
+    keep_last: int = 2,
+    pinned: set[int] | None = None,
+    stale_sec: float = 3600.0,
+) -> list[int]:
+    """Retention for versioned snapshot tables: prune old versions so
+    history stops growing without bound (the plain-parquet analog of
+    Delta ``VACUUM`` / Iceberg ``expire_snapshots``).
+
+    Removes every ``v=K`` directory EXCEPT:
+
+    - the current version (the live pointer target — never removed),
+    - the ``keep_last``-1 versions below it (time-travel window),
+    - any version in ``pinned`` — the caller's contract for readers
+      that resolved an old version and are still scanning it; pin the
+      version for the reader's lifetime and vacuum cannot touch it.
+
+    Versions ABOVE the pointer are crashed-writer orphans and are also
+    removed — safely, because the vacuum runs under the single-writer
+    lock (:func:`snapshot_writer_lock`), so no in-progress writer can
+    be mid-write into a ``v>current`` directory while we prune it; a
+    concurrent committer instead sees :class:`ConcurrentWriterError`
+    from its own lock acquisition. Leftover pointer temp files from
+    crashed swaps are cleaned opportunistically.
+
+    Returns the sorted list of removed version numbers.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    pins = set(pinned or ())
+    removed: list[int] = []
+    with snapshot_writer_lock(path, stale_sec=stale_sec):
+        cur = snapshot_current_version(path)
+        if cur == 0:
+            return []
+        keep_floor = cur - keep_last + 1
+        for e in os.listdir(path):
+            if e.startswith("_current.tmp."):
+                try:
+                    os.unlink(os.path.join(path, e))
+                except OSError:
+                    pass
+                continue
+            if not (e.startswith("v=") and e[2:].isdigit()):
+                continue
+            v = int(e[2:])
+            if v == cur or v in pins:
+                continue
+            if v > cur or v < keep_floor:
+                shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+                removed.append(v)
+    return sorted(removed)
+
+
 def snapshot_read(spark, path: str, version: int | None = None) -> DataFrame:
     """Read the current snapshot, or time-travel to ``version``."""
     v = version if version is not None else snapshot_current_version(path)
@@ -248,51 +303,52 @@ class ConcurrentWriterError(RuntimeError):
 
 @contextmanager
 def snapshot_writer_lock(path: str, stale_sec: float = 3600.0):
-    """Single-writer enforcement for snapshot tables: an O_EXCL lock
-    file under the table path. The snapshot design is single-writer
-    (the commit-log/conflict-detection layer is what Delta/Iceberg
-    add); without detection a second writer could race the version
-    numbering and pointer swap — this makes that a loud
-    :class:`ConcurrentWriterError` instead of a silent corruption.
+    """Single-writer enforcement for snapshot tables: an exclusive
+    ``flock`` on a persistent lock file under the table path. The
+    snapshot design is single-writer (the commit-log/conflict-detection
+    layer is what Delta/Iceberg add); without detection a second writer
+    could race the version numbering and pointer swap — this makes
+    that a loud :class:`ConcurrentWriterError` instead of a silent
+    corruption.
 
-    Crash recovery: a writer that died leaves its lock behind; locks
-    older than ``stale_sec`` are broken (single takeover attempt). A
-    crashed writer never corrupts committed state either way — it only
-    leaves an orphan v-directory the next version skips.
+    Why flock and not an O_EXCL-create + mtime-staleness protocol: the
+    kernel ties the lock to the process, so a crashed writer's lock is
+    released AUTOMATICALLY — no staleness heuristic, and therefore no
+    TOCTOU takeover race (two breakers that both judge a lock stale
+    can otherwise unlink/rename each other's freshly created lock and
+    BOTH proceed; path-based breaking cannot distinguish the stale
+    inode from a fresh one). The round-6 concurrency test drives 8
+    contenders at a crashed writer's leftover file and asserts exactly
+    one winner.
+
+    The lock file itself is deliberately never unlinked: removing it
+    on release reintroduces the classic flock-unlink race (A opens the
+    file, B unlinks it and creates a new one, A locks the orphaned
+    inode while C locks the new file — two holders). A zero-byte
+    ``_writer_lock`` at rest is the correct steady state.
+
+    ``stale_sec`` is retained for API compatibility but unused: crash
+    release is kernel-side. Scope: flock coordinates writers on ONE
+    host (or a correctly-configured NFSv4 mount); multi-host writers
+    need a real table format's commit log — documented out of scope.
     """
+    del stale_sec  # crash recovery is kernel-side now
+    import fcntl
+
     os.makedirs(path, exist_ok=True)
     lock = os.path.join(path, "_writer_lock")
-    acquired = False
-    for attempt in (0, 1):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(f"pid={os.getpid()}\n")
-            acquired = True
-            break
-        except FileExistsError:
-            try:
-                age = time.time() - os.path.getmtime(lock)
-            except OSError:
-                continue  # holder released between check and stat; retry
-            if attempt == 0 and age > stale_sec:
-                # stale lock from a crashed writer — break it once
-                try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
-                continue
-            raise ConcurrentWriterError(
-                f"another writer holds {lock} (age {age:.0f}s); snapshot "
-                "tables are single-writer — serialize commits or use a "
-                "table format with a commit log"
-            )
-    if not acquired:
-        raise ConcurrentWriterError(f"could not acquire {lock}")
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError as e:
+            raise ConcurrentWriterError(
+                f"another writer holds {lock}; snapshot tables are "
+                "single-writer — serialize commits or use a table "
+                "format with a commit log"
+            ) from e
+        os.ftruncate(fd, 0)
+        os.write(fd, f"pid={os.getpid()} t={time.time():.0f}\n".encode())
         yield
     finally:
-        try:
-            os.unlink(lock)
-        except OSError:
-            pass
+        os.close(fd)  # closing the fd releases the flock

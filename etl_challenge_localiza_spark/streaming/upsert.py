@@ -142,8 +142,18 @@ def run_streaming_snapshot_cdc(
     snapshot version behind the atomic pointer, so concurrent readers
     always see a complete committed state (never a half-applied
     batch), historical versions remain time-travel readable, and a
-    crash between batches leaves the last committed version live; on
-    restart the checkpoint replays only unprocessed batches.
+    crash between batches leaves the last committed version live.
+
+    Replay scope: the stream checkpoint lives with the ephemeral
+    staging dir, so "resume from where it stopped" covers query
+    restarts WITHIN one invocation only. A whole NEW invocation
+    restages the source under fresh paths and replays every batch into
+    the still-existing snapshot table — the per-key argmax apply is
+    idempotent, so the final state stays correct, but version history
+    inflates by one version per replayed batch (bound it with
+    ``sources.sinks.snapshot_vacuum``). A production deployment would
+    point both the source and ``checkpointLocation`` at durable
+    storage next to ``table_path``, which makes cross-run resume real.
 
     Because the per-key argmax merge is batch-order independent, the
     FINAL version equals the batch latest-event-per-user table under

@@ -146,3 +146,34 @@ def test_split_sum_property_random_money(spark):
             for v in vals
         )
         assert got["total"] == float(dec_sum), (idx, got["total"], dec_sum)
+
+
+def test_split_sum_signed_values_exact(spark):
+    """Round-6 ADVICE fix: the pmod/floor-div decomposition makes
+    split_sum exact for SIGNED money (refunds/adjustments), where the
+    old truncate-toward-zero div/% pair silently mis-reconstructed
+    negatives. hi*2^20 + lo == u must hold per row for any sign."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    cases = [
+        [-0.01, 0.01],                       # cancels to zero
+        [-105_000.00] * 1000,                # all-negative bulk
+        [-2.675, 2.675, -0.005, 0.005],      # signed half-up boundaries
+        [float(f"{'-' if i % 3 else ''}{(i * 97) % 100000}.{i % 100:02d}")
+         for i in range(2000)],              # mixed-sign stream
+        [-1048576.01, 1.23],                 # straddles the 2^20 split
+    ]
+    for idx, vals in enumerate(cases):
+        df = spark.createDataFrame([(v,) for v in vals], "amount double")
+        got = (
+            df.select(money_unscaled("amount").alias("u"))
+            .groupBy()
+            .agg(*split_sum("u", "t"))
+            .select(split_total("t", 2).alias("total"))
+            .collect()[0]
+        )
+        dec_sum = sum(
+            Decimal(str(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP)
+            for v in vals
+        )
+        assert got["total"] == float(dec_sum), (idx, got["total"], dec_sum)

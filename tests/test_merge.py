@@ -183,10 +183,13 @@ def test_merge_null_delete_flag_is_not_a_delete(spark):
 
 
 def test_snapshot_merge_detects_concurrent_writer(spark, tmp_path):
-    """Single-writer enforcement: a live lock raises loudly; a stale
-    lock from a crashed writer is broken and the commit proceeds."""
+    """Single-writer enforcement: a LIVE writer (holding the flock)
+    makes a second commit raise loudly; a crashed writer's leftover
+    lock file is NOT a lock (the kernel released the flock with the
+    dead process), so the next commit proceeds without any staleness
+    heuristic."""
+    import fcntl
     import os
-    import time as _t
 
     import pytest as _pytest
 
@@ -199,19 +202,132 @@ def test_snapshot_merge_detects_concurrent_writer(spark, tmp_path):
     path = str(tmp_path / "tbl")
     df = spark.createDataFrame([(1, "a")], ["id", "name"])
     snapshot_merge(spark, path, df, key="id")
-    assert not os.path.exists(os.path.join(path, "_writer_lock"))  # released
-
     lock = os.path.join(path, "_writer_lock")
-    open(lock, "w").write("pid=other\n")
-    with _pytest.raises(ConcurrentWriterError, match="another writer"):
-        snapshot_merge(spark, path, df, key="id")
+    # the lock FILE persists at rest (unlink-on-release is the classic
+    # flock race); what matters is that the flock itself was released
+    assert os.path.exists(lock)
 
-    # stale (crashed) writer: age the lock past the threshold
-    old = _t.time() - 7200
-    os.utime(lock, (old, old))
+    # live writer: hold the flock on a separate fd (distinct open file
+    # description — same contention as another process)
+    fd = os.open(lock, os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with _pytest.raises(ConcurrentWriterError, match="another writer"):
+            snapshot_merge(spark, path, df, key="id")
+    finally:
+        os.close(fd)
+
+    # crashed writer: fd closed (process death releases the flock) but
+    # the file remains — the next commit must just proceed
     v = snapshot_merge(
         spark, path, spark.createDataFrame([(2, "b")], ["id", "name"]), key="id"
     )
     assert v == 2
     assert {r["id"] for r in snapshot_read(spark, path).collect()} == {1, 2}
-    assert not os.path.exists(lock)
+
+
+def test_snapshot_vacuum_retention_and_pins(spark, tmp_path):
+    """Vacuum removes only unpinned/expired versions: the current
+    version and the keep_last window always survive, a pinned old
+    version survives a vacuum that would expire it, and crashed-writer
+    orphans above the pointer are pruned."""
+    import os
+
+    from etl_challenge_localiza_spark.sources.sinks import (
+        snapshot_read,
+        snapshot_vacuum,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "tbl")
+    for i in range(1, 6):  # versions 1..5
+        snapshot_write(
+            spark, spark.createDataFrame([(i, f"v{i}")], ["id", "tag"]), path
+        )
+    # fake a crashed-writer orphan above the pointer + a leftover tmp
+    os.makedirs(os.path.join(path, "v=9"))
+    open(os.path.join(path, "_current.tmp.9"), "w").write("9")
+
+    # a reader pinned to v2 is still scanning it
+    removed = snapshot_vacuum(path, keep_last=2, pinned={2})
+    assert removed == [1, 3, 9]  # v2 pinned, v4+v5 in window, orphan v9 gone
+    assert not os.path.exists(os.path.join(path, "_current.tmp.9"))
+    # the pinned reader's version is intact and readable
+    assert snapshot_read(spark, path, version=2).count() == 1
+    # current state untouched
+    assert {r["id"] for r in snapshot_read(spark, path).collect()} == {5}
+    # unpin and vacuum again: v2 and v3-already-gone; only v2 falls now
+    assert snapshot_vacuum(path, keep_last=2) == [2]
+    assert sorted(
+        e for e in os.listdir(path) if e.startswith("v=")
+    ) == ["v=4", "v=5"]
+
+
+def test_snapshot_vacuum_blocked_by_live_writer(tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.sources.sinks import (
+        ConcurrentWriterError,
+        snapshot_vacuum,
+        snapshot_writer_lock,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    with snapshot_writer_lock(path):
+        with _pytest.raises(ConcurrentWriterError):
+            snapshot_vacuum(path, keep_last=1)
+
+
+def test_crashed_writer_takeover_single_winner(tmp_path):
+    """TOCTOU guard: many writers race at a crashed writer's leftover
+    lock file; kernel flock arbitration admits exactly one winner —
+    the rest get ConcurrentWriterError. (The old mtime-staleness
+    protocol failed exactly this test: two breakers could unlink each
+    other's fresh locks and both proceed.)"""
+    import os
+    import threading
+    import time as _t
+
+    from etl_challenge_localiza_spark.sources.sinks import (
+        ConcurrentWriterError,
+        snapshot_writer_lock,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    lock = os.path.join(path, "_writer_lock")
+    open(lock, "w").write("pid=crashed\n")  # no flock held: crashed
+    old = _t.time() - 7200
+    os.utime(lock, (old, old))
+
+    barrier = threading.Barrier(8)
+    holders, denied = [], []
+    hold = threading.Event()
+
+    def contender(i):
+        barrier.wait()
+        try:
+            with snapshot_writer_lock(path):
+                holders.append(i)
+                hold.wait(timeout=10)  # stay inside while others race
+        except ConcurrentWriterError:
+            denied.append(i)
+
+    threads = [threading.Thread(target=contender, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    # wait until every contender has either acquired or been denied
+    deadline = _t.time() + 10
+    while len(holders) + len(denied) < 8 and _t.time() < deadline:
+        _t.sleep(0.01)
+    hold.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert len(holders) == 1, f"expected one lock holder, got {holders}"
+    assert len(denied) == 7
+    # the flock is released: a fresh acquisition succeeds immediately
+    with snapshot_writer_lock(path):
+        pass
