@@ -5802,3 +5802,118 @@ def q_multimodal_audio_decode(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_audio_features(synthetic_wav_assets(docs))
+
+
+# ---------------------------------------------------------------------------
+# substring-level cross-doc dedup (ExactSubstr, Lee et al. 2022) — round 6
+# ---------------------------------------------------------------------------
+
+_SUBSTR_W = 20  # sized to this corpus's 10-99-token docs; production: 50
+
+_SUBSTR_WINS = f"""
+toks as (select doc_id, {SQL_TOKS} as t from documents),
+wins as (
+  select doc_id, i as start_pos,
+         md5(array_to_string(t[i:i+{_SUBSTR_W - 1}], ' ')) as wkey
+  from toks, unnest(range(1, len(t) - {_SUBSTR_W - 2})) as u(i)
+),
+flagged as (
+  select doc_id, start_pos,
+         count(distinct doc_id) over (partition by wkey) as n_docs,
+         row_number() over (partition by wkey order by doc_id, start_pos) as rn
+  from wins
+)"""
+
+
+def _substr_islands_sql(source: str) -> str:
+    """Gaps-and-islands SQL over an occurrence CTE ``source``
+    (doc_id, start_pos) — merges equal-width windows into maximal
+    spans, mirroring operators.substring._merge_islands."""
+    return f"""
+isl as (
+  select doc_id, start_pos,
+         sum(case when prev is null or start_pos > prev + {_SUBSTR_W}
+                  then 1 else 0 end)
+           over (partition by doc_id order by start_pos
+                 rows unbounded preceding) as island
+  from (select doc_id, start_pos,
+               lag(start_pos) over (partition by doc_id order by start_pos)
+                 as prev
+        from {source})
+),
+spans as (
+  select doc_id, island,
+         min(start_pos) as span_start,
+         max(start_pos) + {_SUBSTR_W - 1} as span_end,
+         count(*) as n_windows
+  from isl group by doc_id, island
+)"""
+
+
+@register(
+    "substring_dedup_spans",
+    oracle=f"""
+with {_SUBSTR_WINS},
+rep as (select doc_id, start_pos from flagged where n_docs >= 2),
+{_substr_islands_sql("rep")}
+select cast(doc_id as bigint) as doc_id,
+       cast(span_start as bigint) as span_start,
+       cast(span_end as bigint) as span_end,
+       cast(n_windows as bigint) as n_windows
+from spans
+""",
+    headline=True,
+)
+def q_substring_dedup_spans(spark, sf_dir):
+    """Maximal cross-document repeated substrings (ExactSubstr
+    diagnostic surface): every token range covered by 20-token windows
+    appearing verbatim in >= 2 documents. Portable mode (md5 window
+    keys) so the DuckDB oracle value-checks the whole pipeline; the
+    xxhash64 fast path is asserted equal in tests/test_substring.py."""
+    from .operators.substring import repeated_substring_spans
+
+    return repeated_substring_spans(
+        load_table(spark, sf_dir, "documents"), w=_SUBSTR_W, hash_mode="portable"
+    )
+
+
+@register(
+    "substring_scrub_keep_first",
+    oracle=f"""
+with {_SUBSTR_WINS},
+removable as (
+  select doc_id, start_pos from flagged where n_docs >= 2 and rn > 1
+),
+{_substr_islands_sql("removable")},
+pos_toks as (
+  select doc_id, p as pos, t[p] as tk
+  from toks, unnest(range(1, len(t) + 1)) as u(p)
+),
+kept as (
+  select pt.doc_id, pt.pos, pt.tk from pos_toks pt
+  where not exists (select 1 from spans s
+                    where s.doc_id = pt.doc_id
+                      and pt.pos between s.span_start and s.span_end)
+),
+reassembled as (
+  select doc_id, string_agg(tk, ' ' order by pos) as clean_text,
+         count(*) as n_kept
+  from kept group by doc_id
+)
+select cast(tk.doc_id as bigint) as doc_id,
+       coalesce(r.clean_text, '') as clean_text,
+       cast(len(tk.t) as bigint) as n_tokens,
+       cast(len(tk.t) - coalesce(r.n_kept, 0) as bigint) as n_removed
+from toks tk left join reassembled r on tk.doc_id = r.doc_id
+""",
+)
+def q_substring_scrub_keep_first(spark, sf_dir):
+    """ExactSubstr corpus rewrite: drop all-but-first occurrence of
+    every cross-doc duplicated 20-token run and reassemble survivors
+    in order (Lee et al. 2022 remove-all-but-one semantics, keeper =
+    the window group's (doc_id, start_pos) minimum)."""
+    from .operators.substring import scrub_repeated_substrings
+
+    return scrub_repeated_substrings(
+        load_table(spark, sf_dir, "documents"), w=_SUBSTR_W, hash_mode="portable"
+    )
