@@ -5917,3 +5917,33 @@ def q_substring_scrub_keep_first(spark, sf_dir):
     return scrub_repeated_substrings(
         load_table(spark, sf_dir, "documents"), w=_SUBSTR_W, hash_mode="portable"
     )
+
+
+@register(
+    "multimodal_image_headers",
+    oracle="""
+select cast(doc_id as bigint) as asset_id,
+       case cast(doc_id % 3 as int) when 0 then 'png'
+                                    when 1 then 'jpeg'
+                                    else 'gif' end as format,
+       cast(16 + doc_id % 50 as int) as width,
+       cast(9 + doc_id % 40 as int) as height,
+       8 as bit_depth,
+       3 as n_channels
+from documents
+""",
+)
+def q_multimodal_image_headers(spark, sf_dir):
+    """Header-only image metadata extraction (the cheap first pass of
+    multimodal curation): dimensions/bit depth/channels read straight
+    from PNG IHDR, the JPEG SOF marker walk, and the GIF logical
+    screen descriptor — no pixel decode, no codec. Assets cycle real
+    PNG (complete file, CRC-correct chunks) / JPEG marker stream /
+    GIF89a with closed-form dimensions the oracle states exactly."""
+    from .operators.multimodal import (
+        extract_image_headers,
+        synthetic_image_header_assets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_image_headers(synthetic_image_header_assets(docs))

@@ -258,3 +258,90 @@ def test_wav_truncated_chunk_refuses():
     # min-int16 samples must not overflow the abs computation
     _, _, _, _, amp = decode_wav(make_wav(1, 8000, [-32768] * 10))
     assert amp == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# round 6: header-only image metadata (PNG IHDR / JPEG SOF / GIF)
+# ---------------------------------------------------------------------------
+
+
+def test_parse_image_header_roundtrips():
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        make_gif,
+        make_jpeg_header,
+        make_png,
+        parse_image_header,
+    )
+
+    assert parse_image_header(make_png(33, 21)) == ("png", 33, 21, 8, 3)
+    assert parse_image_header(make_png(1, 1, bit_depth=16)) == ("png", 1, 1, 16, 3)
+    assert parse_image_header(make_jpeg_header(640, 480)) == ("jpeg", 640, 480, 8, 3)
+    assert parse_image_header(make_gif(17, 13)) == ("gif", 17, 13, 8, 3)
+
+
+def test_parse_image_header_jpeg_marker_walk_edges():
+    import struct
+
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        make_jpeg_header,
+        parse_image_header,
+    )
+
+    # SOF behind extra APPn/COM segments and a standalone RST marker
+    jpg = make_jpeg_header(99, 44)
+    soi, rest = jpg[:2], jpg[2:]
+    com = b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    padded = soi + com + b"\xff\xd0" + rest  # COM + standalone RST0
+    assert parse_image_header(padded) == ("jpeg", 99, 44, 8, 3)
+
+    # progressive SOF2 is a frame header too
+    sof2 = jpg.replace(b"\xff\xc0", b"\xff\xc2")
+    assert parse_image_header(sof2)[0] == "jpeg"
+
+    # DHT (C4) must NOT be mistaken for a frame header: a stream whose
+    # only Cx marker is C4 has no SOF
+    import pytest as _pytest
+
+    dht_only = jpg.replace(b"\xff\xc0", b"\xff\xc4")
+    with _pytest.raises(ValueError, match="no SOF"):
+        parse_image_header(dht_only)
+
+
+def test_parse_image_header_refuses_malformed():
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        PNG_SIG,
+        make_png,
+        parse_image_header,
+    )
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        parse_image_header(b"\x00\x01\x02\x03garbage")
+    # PNG whose first chunk is not IHDR
+    bad = PNG_SIG + make_png(5, 5)[8:].replace(b"IHDR", b"sRGB", 1)
+    with _pytest.raises(ValueError, match="IHDR"):
+        parse_image_header(bad)
+    # truncated JPEG: SOI then a cut-off segment
+    with _pytest.raises(ValueError):
+        parse_image_header(b"\xff\xd8\xff\xe0\x00")
+    # truncated GIF
+    with _pytest.raises(ValueError, match="truncated GIF"):
+        parse_image_header(b"GIF89a\x10\x00")
+
+
+def test_extract_image_headers_distributed(spark):
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        extract_image_headers,
+        synthetic_image_header_assets,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    out = {r["asset_id"]: r for r in
+           extract_image_headers(synthetic_image_header_assets(docs)).collect()}
+    assert len(out) == 30
+    for i in range(30):
+        r = out[i]
+        assert r["format"] == ("png", "jpeg", "gif")[i % 3]
+        assert (r["width"], r["height"]) == (16 + i % 50, 9 + i % 40)
+        assert (r["bit_depth"], r["n_channels"]) == (8, 3)
