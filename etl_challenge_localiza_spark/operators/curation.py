@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, tokens
+from ..functions.text import STOPWORDS, shingles, tokens
 
 # PII patterns shared by the scrubber and its tests. Kept RE2-safe
 # (no backrefs/lookaround) so the same pattern string runs verbatim in
@@ -176,4 +176,97 @@ def quality_gate(
             reason.alias("reason"),
             reason.isNull().alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring (round 6): fastText-style linear classifier
+# ---------------------------------------------------------------------------
+
+def default_quality_weights(d: int = 256) -> list[float]:
+    """Deterministic weight vector for the hashed-feature classifier:
+    w[j] = ((j*37) % 21 - 10) / 16. Every weight is an exact dyadic
+    rational (k/16, |k| <= 10), so per-document weight sums are EXACT
+    in double arithmetic regardless of accumulation order — the
+    property that makes the cross-engine oracle hash-match bit-for-bit
+    (a production deployment swaps in trained weights and keeps the
+    identical plan shape)."""
+    return [((j * 37) % 21 - 10) / 16.0 for j in range(d)]
+
+
+def hashed_feature_logit(
+    docs: DataFrame,
+    weights: list[float] | None = None,
+    bias: float = 0.125,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear quality classifier, pure JVM expressions:
+    logit(doc) = bias + mean over hashed n-gram features of w[bucket].
+
+    Features are unigrams + word bigrams; each feature hashes to one
+    of len(weights) buckets via the first two hex chars of md5 (the
+    engine-portable bucket trick — SQL mirrors it with
+    cast(concat('0x', substr(md5(x),1,2)) as int)). The weight vector
+    rides into the plan as a literal array — the broadcast-variable
+    pattern for model parameters: every executor evaluates the lookup
+    inside whole-stage codegen with ZERO shuffles and zero Python.
+    This is the learned upgrade of the heuristic ``quality_gate``: the
+    standard CCNet/fastText quality-filter shape (linear model over
+    hashed n-grams), minus the training loop (out of scope — weights
+    are an input). Emits (doc_id, n_feats, logit, model_pass).
+
+    The sigmoid is deliberately NOT applied: it is monotone, so gating
+    on the raw logit is equivalent — and exp() differs in final-ulp
+    between libm and the JVM, which would break exact cross-engine
+    verification for zero semantic gain.
+    """
+    weights = weights if weights is not None else default_quality_weights()
+    d = len(weights)
+    tok = tokens("text")
+    feats = F.concat(tok, shingles(tok, 2))
+    warr = F.array(*[F.lit(float(w)) for w in weights])
+    wsum = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.element_at(
+            warr,
+            (F.conv(F.substring(F.md5(x), 1, 2), 16, 10).cast("int") % d) + 1,
+        ),
+    )
+    n = F.size(feats)
+    logit = F.lit(bias) + F.when(n > 0, wsum / n).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n.cast("long").alias("n_feats"),
+        logit.alias("logit"),
+        (logit >= threshold).alias("model_pass"),
+    )
+
+
+def model_quality_gate(
+    docs: DataFrame,
+    weights: list[float] | None = None,
+    bias: float = 0.125,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Heuristic gate ∘ model gate — the production composition: cheap
+    rule-based rejection first (C4/Gopher rules), the learned score as
+    the final arbiter on rule-passing docs. ``reason`` keeps the
+    heuristic label, 'model_score' marks docs only the model rejects;
+    ``keep`` requires both. One doc_id-keyed join of two doc-level
+    frames (the model side is shuffle-free, the heuristic side carries
+    its one word-profile shuffle)."""
+    heur = quality_gate(docs)
+    model = hashed_feature_logit(docs, weights, bias, threshold)
+    return heur.join(model, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "n_tokens",
+        "logit",
+        F.coalesce(
+            F.col("reason"),
+            F.when(~F.col("model_pass"), F.lit("model_score")),
+        ).alias("reason"),
+        (F.col("keep") & F.col("model_pass")).alias("keep"),
     )

@@ -5947,3 +5947,93 @@ def q_multimodal_image_headers(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return extract_image_headers(synthetic_image_header_assets(docs))
+
+
+# shared SQL for the hashed-n-gram linear quality model (round 6):
+# bucket = first 2 md5 hex chars (0..255), weight = ((b*37)%21-10)/16
+# — exact dyadic weights, so the per-doc sum is order-independent and
+# bit-identical across engines; /n and +bias are single IEEE ops.
+_MODEL_LOGIT_SQL = f"""
+t as (select doc_id, lang, {SQL_TOKS} as toks from documents),
+f as (
+  select doc_id, lang,
+         list_concat(
+           toks,
+           list_transform(range(1, len(toks)),
+                          i -> concat(toks[i], ' ', toks[i + 1]))
+         ) as feats
+  from t
+),
+scored as (
+  select doc_id, lang,
+         cast(len(feats) as bigint) as n_feats,
+         0.125 + case when len(feats) > 0
+           then list_sum(list_transform(feats,
+                  x -> ((cast(concat('0x', substr(md5(x), 1, 2)) as int) % 256)
+                        * 37 % 21 - 10) / 16.0)) / len(feats)
+           else 0.0 end as logit
+  from f
+)"""
+
+
+@register(
+    "model_quality_scores",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL}
+select doc_id, n_feats, logit, logit >= 0.0 as model_pass
+from scored
+""",
+    headline=True,
+)
+def q_model_quality_scores(spark, sf_dir):
+    """Model-based quality scoring: fastText/CCNet-style linear
+    classifier over hashed unigram+bigram features with the weight
+    vector broadcast into the plan as a literal array — zero shuffles,
+    zero Python, whole-stage codegen end to end. Fixed dyadic weights
+    make the logit exact, so the oracle value-checks every score."""
+    from .operators.curation import hashed_feature_logit
+
+    return hashed_feature_logit(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "model_quality_gate",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL},
+base as (select doc_id, lang,
+                cast(len(toks) as bigint) as n_tokens,
+                cast(list_sum(list_transform(toks, x -> length(x))) as bigint) as sum_word_len,
+                cast(len(list_filter(toks, x -> list_contains({_SW}, x))) as bigint) as sw_hits
+         from t),
+wc as (select doc_id, w, count(*) as n
+       from (select doc_id, unnest({SQL_TOKS}) as w from documents)
+       group by doc_id, w),
+prof as (select doc_id, cast(max(n) as bigint) as max_count from wc group by doc_id),
+heur as (
+  select b.doc_id, b.lang, b.n_tokens,
+         case when b.n_tokens < 10 then 'too_short'
+              when b.n_tokens > 5000 then 'too_long'
+              when (cast(b.sum_word_len as double) / cast(b.n_tokens as double) < 2.0
+                    or cast(b.sum_word_len as double) / cast(b.n_tokens as double) > 12.0)
+                   then 'word_length'
+              when cast(b.sw_hits as double) / cast(b.n_tokens as double) < 0.05
+                   then 'low_stopword'
+              when cast(p.max_count as double) / cast(b.n_tokens as double) > 0.2
+                   then 'repetitive'
+              end as reason
+  from base b left join prof p using (doc_id)
+)
+select h.doc_id, h.lang, h.n_tokens, s.logit,
+       coalesce(h.reason,
+                case when s.logit < 0.0 then 'model_score' end) as reason,
+       h.reason is null and s.logit >= 0.0 as keep
+from heur h join scored s using (doc_id)
+""",
+)
+def q_model_quality_gate(spark, sf_dir):
+    """Heuristic ∘ model quality gate: C4/Gopher rules first, the
+    learned linear score as final arbiter — reason keeps the heuristic
+    label, 'model_score' marks model-only rejections."""
+    from .operators.curation import model_quality_gate
+
+    return model_quality_gate(load_table(spark, sf_dir, "documents"))

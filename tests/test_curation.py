@@ -86,3 +86,72 @@ def test_quality_gate_token_bounds(spark):
         _docs(spark, [(9, many, "en", "s", len(many))]), max_tokens=5000
     ).first()
     assert out["reason"] == "too_long"
+
+
+# ---------------------------------------------------------------------------
+# round 6: model-based quality scoring (hashed-n-gram linear classifier)
+# ---------------------------------------------------------------------------
+
+
+def _py_logit(text, weights, bias=0.125):
+    """Independent reimplementation: hashed unigram+bigram mean weight."""
+    import hashlib
+
+    toks = [t for t in text.lower().split(" ") if t]
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    if not feats:
+        return bias, 0
+    s = sum(
+        weights[int(hashlib.md5(f.encode()).hexdigest()[:2], 16) % len(weights)]
+        for f in feats
+    )
+    return bias + s / len(feats), len(feats)
+
+
+def test_hashed_feature_logit_matches_independent_computation(spark):
+    from etl_challenge_localiza_spark.operators.curation import (
+        default_quality_weights,
+        hashed_feature_logit,
+    )
+
+    w = default_quality_weights()
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "single"),
+        (2, "a a a a a a"),
+        (3, "Mixed CASE Tokens  with   double spaces"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in hashed_feature_logit(docs).collect()}
+    for did, text in rows:
+        want_logit, want_n = _py_logit(text, w)
+        assert out[did]["n_feats"] == want_n, did
+        # exact equality: dyadic weights → exact sums, one IEEE division
+        assert out[did]["logit"] == want_logit, did
+        assert out[did]["model_pass"] == (want_logit >= 0.0)
+
+
+def test_model_quality_gate_precedence(spark):
+    """Heuristic reasons take precedence; 'model_score' labels docs
+    ONLY the model rejects; keep requires both gates."""
+    from etl_challenge_localiza_spark.operators.curation import model_quality_gate
+
+    # doc 0 fails the heuristic (too_short: < 10 tokens); with a
+    # uniformly negative weight vector every doc fails the model
+    neg_w = [-1.0] * 256
+    docs = spark.createDataFrame(
+        [
+            (0, "tiny doc", "en"),
+            (1, "the and of a " * 5 + "one two three four five six seven", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r for r in model_quality_gate(docs, weights=neg_w).collect()}
+    assert out[0]["reason"] == "too_short" and not out[0]["keep"]
+    assert out[1]["reason"] == "model_score" and not out[1]["keep"]
+
+    # with a uniformly positive vector, doc 1 passes both gates
+    pos_w = [1.0] * 256
+    out2 = {r["doc_id"]: r for r in model_quality_gate(docs, weights=pos_w).collect()}
+    assert out2[1]["reason"] is None and out2[1]["keep"]
+    assert out2[0]["reason"] == "too_short"  # heuristic label unchanged
