@@ -16,6 +16,8 @@ GraphFrames uses underneath.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -32,6 +34,58 @@ except ImportError:  # pragma: no cover (Spark Connect: no py4j)
 #: exceptions a conf get/set/unset can raise: structured pyspark errors
 #: (missing key, static conf) or a raw py4j bridge error.
 _CONF_ERRORS = (PySparkException, Py4JError)
+
+
+@contextmanager
+def iterative_loop_confs(spark, n_rows: int, rows_per_partition: int = 1_000_000):
+    """Shared sizing policy for driver-sequenced fixpoint loops
+    (connected components, PageRank): narrow the shuffle width to the
+    REDUCED loop data (one partition per ~1M rows, capped at the
+    session setting, floor 1) and suspend AQE for the loop's duration
+    — iterating tiny cached joins at full width under AQE costs
+    ~1-2 s/round in re-planning + task dispatch alone (profiled round
+    5). At 10^9+ rows the loop keeps full width.
+
+    Narrows SESSION-GLOBAL confs and restores them on exit; assumes no
+    concurrent query shares the SparkSession (the engine's batch entry
+    points are single-threaded per session by design — multi-tenant
+    callers should isolate via spark.newSession()).
+    """
+
+    def _get_conf(key):
+        try:
+            return spark.conf.get(key)
+        except _CONF_ERRORS:
+            return None
+
+    old_parts = _get_conf("spark.sql.shuffle.partitions")
+    old_aqe = _get_conf("spark.sql.adaptive.enabled")
+    try:
+        # the conf can hold a non-numeric value on some platforms
+        # (e.g. "auto" under certain AQE distros) — fall back to 16
+        session_width = int(old_parts) if old_parts else 16
+    except ValueError:
+        session_width = 16
+    loop_parts = max(1, min(session_width, n_rows // rows_per_partition))
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        yield loop_parts
+    finally:
+        # restore caller confs (set back the saved value, or unset to
+        # the session default when the old value was unreadable — never
+        # force-set a guessed number, and never leave AQE disabled)
+        for key, old in (
+            ("spark.sql.shuffle.partitions", old_parts),
+            ("spark.sql.adaptive.enabled", old_aqe),
+        ):
+            try:
+                if old is not None:
+                    spark.conf.set(key, old)
+                else:
+                    spark.conf.unset(key)
+            except _CONF_ERRORS:
+                pass
 
 
 def connected_components(
@@ -62,105 +116,67 @@ def connected_components(
     spark = edges.sparkSession
     # materialize the edge cache FIRST (under the caller's tuned confs —
     # this runs the full upstream pair-finding pipeline), then size the
-    # fixpoint loop to the REDUCED data: near-dup edge lists are orders
-    # of magnitude smaller than the corpus, and iterating tiny cached
-    # joins at full shuffle width under AQE costs ~1-2 s/round in
-    # re-planning + task dispatch alone (profiled round 5: 3 rounds on
-    # a 12-edge graph took 6.5 s at width 16 with AQE, 0.9 s at width 1
-    # without). One partition per ~1M edges, capped at the session
-    # setting, floor 1 — at 10^9+ edges the loop keeps full width.
+    # fixpoint loop to the REDUCED data via the shared policy
+    # (:func:`iterative_loop_confs`): near-dup edge lists are orders of
+    # magnitude smaller than the corpus.
     n_edges = both.count()
-
-    def _get_conf(key):
-        try:
-            return spark.conf.get(key)
-        except _CONF_ERRORS:
-            return None
-
-    old_parts = _get_conf("spark.sql.shuffle.partitions")
-    old_aqe = _get_conf("spark.sql.adaptive.enabled")
-    try:
-        # the conf can hold a non-numeric value on some platforms
-        # (e.g. "auto" under certain AQE distros) — fall back to 16
-        session_width = int(old_parts) if old_parts else 16
-    except ValueError:
-        session_width = 16
-    loop_parts = max(1, min(session_width, n_edges // 1_000_000))
     cached = labels  # the cached frame backing the current labels view
-    # NOTE: the loop narrows SESSION-GLOBAL confs (shuffle width, AQE)
-    # for its duration and restores them in the finally. That assumes
-    # no concurrent query shares this SparkSession during the loop —
-    # the engine's batch entry points are single-threaded per session
-    # by design. A multi-tenant caller should run components on
-    # spark.newSession() to isolate the conf scope.
     try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        for _ in range(max_iter):
-            neighbor_min = (
-                both.join(labels, both["b"] == labels["node"])
-                .groupBy(F.col("a").alias("node"))
-                .agg(F.min("component").alias("nbr_min"))
-            )
-            # carry the OLD label through the update so convergence
-            # detection is a filter over this round's cached frame
-            # instead of a second labels⋈labels join per iteration
-            stepped = (
-                labels.join(neighbor_min, "node", "left")
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                    ).alias("component"),
-                    F.col("component").alias("__prev"),
+        with iterative_loop_confs(spark, n_edges):
+            for _ in range(max_iter):
+                neighbor_min = (
+                    both.join(labels, both["b"] == labels["node"])
+                    .groupBy(F.col("a").alias("node"))
+                    .agg(F.min("component").alias("nbr_min"))
                 )
-                .cache()
-            )
-            changed = (
-                stepped.filter(F.col("component") != F.col("__prev"))
-                .limit(1)
-                .count()
-            )
-            cached.unpersist()
-            cached = stepped
-            labels = stepped.select("node", "component")
-            if changed == 0:
-                break
-        else:
-            # fell out of the loop with labels still moving: a component
-            # whose diameter exceeds max_iter would get WRONG (split)
-            # labels — refuse to return silently-unconverged results.
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                "iterations (a component's diameter exceeds max_iter); "
-                "raise max_iter"
-            )
-        # hand back a LINEAGE-FREE frame: a returned cache entry would
-        # otherwise be pinned forever (CacheManager entries don't GC —
-        # the round-4 advisory's leak class), and downstream consumers
-        # would drag the whole iterative join lineage into their plans.
-        # localCheckpoint materializes the bounded (node, component)
-        # set into ContextCleaner-managed blocks; on a real cluster an
-        # executor loss would need reliable checkpoint() instead — the
-        # result is ≤|V| rows either way, the cheapest frame in the
-        # whole computation to persist.
-        return labels.localCheckpoint(eager=True)
+                # carry the OLD label through the update so convergence
+                # detection is a filter over this round's cached frame
+                # instead of a second labels⋈labels join per iteration
+                stepped = (
+                    labels.join(neighbor_min, "node", "left")
+                    .select(
+                        "node",
+                        F.least(
+                            F.col("component"),
+                            F.coalesce("nbr_min", F.col("component")),
+                        ).alias("component"),
+                        F.col("component").alias("__prev"),
+                    )
+                    .cache()
+                )
+                changed = (
+                    stepped.filter(F.col("component") != F.col("__prev"))
+                    .limit(1)
+                    .count()
+                )
+                cached.unpersist()
+                cached = stepped
+                labels = stepped.select("node", "component")
+                if changed == 0:
+                    break
+            else:
+                # fell out of the loop with labels still moving: a
+                # component whose diameter exceeds max_iter would get
+                # WRONG (split) labels — refuse to return silently-
+                # unconverged results.
+                raise RuntimeError(
+                    f"connected_components did not converge in {max_iter} "
+                    "iterations (a component's diameter exceeds max_iter); "
+                    "raise max_iter"
+                )
+            # hand back a LINEAGE-FREE frame: a returned cache entry
+            # would otherwise be pinned forever (CacheManager entries
+            # don't GC — the round-4 advisory's leak class), and
+            # downstream consumers would drag the whole iterative join
+            # lineage into their plans. localCheckpoint materializes the
+            # bounded (node, component) set into ContextCleaner-managed
+            # blocks; on a real cluster an executor loss would need
+            # reliable checkpoint() instead — the result is ≤|V| rows
+            # either way, the cheapest frame in the whole computation to
+            # persist.
+            return labels.localCheckpoint(eager=True)
     finally:
-        # restore caller confs (set back the saved value, or unset to
-        # the session default when the old value was unreadable — never
-        # force-set a guessed number, and never leave AQE disabled),
-        # then release the last round's cache (the checkpoint has
-        # already read it) and the edge frame, on success AND failure
-        for key, old in (
-            ("spark.sql.shuffle.partitions", old_parts),
-            ("spark.sql.adaptive.enabled", old_aqe),
-        ):
-            try:
-                if old is not None:
-                    spark.conf.set(key, old)
-                else:
-                    spark.conf.unset(key)
-            except _CONF_ERRORS:
-                pass
+        # release the last round's cache (the checkpoint has already
+        # read it) and the edge frame, on success AND failure
         cached.unpersist()
         both.unpersist()

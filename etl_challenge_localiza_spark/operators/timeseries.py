@@ -78,3 +78,71 @@ def rolling_daily_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
         F.col("rev").cast("double").alias("day_revenue"),
         F.sum("rev").over(w).cast("double").alias(f"rolling_{days}d_revenue"),
     )
+
+
+def rolling_interval_exact(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Trailing-interval count + exact decimal sum per event, as the
+    DIFFERENCE OF TWO ADD-ONLY PREFIX FRAMES instead of one sliding
+    RANGE frame.
+
+    Why: ``rangeBetween(-interval, 0)`` has a moving LOWER bound, so
+    Spark's SlidingWindowFunctionFrame must re-aggregate the frame
+    whenever rows fall out (count/sum have no retract path) — O(rows x
+    frame size) per partition, the one near-linear scaler in the
+    round-5 relscale experiment (x16.5 wall at x30 data). Both frames
+    here keep the lower bound PINNED at unboundedPreceding — one with
+    upper bound 0, one with upper bound -(interval+1) µs — so each is
+    an add-only UnboundedPrecedingWindowFunctionFrame: O(rows) total,
+    independent of event density. Same single shuffle on ``key``, same
+    sort, two accumulators instead of one; and
+
+        rolling(t) = prefix(t) - prefix(t - interval - 1µs)
+
+    is EXACT because both prefixes accumulate in decimal — the
+    difference is the same rational as the direct frame sum, so the
+    final double cast is bit-identical to the sliding-frame plan (and
+    to a SQL oracle's RANGE window). Range frames are tie-insensitive
+    in both formulations, so ties need no tiebreak.
+
+    Emits the input row plus (__n_trail, __sum_trail) for the caller
+    to alias; ``__sum_trail`` is decimal — cast it as needed.
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    val = F.col(value_col).cast("decimal(12,2)")
+    # Pin the window shuffle to the session width with an EXPLICIT
+    # keyed repartition (AQE honors user repartitions). Without it,
+    # AQE's byte-based partition coalescing packs the shuffle into
+    # ~64MB partitions — profiled at x30 relscale data: 3M rows
+    # coalesced to 2 partitions, serializing the CPU-heavy window
+    # (sort + two frame accumulators per row) onto 2 of 32 cores.
+    # Windows are CPU-bound per row, not byte-bound, so advisory-size
+    # coalescing is the wrong policy for this exchange; the explicit
+    # repartition already satisfies the window's required
+    # distribution, so no second exchange is added.
+    try:
+        width = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        width = events.sparkSession.sparkContext.defaultParallelism
+    events = events.repartition(width, key)
+    base = Window.partitionBy(key).orderBy(ts_us)
+    w_cum = base.rangeBetween(Window.unboundedPreceding, 0)
+    w_before = base.rangeBetween(Window.unboundedPreceding, -(interval_us + 1))
+    return events.select(
+        "*",
+        (
+            F.count(F.lit(1)).over(w_cum)
+            - F.coalesce(F.count(F.lit(1)).over(w_before), F.lit(0))
+        ).alias("__n_trail"),
+        (
+            F.sum(val).over(w_cum)
+            - F.coalesce(
+                F.sum(val).over(w_before), F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("__sum_trail"),
+    )

@@ -2355,27 +2355,22 @@ window w as (partition by user_id order by epoch_us(ts)
 """,
 )
 def q_user_rolling_hour_stats(spark, sf_dir):
-    """RANGE-frame window: per event, count + exact decimal sum of the
-    same user's events in the trailing hour (microsecond epoch range
-    frame). Range frames are tie-insensitive — all peers inside the
-    value range join the frame regardless of sort order — so the
-    result is deterministic and engine-portable. One shuffle on
-    user_id."""
-    from pyspark.sql import Window
+    """Trailing-hour count + exact decimal sum per event. Round 6
+    rewrite: instead of one sliding RANGE frame (moving lower bound →
+    Spark re-aggregates the frame per row, the x16.5-at-x30 scaler in
+    the r5 relscale table), the rolling stats are the difference of
+    two ADD-ONLY prefix frames — O(rows) regardless of event density,
+    same single shuffle on user_id, bit-identical results (decimal
+    prefixes make the difference exact). Oracle unchanged — it still
+    states the plain RANGE window."""
+    from .operators.timeseries import rolling_interval_exact
 
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "__ts_us", F.unix_micros(F.col("ts").cast("timestamp"))
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("__ts_us")
-        .rangeBetween(-3_600_000_000, 0)
-    )
-    return ev.select(
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_interval_exact(ev, interval_us=3_600_000_000).select(
         "event_id",
         "user_id",
-        F.count(F.lit(1)).over(w).cast("long").alias("n_last_hour"),
-        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("sum_last_hour"),
+        F.col("__n_trail").cast("long").alias("n_last_hour"),
+        F.col("__sum_trail").cast("double").alias("sum_last_hour"),
     )
 
 
@@ -5139,19 +5134,21 @@ limit 20
 """,
 )
 def q_pagerank_trade_graph(spark, sf_dir):
-    """PageRank (3 power iterations) over the customer↔supplier trade
-    graph — the second iterative-algorithm shape beside connected
-    components. Determinism across engines is engineered by running
-    the WHOLE iteration in scaled int64 fixed-point (ranks ×1e12,
-    floor division): no float accumulation order anywhere, so the
-    oracle's chained-CTE sweeps hash-match bit-for-bit.
+    """PageRank (up to 3 power iterations, early-stopped at the exact
+    fixpoint) over the customer↔supplier trade graph — the second
+    iterative shape beside connected components, now running through
+    ``operators.pagerank.pagerank_scaled``: scaled int64 fixed-point
+    sweeps (oracle hash-matches bit-for-bit), a scalar L1-delta
+    convergence check per sweep, and the shared loop partition-sizing
+    policy. Early stop is result-identical to the oracle's fixed 3
+    CTE sweeps because an integer fixpoint, once reached, reproduces
+    itself (pytest asserts the early-stop on a pre-converged graph).
 
     Scale shape: edges are distinct (custkey, suppkey) pairs (one
     dedup shuffle); each sweep is edges⋈ranks⋈outdeg + a hash
-    aggregate on dst — the standard message-passing join plan, with
-    the rank/outdeg frames co-keyed on src so AQE reuses the layout;
-    the driver only sequences a FIXED number of sweeps (no
-    data-dependent collect)."""
+    aggregate on dst — the standard message-passing join plan."""
+    from .operators.pagerank import pagerank_scaled
+
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     fwd = (
@@ -5162,64 +5159,22 @@ def q_pagerank_trade_graph(spark, sf_dir):
         )
         .distinct()
     )
-    edges = (
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .cache()  # loop-invariant, referenced by every sweep — same
-        # bounded-cache pattern as operators/components.py
-    )
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .cache()
-    )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ranks = nodes.select("id", F.lit(1_000_000_000_000).alias("r"))
-    try:
-        for _ in range(3):
-            contrib = (
-                edges.join(ranks.withColumnRenamed("id", "src"), "src")
-                .join(outdeg, "src")
-                .select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
-            )
-            summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
-            # 17*s in decimal(38,0): s is a sum of int64 contributions
-            # (DuckDB's sum(bigint) is already hugeint), so a hub node
-            # with in-flow past ~5.4e17 would overflow an int64
-            # multiply and silently diverge from the oracle; 128-bit
-            # headroom makes the fixed-point sweep safe at any graph
-            # mass a 100 TB edge set can produce.
-            new_ranks = nodes.join(summed, "id", "left").select(
-                "id",
-                (
-                    F.lit(150_000_000_000)
-                    + F.expr(
-                        "cast((17 * cast(coalesce(s, 0) as decimal(38,0))) div 20"
-                        " as bigint)"
-                    )
-                ).alias("r"),
-            ).cache()
-            new_ranks.count()  # materialize so the previous sweep can release
-            if ranks is not nodes:
-                ranks.unpersist()
-            ranks = new_ranks
-        # materialize the tiny final result so the invariant frames can
-        # be unpersisted without forcing a full lineage recompute later
-        top = (
-            ranks.orderBy(F.col("r").desc(), F.col("id"))
-            .limit(20)
-            .select(
-                F.col("id").cast("long").alias("node_id"),
-                F.col("r").cast("long").alias("rank_scaled"),
-            )
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    ranks, _ = pagerank_scaled(edges, max_sweeps=3)
+    # materialize the tiny final result (the ranks frame is already
+    # lineage-free; top-20 is a TakeOrderedAndProject)
+    top = (
+        ranks.orderBy(F.col("r").desc(), F.col("id"))
+        .limit(20)
+        .select(
+            F.col("id").cast("long").alias("node_id"),
+            F.col("r").cast("long").alias("rank_scaled"),
         )
-        rows = top.collect()
-        return spark.createDataFrame(rows, top.schema)
-    finally:
-        ranks.unpersist()
-        edges.unpersist()
-        nodes.unpersist()
+    )
+    rows = top.collect()
+    return spark.createDataFrame(rows, top.schema)
 
 
 @register(
