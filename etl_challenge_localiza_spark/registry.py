@@ -5992,3 +5992,197 @@ def q_model_quality_gate(spark, sf_dir):
     from .operators.curation import model_quality_gate
 
     return model_quality_gate(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "triangle_count_cosupply",
+    oracle="""
+with ps as (select distinct l_partkey, l_suppkey from lineitem),
+pn as (select ps.l_partkey, ps.l_suppkey, s.s_nationkey
+       from ps join supplier s on ps.l_suppkey = s.s_suppkey),
+edges as (select distinct a.l_suppkey as u, b.l_suppkey as v,
+                          a.s_nationkey as nk
+          from pn a join pn b
+            on a.l_partkey = b.l_partkey
+           and a.s_nationkey = b.s_nationkey
+           and a.l_suppkey < b.l_suppkey),
+tri as (select e1.u as a, e1.v as b, e2.v as c, e1.nk
+        from edges e1
+        join edges e2 on e1.v = e2.u
+        join edges e3 on e1.u = e3.u and e2.v = e3.v),
+e_cnt as (select nk, count(*) as n_edges from edges group by nk),
+t_cnt as (select nk, count(*) as n_triangles from tri group by nk)
+select n.n_name as nation,
+       cast(e_cnt.n_edges as bigint) as n_edges,
+       cast(coalesce(t_cnt.n_triangles, 0) as bigint) as n_triangles
+from e_cnt
+left join t_cnt using (nk)
+join nation n on n.n_nationkey = e_cnt.nk
+order by nation
+""",
+)
+def q_triangle_count_cosupply(spark, sf_dir):
+    """Triangle counting (operators/graph.py) over the same-nation
+    co-supply graph: suppliers are adjacent when they supply the same
+    part from the same nation (the nation block keeps co-occurrence
+    selective — unblocked co-supply is ~26 suppliers/part, a
+    quadratic clique per part). Output: per-nation edge + triangle
+    counts (edges never cross nations, so triangles don't either).
+
+    Scale shape: the Spark plan is DEGREE-ORDERED enumeration — each
+    edge oriented low→high (degree, id) rank, wedges built only from
+    oriented out-edges (out-degree O(sqrt m) per vertex regardless of
+    hub skew), closing edges checked with a left-semi join so no
+    triangle is double-counted and no fan-out survives the check. The
+    oracle's naive 3-way self-join is the same count but would melt on
+    a skewed graph; the oriented plan is the 100 TB shape. Exactly-once
+    per triangle holds under either (id- or rank-) ordering, so the
+    per-nation counts match."""
+    from .operators.graph import triangles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    pn = ps.join(
+        F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+        ps["l_suppkey"] == supp["s_suppkey"],
+    ).select("l_partkey", "l_suppkey", "s_nationkey")
+    a, b = pn.alias("a"), pn.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"),
+            F.col("b.l_suppkey").alias("v"),
+            F.col("a.s_nationkey").alias("nk"),
+        )
+        .distinct()
+    )
+    node_nation = pn.select(F.col("l_suppkey").alias("a"), "s_nationkey").distinct()
+    e_cnt = edges.groupBy("nk").agg(F.count(F.lit(1)).alias("n_edges"))
+    t_cnt = (
+        triangles(edges.select("u", "v"))
+        .join(node_nation, "a")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        e_cnt.join(t_cnt, "nk", "left")
+        .join(F.broadcast(nation), F.col("nk") == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+with wc as (
+  select doc_id, w, count(*) as n
+  from (select doc_id, unnest({SQL_TOKS}) as w from documents)
+  group by doc_id, w
+)
+select w as term,
+       cast(count(*) as bigint) as df,
+       cast(sum(n) as bigint) as tf,
+       array_to_string(list_slice(list(doc_id order by doc_id), 1, 5), ',')
+         as posting_head
+from wc
+group by w
+order by df desc, term
+limit 50
+""",
+)
+def q_inverted_index_postings(spark, sf_dir):
+    """Inverted-index build (the search/retrieval-side corpus op): for
+    the 50 highest-document-frequency terms, document frequency, total
+    term frequency, and the head of the sorted posting list. One
+    explode + two hash aggregations (map-side partial combine on both);
+    posting lists come from collect_list + sort_array — Spark's
+    collect_list order is partition-dependent, so the sort (and the
+    5-element slice) is what makes the output deterministic. At 100 TB
+    the per-term posting list itself can exceed executor memory, which
+    is why only the bounded head is materialized per term and the full
+    index would be written sorted-bucketed by term instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    posting = F.slice(F.sort_array(F.collect_list("doc_id")), 1, 5)
+    return (
+        wc.groupBy(F.col("w").alias("term"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("n").cast("long").alias("tf"),
+            F.array_join(
+                F.transform(posting, lambda x: x.cast("string")), ","
+            ).alias("posting_head"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+with kc as (select o_custkey as key, count(*) as c from orders group by 1),
+pct as (select quantile_cont(c, 0.50) as p50,
+               quantile_cont(c, 0.90) as p90,
+               quantile_cont(c, 0.99) as p99,
+               cast(max(c) as double) as mx
+        from kc),
+tops as (select key, c from kc order by c desc, key limit 5)
+select 'p50' as kind, cast(null as bigint) as key, p50 as value from pct
+union all
+select 'p90', cast(null as bigint), p90 from pct
+union all
+select 'p99', cast(null as bigint), p99 from pct
+union all
+select 'max', cast(null as bigint), mx from pct
+union all
+select 'top', key, cast(c as double) from tops
+order by kind, key nulls first
+""",
+)
+def q_key_skew_profile(spark, sf_dir):
+    """Shuffle-skew diagnostics — the operational primitive behind
+    every salting/AQE decision in this repo: the per-key row-count
+    distribution of a join/agg key (orders.o_custkey here) as p50/p90/
+    p99/max quantiles plus the 5 hottest keys. One hash aggregate over
+    the key, then a 1-row percentile aggregate + a top-5
+    TakeOrderedAndProject over the (already tiny) per-key counts —
+    reading the profile costs one shuffle of key cardinality, not data
+    volume, so it's cheap to run BEFORE committing to a partitioning
+    at 100 TB. Spark `percentile` and DuckDB `quantile_cont` are both
+    linear-interpolating → bit-identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    kc = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pct = kc.agg(
+        F.expr("percentile(c, 0.50)").alias("p50"),
+        F.expr("percentile(c, 0.90)").alias("p90"),
+        F.expr("percentile(c, 0.99)").alias("p99"),
+        F.max("c").cast("double").alias("mx"),
+    )
+    quant = pct.selectExpr(
+        "stack(4, 'p50', p50, 'p90', p90, 'p99', p99, 'max', mx) as (kind, value)"
+    ).select("kind", F.lit(None).cast("long").alias("key"), "value")
+    tops = (
+        kc.orderBy(F.col("c").desc(), "key")
+        .limit(5)
+        .select(F.lit("top").alias("kind"), "key", F.col("c").cast("double").alias("value"))
+    )
+    return quant.unionAll(tops).orderBy("kind", F.col("key").asc_nulls_first())
