@@ -130,16 +130,24 @@ def main() -> int:
         else:
             names.append(a)
 
+    import duckdb
+
     from etl_challenge_localiza_spark.registry import QUERIES
     from etl_challenge_localiza_spark.session import get_spark
-    from tests.oracle_harness import duck_con
+    from etl_challenge_localiza_spark.sources.readers import TESTDATA_TABLES
 
     spark = get_spark(app_name="sf1_bench")
     t0 = time.time()
     sf_dir = build_sf1(spark, factor)
     print(f"sf1 tier ready at {sf_dir} ({time.time() - t0:.0f}s)", file=sys.stderr)
 
-    con = duck_con(sf_dir)
+    # Spark writes each table as a DIRECTORY of part files; DuckDB
+    # needs the glob form for those (single files for the dims).
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"create view {t} as select * from '{src}'")
     con.execute("set threads to 32")
 
     headliners = [n for n, q in QUERIES.items() if q.headline and (not names or n in names)]
