@@ -270,3 +270,97 @@ def model_quality_gate(
         ).alias("reason"),
         (F.col("keep") & F.col("model_pass")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (round 6): data selection by hashed
+# n-gram importance resampling (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: Column | None = None,
+    d: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight: how much more likely
+    the doc's hashed n-gram features are under the TARGET distribution
+    (rows matching ``target``; default lang='en') than under the RAW
+    corpus distribution.
+
+    log w(x) = sum over features of [ln p_t(bucket) - ln p_r(bucket)]
+    with add-``alpha`` smoothed bucket unigram models over ``d``
+    md5-hashed unigram+bigram buckets (the same portable bucket trick
+    as hashed_feature_logit).
+
+    Determinism at scale: the per-bucket log-ratios are computed ONCE
+    (d rows), rounded to 1e-6 and scaled to int64; each doc's weight
+    is then an exact INTEGER sum over its features — associative, so
+    the result is independent of accumulation order, partitioning, and
+    engine (the float-sum nondeterminism a naive per-doc ln() sum
+    would have). One corpus-wide shuffle (bucket counts, map-side
+    combined to <= d rows per task), one driver collect of d model
+    rows (the IVF centroid-literal pattern, similarity.py:133), then a
+    shuffle-free whole-stage-codegen scoring pass with the scaled
+    table as a plan literal.
+
+    Emits (doc_id, n_feats, log_weight, target_leaning); resample by
+    keeping docs with the largest weights or sampling proportional to
+    exp(log_weight) downstream.
+    """
+    spark = docs.sparkSession
+    if target is None:
+        target = F.col("lang") == "en"
+    tok = tokens("text")
+    feats = F.concat(tok, shingles(tok, 2))
+
+    def bucket(x: Column) -> Column:
+        return F.conv(F.substring(F.md5(x), 1, 2), 16, 10).cast("int") % d
+
+    fdf = docs.select(
+        target.cast("int").alias("is_t"), F.explode(feats).alias("x")
+    ).select("is_t", bucket(F.col("x")).alias("b"))
+    rows = (
+        fdf.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("nr"), F.sum("is_t").alias("nt"))
+        .collect()
+    )
+    nr = {r["b"]: r["nr"] for r in rows}
+    nt = {r["b"]: r["nt"] for r in rows}
+    t_r = float(sum(nr.values()))
+    t_t = float(sum(nt.values()))
+    # the d-row model table: ln computed by the JVM (same ln the
+    # oracle's DuckDB evaluates — the bigram_lm_scores precedent),
+    # rounded+scaled to exact int64
+    cnt = spark.createDataFrame(
+        [(b, int(nr.get(b, 0)), int(nt.get(b, 0))) for b in range(d)],
+        "b int, nr long, nt long",
+    )
+    scaled = {
+        r["b"]: r["lrs"]
+        for r in cnt.select(
+            "b",
+            F.round(
+                (
+                    F.log((F.col("nt") + F.lit(alpha)) / F.lit(t_t + alpha * d))
+                    - F.log((F.col("nr") + F.lit(alpha)) / F.lit(t_r + alpha * d))
+                )
+                * F.lit(1e6)
+            )
+            .cast("long")
+            .alias("lrs"),
+        ).collect()
+    }
+    lrarr = F.array(*[F.lit(int(scaled[b])).cast("long") for b in range(d)])
+    wsum = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.element_at(lrarr, bucket(x) + 1),
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(feats).cast("long").alias("n_feats"),
+        (wsum.cast("double") / F.lit(1e6)).alias("log_weight"),
+        (wsum >= 0).alias("target_leaning"),
+    )

@@ -6186,3 +6186,53 @@ def q_key_skew_profile(spark, sf_dir):
         .select(F.lit("top").alias("kind"), "key", F.col("c").cast("double").alias("value"))
     )
     return quant.unionAll(tops).orderBy("kind", F.col("key").asc_nulls_first())
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+with t as (select doc_id, lang, {SQL_TOKS} as toks from documents),
+f as (select doc_id, lang,
+        list_concat(toks,
+          list_transform(range(1, len(toks)),
+                         i -> concat(toks[i], ' ', toks[i + 1]))) as feats
+      from t),
+fb as (select doc_id, lang,
+              unnest(list_transform(feats,
+                     x -> cast(concat('0x', substr(md5(x), 1, 2)) as int) % 256)) as b
+       from f),
+cnt as (select b, count(*) as nr,
+               sum(case when lang = 'en' then 1 else 0 end) as nt
+        from fb group by b),
+tot as (select cast(sum(nr) as double) as tr, cast(sum(nt) as double) as tt from cnt),
+lr as (select b,
+              cast(round((ln((nt + 1.0) / (tt + 256.0))
+                        - ln((nr + 1.0) / (tr + 256.0))) * 1000000.0) as bigint) as lrs
+       from cnt, tot),
+s as (select fb.doc_id, count(*) as n_feats, sum(lr.lrs) as ssum
+      from fb join lr using (b) group by fb.doc_id)
+select d.doc_id,
+       cast(coalesce(s.n_feats, 0) as bigint) as n_feats,
+       cast(coalesce(s.ssum, 0) as double) / 1000000.0 as log_weight,
+       coalesce(s.ssum, 0) >= 0 as target_leaning
+from documents d
+left join s using (doc_id)
+""",
+    headline=True,
+)
+def q_dsir_importance_weights(spark, sf_dir):
+    """DSIR importance weighting (Xie et al. 2023) — the standard
+    data-SELECTION primitive beside the quality-FILTER family: score
+    every document by how target-like its hashed n-gram features are
+    (target = the lang='en' slice here; in production, a trusted
+    high-quality corpus). Two-phase plan: one bucket-count shuffle
+    (<= 256 rows per task after map-side combine) fits the smoothed
+    target/raw unigram models, then a shuffle-free scoring pass with
+    the scaled log-ratio table as a plan literal. Per-doc weights are
+    exact int64 sums of 1e-6-scaled per-bucket log-ratios —
+    order-independent, so the oracle hash-matches despite ln() in the
+    pipeline (the 256 ln calls happen once per model row, not per
+    doc)."""
+    from .operators.curation import dsir_log_weights
+
+    return dsir_log_weights(load_table(spark, sf_dir, "documents"))

@@ -155,3 +155,70 @@ def test_model_quality_gate_precedence(spark):
     out2 = {r["doc_id"]: r for r in model_quality_gate(docs, weights=pos_w).collect()}
     assert out2[1]["reason"] is None and out2[1]["keep"]
     assert out2[0]["reason"] == "too_short"  # heuristic label unchanged
+
+
+def _py_dsir(rows, d=256, alpha=1.0, target_lang="en"):
+    """Independent DSIR reimplementation: smoothed hashed-bucket
+    unigram models, 1e-6-scaled integer log-ratio sums."""
+    import hashlib
+    import math
+
+    def feats(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:2], 16) % d
+
+    nr, nt = [0] * d, [0] * d
+    for _did, text, lang in rows:
+        for f in feats(text):
+            b = bucket(f)
+            nr[b] += 1
+            if lang == target_lang:
+                nt[b] += 1
+    tr, tt = float(sum(nr)), float(sum(nt))
+    lrs = [
+        round(
+            (
+                math.log((nt[b] + alpha) / (tt + alpha * d))
+                - math.log((nr[b] + alpha) / (tr + alpha * d))
+            )
+            * 1e6
+        )
+        for b in range(d)
+    ]
+    out = {}
+    for did, text, lang in rows:
+        fs = feats(text)
+        s = sum(lrs[bucket(f)] for f in fs)
+        out[did] = (len(fs), s / 1e6, s >= 0)
+    return out
+
+
+def test_dsir_matches_independent_computation(spark):
+    from etl_challenge_localiza_spark.operators.curation import dsir_log_weights
+
+    # target (en) docs share a distinctive vocabulary; the raw corpus
+    # mixes in de docs with their own — en-vocab docs must score high.
+    rows = [
+        (0, "clean careful prose about science and method", "en"),
+        (1, "clean careful prose about history and method", "en"),
+        (2, "der hund läuft schnell durch den wald heute", "de"),
+        (3, "die katze schläft gern in der warmen sonne", "de"),
+        (4, "clean careful prose der hund about method", "en"),
+        (5, "", "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in dsir_log_weights(docs).collect()}
+    want = _py_dsir(rows)
+    for did, (w_n, w_lw, w_lean) in want.items():
+        assert got[did]["n_feats"] == w_n, did
+        # scaled-int sums are exact; the only cross-impl risk is the
+        # final-ulp of ln() inside the 256 model rows → 1e-6 slack
+        assert abs(got[did]["log_weight"] - w_lw) <= 2e-6, did
+    # semantic sanity: pure-target docs outrank pure-source docs
+    assert got[0]["log_weight"] > got[2]["log_weight"]
+    assert got[1]["log_weight"] > got[3]["log_weight"]
+    # empty doc scores 0 with 0 features
+    assert got[5]["n_feats"] == 0 and got[5]["log_weight"] == 0.0
