@@ -1,0 +1,141 @@
+"""Distributed k-means (Lloyd) fit — the third iterative shape beside
+connected components and PageRank, and the trainer the IVF index
+(operators/similarity.py) presumes: `ivf_assign` quantizes against
+fixed seed centroids; `kmeans_fit` is the same assignment plan run to
+a fixpoint with a real update step.
+
+Exact fixed-point arithmetic end to end (the components/pagerank
+discipline): vectors are quantized ONCE to 1e-6-scaled int64, so
+
+- distances are exact integer sums (argmin has no float noise and an
+  explicit centroid-id tiebreak),
+- centroid updates are exact integer sums divided once per (cluster,
+  dim) with a deterministic round — identical in any engine, any
+  partitioning, any accumulation order.
+
+Per sweep: ZERO-shuffle assignment (the k x d centroid table rides
+into whole-stage codegen as an array-of-structs literal — model
+parameters, not data) + ONE shuffle of (cluster, dim, partial-sum)
+rows for the update, map-side combined to <= k*d rows per task
+regardless of input volume (the treeAggregate shape MLlib uses). The
+driver materializes k*d longs per sweep — independent of data size.
+
+Early termination: when an update leaves every centroid unchanged the
+fixpoint is exact (integer centroids reproduce their own assignment),
+so stopping is result-identical to running the remaining sweeps — the
+oracle's fixed unrolled CTE sweeps stay bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def scaled_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, v: array<long>) with v = round(embedding * 1e6)."""
+    return emb.select(
+        F.col("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(float(SCALE))).cast("long"),
+        ).alias("v"),
+    )
+
+
+def _centroid_literal(cents: list[tuple[int, list[int]]]) -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).alias("cid"),
+                F.array(*[F.lit(int(c)).cast("long") for c in vec]).alias("c"),
+            )
+            for cid, vec in cents
+        ]
+    )
+
+
+def _best(cents_lit: Column) -> Column:
+    """struct(dist2, cid) of the nearest centroid — array_min over
+    (exact int distance, centroid id) structs, so ties break to the
+    lowest centroid id, mirroring the oracle's row_number order."""
+    return F.array_min(
+        F.transform(
+            cents_lit,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("v"), s["c"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist2"),
+                s["cid"].alias("cid"),
+            ),
+        )
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame, k: int = 8, max_sweeps: int = 3
+) -> tuple[list[tuple[int, list[int]]], int]:
+    """Lloyd iterations from deterministic seeds (the first ``k``
+    vectors by vec_id — the IVF seed convention). Returns the final
+    scaled-int centroids and the number of sweeps actually run."""
+    vecs = scaled_vectors(emb)
+    seeds = vecs.filter(F.col("vec_id") < k).collect()
+    cents = sorted((int(r["vec_id"]), list(r["v"])) for r in seeds)
+    sweeps_run = 0
+    for _ in range(max_sweeps):
+        assigned = vecs.select("v", _best(_centroid_literal(cents)).alias("b"))
+        rows = (
+            assigned.select(F.col("b.cid").alias("cid"), F.posexplode("v").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(
+                F.round(F.sum("x") / F.count(F.lit(1))).cast("long").alias("cd")
+            )
+            .collect()
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in rows:
+            upd.setdefault(r["cid"], {})[r["d"]] = r["cd"]
+        # empty clusters keep their previous centroid
+        new = [
+            (cid, [upd[cid][d] for d in range(len(vec))] if cid in upd else vec)
+            for cid, vec in cents
+        ]
+        sweeps_run += 1
+        if new == cents:  # exact integer fixpoint — further sweeps are no-ops
+            break
+        cents = new
+    return cents, sweeps_run
+
+
+def kmeans_summary(emb: DataFrame, k: int = 8, max_sweeps: int = 3) -> DataFrame:
+    """Fit, then one final assignment pass summarized per cluster:
+    (centroid_id, n_members, inertia, c_checksum). Inertia is the
+    exact integer sum of scaled squared distances (decimal-summed,
+    cast to double once); the checksum pins every centroid coordinate
+    so the oracle value-checks the full model, not just the counts."""
+    spark = emb.sparkSession
+    cents, _ = kmeans_fit(emb, k, max_sweeps)
+    vecs = scaled_vectors(emb)
+    assigned = vecs.select(_best(_centroid_literal(cents)).alias("b"))
+    counts = assigned.groupBy(F.col("b.cid").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum(F.col("b.dist2").cast("decimal(38,0)")).cast("double").alias("inertia"),
+    )
+    model = spark.createDataFrame(
+        [(cid, sum(vec)) for cid, vec in cents],
+        "centroid_id int, c_checksum long",
+    )
+    return (
+        model.join(counts, "centroid_id", "left")
+        .select(
+            F.col("centroid_id").cast("long").alias("centroid_id"),
+            F.coalesce(F.col("n_members"), F.lit(0)).cast("long").alias("n_members"),
+            F.coalesce(F.col("inertia"), F.lit(0.0)).alias("inertia"),
+            "c_checksum",
+        )
+        .orderBy("centroid_id")
+    )

@@ -6236,3 +6236,83 @@ def q_dsir_importance_weights(spark, sf_dir):
     from .operators.curation import dsir_log_weights
 
     return dsir_log_weights(load_table(spark, sf_dir, "documents"))
+
+
+def _km_sweep(prev: str, out: str, d: int = 64) -> str:
+    """One Lloyd sweep in DuckDB SQL: assign every vector to its
+    nearest {prev} centroid (exact scaled-int distances, centroid-id
+    tiebreak), then per-(cluster, dim) rounded mean; empty clusters
+    keep their previous centroid."""
+    return f"""
+{out}_a as (
+  select v.vec_id, v.v, c.centroid_id,
+         list_sum(list_transform(range(1, {d + 1}),
+                  i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) as dist2
+  from vecs v cross join {prev} c
+  qualify row_number() over (partition by v.vec_id
+                             order by dist2, c.centroid_id) = 1
+),
+{out}_dims as (
+  select centroid_id, d, cast(round(sum(v[d]) / count(*)) as bigint) as cd
+  from (select centroid_id, unnest(range(1, {d + 1})) as d, v from {out}_a)
+  group by centroid_id, d
+),
+{out} as (
+  select p.centroid_id, coalesce(n.c, p.c) as c
+  from {prev} p
+  left join (select centroid_id, list(cd order by d) as c
+             from {out}_dims group by centroid_id) n
+    using (centroid_id)
+)"""
+
+
+@register(
+    "kmeans_fit_embeddings",
+    oracle=f"""
+with vecs as (
+  select vec_id,
+         list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1000000.0) as bigint)) as v
+  from embeddings
+),
+c0 as (select vec_id as centroid_id, v as c from vecs where vec_id < 8),
+{_km_sweep('c0', 'c1')},
+{_km_sweep('c1', 'c2')},
+{_km_sweep('c2', 'c3')},
+fin as (
+  select v.vec_id, c.centroid_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) as dist2
+  from vecs v cross join c3 c
+  qualify row_number() over (partition by v.vec_id
+                             order by dist2, c.centroid_id) = 1
+)
+select cast(c.centroid_id as bigint) as centroid_id,
+       cast(coalesce(s.n_members, 0) as bigint) as n_members,
+       coalesce(s.inertia, 0.0) as inertia,
+       cast(list_sum(c.c) as bigint) as c_checksum
+from c3 c
+left join (select centroid_id, count(*) as n_members,
+                  cast(sum(dist2) as double) as inertia
+           from fin group by centroid_id) s
+  using (centroid_id)
+order by centroid_id
+""",
+)
+def q_kmeans_fit_embeddings(spark, sf_dir):
+    """Distributed k-means fit (operators/kmeans.py): 3 Lloyd sweeps
+    over the embedding corpus from deterministic seeds, summarized as
+    per-cluster (size, inertia, centroid checksum) — the checksum pins
+    all 64 coordinates of every centroid, so the oracle value-checks
+    the full trained model against DuckDB's unrolled CTE sweeps.
+
+    Scale shape per sweep: zero-shuffle assignment (k x d centroid
+    literal, exact int64 distances inside codegen) + one map-side-
+    combined shuffle of <= k*d rows per task for the update; the
+    driver holds k*d longs, never data. Early-stops at the exact
+    integer fixpoint (result-identical to the oracle's fixed 3
+    sweeps). The oracle's vectors-x-centroids cross join is fine at
+    oracle scale but the literal-argmin plan is what survives 100 TB."""
+    from .operators.kmeans import kmeans_summary
+
+    return kmeans_summary(load_table(spark, sf_dir, "embeddings"), k=8, max_sweeps=3)
