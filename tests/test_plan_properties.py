@@ -64,3 +64,28 @@ def test_cluster_queries_have_lineage_free_components(spark):
         plan = _plan(spark, name)
         assert "Scan ExistingRDD" in plan, name  # the localCheckpoint scan
         assert plan.count("Exchange hashpartitioning") <= 3, name
+
+
+def test_triangle_plan_no_cartesian_no_python(spark):
+    plan = _plan(spark, "triangle_count_cosupply")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    # the closing-edge check must stay a semi join (no fan-out)
+    assert "LeftSemi" in plan
+
+
+def test_dsir_scoring_pass_is_shuffle_free(spark):
+    # fn() runs the two model-fit jobs eagerly; the RETURNED scoring
+    # plan must be a pure scan+project: no exchange, no Python
+    plan = _plan(spark, "dsir_importance_weights")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmeans_final_pass_no_python_no_cartesian(spark):
+    plan = _plan(spark, "kmeans_fit_embeddings")
+    # assignment rides a centroid literal: never a vectors x centroids
+    # join in the Spark plan (that shape is oracle-only)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
