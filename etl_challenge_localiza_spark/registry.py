@@ -6316,3 +6316,124 @@ def q_kmeans_fit_embeddings(spark, sf_dir):
     from .operators.kmeans import kmeans_summary
 
     return kmeans_summary(load_table(spark, sf_dir, "embeddings"), k=8, max_sweeps=3)
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL},
+tc as (select doc_id, cast(len(toks) as bigint) as nt from t),
+fp as (select min(doc_id) as keep_id from documents group by md5(text)),
+base as (select doc_id, lang,
+                cast(len(toks) as bigint) as n_tokens,
+                cast(list_sum(list_transform(toks, x -> length(x))) as bigint) as sum_word_len,
+                cast(len(list_filter(toks, x -> list_contains({_SW}, x))) as bigint) as sw_hits
+         from t),
+wc as (select doc_id, w, count(*) as n
+       from (select doc_id, unnest({SQL_TOKS}) as w from documents)
+       group by doc_id, w),
+prof as (select doc_id, cast(max(n) as bigint) as max_count from wc group by doc_id),
+lab as (
+  select b.doc_id,
+         case when b.n_tokens < 10 then 'too_short'
+              when b.n_tokens > 5000 then 'too_long'
+              when (cast(b.sum_word_len as double) / cast(b.n_tokens as double) < 2.0
+                    or cast(b.sum_word_len as double) / cast(b.n_tokens as double) > 12.0)
+                   then 'word_length'
+              when cast(b.sw_hits as double) / cast(b.n_tokens as double) < 0.05
+                   then 'low_stopword'
+              when cast(p.max_count as double) / cast(b.n_tokens as double) > 0.2
+                   then 'repetitive'
+              end as reason
+  from base b left join prof p using (doc_id)
+),
+fb as (select doc_id, lang,
+              unnest(list_transform(feats,
+                     x -> cast(concat('0x', substr(md5(x), 1, 2)) as int) % 256)) as b
+       from f),
+cntb as (select b, count(*) as nr,
+                sum(case when lang = 'en' then 1 else 0 end) as ntt
+         from fb group by b),
+tot as (select cast(sum(nr) as double) as tr, cast(sum(ntt) as double) as tt from cntb),
+lr as (select b,
+              cast(round((ln((ntt + 1.0) / (tt + 256.0))
+                        - ln((nr + 1.0) / (tr + 256.0))) * 1000000.0) as bigint) as lrs
+       from cntb, tot),
+dssum as (select fb.doc_id, sum(lr.lrs) as ssum
+          from fb join lr using (b) group by fb.doc_id),
+s1 as (select d.doc_id from documents d join fp on d.doc_id = fp.keep_id),
+s2 as (select s1.doc_id from s1 join lab using (doc_id) where lab.reason is null),
+s3 as (select s2.doc_id from s2 join scored using (doc_id) where scored.logit >= 0.0),
+s4 as (select s3.doc_id from s3 left join dssum using (doc_id)
+       where coalesce(ssum, 0) >= 0),
+cnt as (
+  select 0 as stage_idx, 'raw' as stage,
+         count(*) as n_docs, coalesce(sum(nt), 0) as n_tokens from tc
+  union all
+  select 1, 'exact_dedup', count(*), coalesce(sum(nt), 0)
+  from s1 join tc using (doc_id)
+  union all
+  select 2, 'quality_heuristic', count(*), coalesce(sum(nt), 0)
+  from s2 join tc using (doc_id)
+  union all
+  select 3, 'quality_model', count(*), coalesce(sum(nt), 0)
+  from s3 join tc using (doc_id)
+  union all
+  select 4, 'dsir_select', count(*), coalesce(sum(nt), 0)
+  from s4 join tc using (doc_id)
+)
+select cast(stage_idx as bigint) as stage_idx, stage,
+       cast(n_docs as bigint) as n_docs,
+       cast(n_tokens as bigint) as n_tokens
+from cnt order by stage_idx
+""",
+)
+def q_curation_funnel(spark, sf_dir):
+    """End-to-end pretraining-data curation funnel — the capstone
+    composition of the §2.9 battery: exact dedup (keep lowest doc_id
+    per md5 fingerprint) → heuristic C4/Gopher gate → learned model
+    gate → DSIR target selection, reported as per-stage surviving
+    (docs, tokens). Every stage reuses the standalone oracle-checked
+    operator; survivors thread through LEFT-SEMI joins on doc_id, so
+    each stage adds one key-only join — no payload is re-shuffled and
+    the funnel's cost stays the sum of its stages. The DSIR model is
+    fit on the RAW corpus (the standard setup: importance weights
+    estimated before filtering)."""
+    from .functions.text import token_count
+    from .operators.curation import dsir_log_weights, hashed_feature_logit, quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       token_count("text").alias("nt"))
+    surv_dedup = (
+        docs.groupBy(F.md5(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    keep_quality = quality_gate(docs).filter(F.col("keep")).select("doc_id")
+    keep_model = hashed_feature_logit(docs).filter(F.col("model_pass")).select("doc_id")
+    keep_dsir = dsir_log_weights(docs).filter(F.col("target_leaning")).select("doc_id")
+
+    stages = [("raw", base)]
+    cur = base.join(surv_dedup, "doc_id", "left_semi")
+    stages.append(("exact_dedup", cur))
+    cur = cur.join(keep_quality, "doc_id", "left_semi")
+    stages.append(("quality_heuristic", cur))
+    cur = cur.join(keep_model, "doc_id", "left_semi")
+    stages.append(("quality_model", cur))
+    cur = cur.join(keep_dsir, "doc_id", "left_semi")
+    stages.append(("dsir_select", cur))
+
+    parts = [
+        df.agg(
+            F.lit(i).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        for i, (name, df) in enumerate(stages)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("stage_idx")
