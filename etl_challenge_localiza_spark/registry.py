@@ -6437,3 +6437,91 @@ def q_curation_funnel(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("stage_idx")
+
+
+@register(
+    "ivf_search_trained_vec0",
+    oracle=f"""
+with vecs as (
+  select vec_id,
+         list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1000000.0) as bigint)) as v
+  from embeddings
+),
+c0 as (select vec_id as centroid_id, v as c from vecs where vec_id < 8),
+{_km_sweep('c0', 'c1')},
+{_km_sweep('c1', 'c2')},
+{_km_sweep('c2', 'c3')},
+assign as (
+  select v.vec_id, c.centroid_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) as dist2
+  from vecs v cross join c3 c
+  qualify row_number() over (partition by v.vec_id
+                             order by dist2, c.centroid_id) = 1
+),
+qv as (select v as q from vecs where vec_id = 0),
+qprobe as (
+  select c.centroid_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (q[i] - c.c[i]) * (q[i] - c.c[i]))) as qd
+  from c3 c, qv
+  qualify row_number() over (order by qd, c.centroid_id) <= 2
+),
+cand as (
+  select a.vec_id from assign a join qprobe using (centroid_id)
+  where a.vec_id <> 0
+),
+s as (
+  select v.vec_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (v.v[i] - q[i]) * (v.v[i] - q[i]))) as dist2
+  from vecs v join cand using (vec_id), qv
+)
+select s.vec_id, e.label, cast(s.dist2 as bigint) as dist2
+from s join embeddings e using (vec_id)
+order by s.dist2, s.vec_id limit 10
+""",
+)
+def q_ivf_search_trained_vec0(spark, sf_dir):
+    """IVF-ANN search over a TRAINED index — the production
+    composition `ivf_search_vec0` approximates with seed centroids:
+    kmeans_fit (3 exact Lloyd sweeps) trains the coarse quantizer,
+    the corpus is assigned via the centroid-literal argmin (zero
+    shuffle), the query probes its 2 nearest trained buckets, and the
+    exact top-10 runs only inside the candidate buckets. Every
+    distance is scaled-int64 — the whole train+index+search path is
+    integer-exact, so the oracle hash-matches with no rounding at
+    all. Candidate filtering is a broadcast-of-2-ids semi join; at
+    100 TB the assignment table would be written bucketed by
+    centroid_id so a probe touches only its buckets' files."""
+    from .operators.kmeans import _best, _centroid_literal, kmeans_fit, scaled_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb, k=8, max_sweeps=3)
+    vecs = scaled_vectors(emb)
+    assign = vecs.select(
+        "vec_id", "v", _best(_centroid_literal(cents))["cid"].alias("centroid_id")
+    )
+    qrow = vecs.filter(F.col("vec_id") == 0).collect()[0]
+    qv = [int(x) for x in qrow["v"]]
+    # probe: exact integer distances query->centroids, computed on the
+    # k model rows driver-side (same ints the oracle derives in SQL)
+    probe = sorted(
+        (sum((qi - ci) ** 2 for qi, ci in zip(qv, vec)), cid) for cid, vec in cents
+    )[:2]
+    probe_ids = [cid for _, cid in probe]
+    qlit = F.array(*[F.lit(x).cast("long") for x in qv])
+    dist2 = F.aggregate(
+        F.zip_with(F.col("v"), qlit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assign.filter(F.col("centroid_id").isin(probe_ids) & (F.col("vec_id") != 0))
+        .select("vec_id", dist2.alias("dist2"))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", F.col("dist2").cast("long").alias("dist2"))
+        .orderBy("dist2", "vec_id")
+        .limit(10)
+    )

@@ -67,3 +67,26 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     assert len(cents2) == 2
     summary = kmeans_summary(_emb(spark, rows2), k=2, max_sweeps=3).collect()
     assert sum(r["n_members"] for r in summary) == 5
+
+
+def test_trained_ivf_recall_vs_brute_force(spark):
+    """The trained index must actually find near neighbors: recall@10
+    of ivf_search_trained_vec0 against exact brute-force top-10 (same
+    scaled-int metric) on the real sf0.001 embeddings."""
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.operators.kmeans import scaled_vectors
+    from etl_challenge_localiza_spark.registry import QUERIES
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"] for r in QUERIES["ivf_search_trained_vec0"].fn(spark, sf).collect()}
+    vecs = scaled_vectors(load_table(spark, sf, "embeddings"))
+    q = [int(x) for x in vecs.filter(F.col("vec_id") == 0).collect()[0]["v"]]
+    brute = sorted(
+        (sum((int(a) - b) ** 2 for a, b in zip(r["v"], q)), r["vec_id"])
+        for r in vecs.filter(F.col("vec_id") != 0).collect()
+    )[:10]
+    want = {vid for _, vid in brute}
+    recall = len(got & want) / 10
+    assert recall >= 0.6, f"recall@10 = {recall}"
