@@ -6525,3 +6525,64 @@ def q_ivf_search_trained_vec0(spark, sf_dir):
         .orderBy("dist2", "vec_id")
         .limit(10)
     )
+
+
+def _zorder_oracle() -> str:
+    from .operators.zorder import morton_sql
+
+    return f"""
+with ev as (select user_id, epoch_us(ts) // 60000000 as m from events),
+b as (select min(user_id) as ulo, max(user_id) as uhi,
+             min(m) as mlo, max(m) as mhi from ev),
+n as (select ((ev.user_id - b.ulo) * 65535) // greatest(b.uhi - b.ulo, 1) as ua,
+             ((ev.m - b.mlo) * 65535) // greatest(b.mhi - b.mlo, 1) as mb
+      from ev, b),
+z as (select ({morton_sql('ua', 'mb')}) as zv from n)
+select cast(zv >> 24 as bigint) as bucket,
+       cast(count(*) as bigint) as n_events,
+       cast(min(zv) as bigint) as min_z,
+       cast(max(zv) as bigint) as max_z
+from z group by bucket
+"""
+
+
+@register("zorder_event_buckets", oracle=_zorder_oracle())
+def q_zorder_event_buckets(spark, sf_dir):
+    """Z-order (Morton) clustering values for the events table on
+    (user_id, event-minute) — the lakehouse layout primitive (Delta
+    OPTIMIZE ZORDER / Iceberg sort orders) that makes one file order
+    serve box predicates on BOTH dimensions via parquet min/max
+    pruning. The z-value math is pure integer expressions (16-bit
+    min-max rank + 32 shift/mask interleave terms) generated by the
+    SAME code for Spark and the DuckDB oracle
+    (operators/zorder.py:morton / morton_sql), so the layout key is
+    value-checked cross-engine, not just a write-side effect. Output:
+    per top-8-bit z-bucket row counts and z ranges. Bounds are one
+    1-row aggregate collected as literals (model-parameter pattern);
+    the bucketing pass is a single map-side-combined aggregation.
+    `zorder_write` + `tests/test_zorder.py` prove the payoff: a
+    second-dimension predicate prunes most files under the z layout
+    and none under a single-dim sort."""
+    from .operators.zorder import morton, normalize_16
+
+    ev = load_table(spark, sf_dir, "events")
+    m = F.expr("unix_micros(cast(ts as timestamp)) div 60000000")
+    b = ev.agg(
+        F.min("user_id").alias("ulo"),
+        F.max("user_id").alias("uhi"),
+        F.min(m).alias("mlo"),
+        F.max(m).alias("mhi"),
+    ).first()
+    ua = normalize_16(F.col("user_id"), int(b["ulo"]), int(b["uhi"]))
+    mb = normalize_16(m, int(b["mlo"]), int(b["mhi"]))
+    z = morton(ua, mb)
+    return (
+        ev.select(z.alias("zv"))
+        .groupBy(F.shiftright(F.col("zv"), 24).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("zv").cast("long").alias("min_z"),
+            F.max("zv").cast("long").alias("max_z"),
+        )
+        .select(F.col("bucket").cast("long"), "n_events", "min_z", "max_z")
+    )
