@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, shingles, tokens
+from ..sources.readers import spread_small_scan
 
 # PII patterns shared by the scrubber and its tests. Kept RE2-safe
 # (no backrefs/lookaround) so the same pattern string runs verbatim in
@@ -143,6 +144,7 @@ def quality_gate(
     signal joins the one-shuffle :func:`word_profile`. All ratio
     comparisons use single IEEE divisions of exact integers, identical
     across engines."""
+    docs = spread_small_scan(docs)
     tok = tokens("text")
     base = docs.select(
         "doc_id",
@@ -209,7 +211,9 @@ def hashed_feature_logit(
     cast(concat('0x', substr(md5(x),1,2)) as int)). The weight vector
     rides into the plan as a literal array — the broadcast-variable
     pattern for model parameters: every executor evaluates the lookup
-    inside whole-stage codegen with ZERO shuffles and zero Python.
+    inside whole-stage codegen with no keyed shuffle and zero Python
+    (spread_small_scan widens narrow local scans; no-op at cluster
+    width).
     This is the learned upgrade of the heuristic ``quality_gate``: the
     standard CCNet/fastText quality-filter shape (linear model over
     hashed n-grams), minus the training loop (out of scope — weights
@@ -221,6 +225,7 @@ def hashed_feature_logit(
     verification for zero semantic gain.
     """
     weights = weights if weights is not None else default_quality_weights()
+    docs = spread_small_scan(docs)
     d = len(weights)
     tok = tokens("text")
     feats = F.concat(tok, shingles(tok, 2))
@@ -310,6 +315,7 @@ def dsir_log_weights(
     exp(log_weight) downstream.
     """
     spark = docs.sparkSession
+    docs = spread_small_scan(docs)
     if target is None:
         target = F.col("lang") == "en"
     tok = tokens("text")

@@ -5943,8 +5943,10 @@ from scored
 def q_model_quality_scores(spark, sf_dir):
     """Model-based quality scoring: fastText/CCNet-style linear
     classifier over hashed unigram+bigram features with the weight
-    vector broadcast into the plan as a literal array — zero shuffles,
-    zero Python, whole-stage codegen end to end. Fixed dyadic weights
+    vector broadcast into the plan as a literal array — no keyed
+    shuffle, zero Python, whole-stage codegen end to end (one
+    round-robin spread fires only when the local scan is narrower
+    than the session width; a no-op on cluster-width scans). Fixed dyadic weights
     make the logit exact, so the oracle value-checks every score."""
     from .operators.curation import hashed_feature_logit
 
@@ -6227,7 +6229,7 @@ def q_dsir_importance_weights(spark, sf_dir):
     (target = the lang='en' slice here; in production, a trusted
     high-quality corpus). Two-phase plan: one bucket-count shuffle
     (<= 256 rows per task after map-side combine) fits the smoothed
-    target/raw unigram models, then a shuffle-free scoring pass with
+    target/raw unigram models, then a keyed-shuffle-free scoring pass with
     the scaled log-ratio table as a plan literal. Per-doc weights are
     exact int64 sums of 1e-6-scaled per-bucket log-ratios —
     order-independent, so the oracle hash-matches despite ln() in the

