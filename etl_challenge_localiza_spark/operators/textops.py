@@ -21,6 +21,7 @@ from ..functions.text import (
     distinct_ratio,
     tokens,
 )
+from ..sources.readers import spread_small_scan
 
 
 def doc_stats(docs: DataFrame) -> DataFrame:
@@ -127,6 +128,7 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
     from ..functions.text import shingles, tokens
 
     tok = tokens("text")
+    docs = spread_small_scan(docs)
     bg = docs.select(
         "doc_id", F.explode(shingles(tok, 2)).alias("bigram")
     ).withColumn("w1", F.split("bigram", " ").getItem(0))
@@ -159,6 +161,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     language, guess = argmax with a fixed priority order on ties
     ('unknown' when no marker hits at all)."""
     tok = tokens("text")
+    docs = spread_small_scan(docs)
     df = docs.select("doc_id", "lang", tok.alias("__tok"))
     langs = list(LANG_MARKERS)
     for lg in langs:
@@ -193,7 +196,7 @@ def hashing_tfidf_norms(docs: DataFrame, num_features: int = 1024) -> DataFrame:
     from pyspark.ml.feature import IDF, HashingTF
     from pyspark.ml.functions import vector_to_array
 
-    toked = docs.select("doc_id", tokens("text").alias("toks"))
+    toked = spread_small_scan(docs).select("doc_id", tokens("text").alias("toks"))
     tf = HashingTF(
         inputCol="toks", outputCol="tf", numFeatures=num_features
     ).transform(toked)
