@@ -190,3 +190,51 @@ def read_binary_assets(
             F.col("content").alias("payload"),
         )
     )
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession, path: str, schema_ddl: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest with a dead-letter channel — the JSONL twin of
+    :func:`read_csv_with_quarantine` (JSONL is the lingua franca of
+    LLM-corpus interchange, so the quarantine path matters as much as
+    for CSV). Returns (good, quarantine).
+
+    Same mechanics: explicit schema + PERMISSIVE mode capture each
+    malformed line verbatim in ``_corrupt_record`` (truncated records,
+    broken nesting, type-mismatched scalars under ANSI off become
+    nulls in typed columns, while syntactically-broken JSON lands in
+    quarantine). One cached scan split by two filters, landed in eager
+    localCheckpoints so the CacheManager entry is dropped before
+    return (the same leak-free lifecycle as the CSV path).
+
+    JSON-specific wrinkle vs CSV: Spark treats a line whose top level
+    is not an object (bare scalar / array) as corrupt too, and a
+    missing field is a NULL, not corruption — schema-presence policy
+    belongs to the DQ gates downstream, not the parser.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructType
+
+    schema = StructType.fromDDL(schema_ddl).add("_corrupt_record", StringType())
+    raw = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .json(path)
+        .cache()
+    )
+    try:
+        good = (
+            raw.filter(F.col("_corrupt_record").isNull())
+            .drop("_corrupt_record")
+            .localCheckpoint(eager=True)
+        )
+        quarantine = (
+            raw.filter(F.col("_corrupt_record").isNotNull())
+            .select(F.col("_corrupt_record").alias("raw_line"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        raw.unpersist()
+    return good, quarantine

@@ -368,3 +368,26 @@ def test_orc_partitioned_write_prunes(spark, sf0001, tmp_path):
     assert "PartitionFilters" in plan
     n_f = back.filter(F.col("o_orderstatus") == "F").count()
     assert n_f == src.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    from etl_challenge_localiza_spark.sources.readers import read_jsonl_with_quarantine
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "score": 0.5}\n'
+        '{"doc_id": 2, "text": "also ok", "score": 1.5}\n'
+        '{"doc_id": 3, "text": "broken...\n'          # truncated JSON
+        'not json at all\n'                            # garbage line
+        '[1, 2, 3]\n'                                  # non-object top level
+        '{"doc_id": 4, "score": 2.0}\n'                # missing field -> NULL, not corrupt
+    )
+    good, quar = read_jsonl_with_quarantine(
+        spark, str(p), "doc_id long, text string, score double"
+    )
+    rows = {r["doc_id"]: r for r in good.collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[4]["text"] is None  # missing field is a null, a DQ-gate concern
+    bad = sorted(r["raw_line"] for r in quar.collect())
+    assert len(bad) == 3
+    assert any("not json at all" in line for line in bad)
