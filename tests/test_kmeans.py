@@ -90,3 +90,18 @@ def test_trained_ivf_recall_vs_brute_force(spark):
     want = {vid for _, vid in brute}
     recall = len(got & want) / 10
     assert recall >= 0.6, f"recall@10 = {recall}"
+
+
+def test_inertia_nonincreasing_across_sweeps(spark):
+    """Lloyd's algorithm guarantee: total inertia never increases with
+    more sweeps (assignment and update steps each minimize it). Checked
+    on the real sf0.001 embeddings across 1..3 sweeps."""
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    inertias = []
+    for sweeps in (1, 2, 3):
+        rows = kmeans_summary(emb, k=8, max_sweeps=sweeps).collect()
+        inertias.append(sum(r["inertia"] for r in rows))
+    assert inertias[0] >= inertias[1] >= inertias[2]
+    assert inertias[2] > 0
