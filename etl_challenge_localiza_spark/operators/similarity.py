@@ -262,3 +262,72 @@ def label_pca_variance(emb: DataFrame, round_digits: int = 6) -> DataFrame:
         .groupBy("label")
         .applyInPandas(pca_stats, schema=out_schema)
     )
+
+
+def semdedup_drop(
+    emb: DataFrame,
+    k: int = 8,
+    max_sweeps: int = 3,
+    threshold: float = 0.999,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup scoped to TRAINED
+    k-means clusters — the production alternative to the label-blocked
+    ``embedding_near_dup_drop`` when no natural blocking key exists.
+    Fit k centroids (exact fixed-point Lloyd, operators/kmeans.py),
+    assign every vector zero-shuffle against the centroid literal,
+    then find cosine >= ``threshold`` pairs WITHIN each cluster and
+    drop the higher vec_id of each pair.
+
+    Returns (centroid_id, n_kept, n_dropped) per cluster, every
+    cluster present.
+
+    Scale shape: the only quadratic step is blocked by the trained
+    clusters (at 100 TB, k grows with N — SemDeDup uses k ≈ N/100 so
+    cluster size stays bounded and the within-cluster join stays
+    ~linear); assignment is a codegen'd argmin over a k×d literal with
+    no shuffle, and the pair stream collapses to per-cluster counts
+    via map-side partial aggregation. Cosine is the element-order
+    double fold (functions/vectors.py) — bit-identical to DuckDB's
+    list_dot_product, so the threshold cut is engine-stable."""
+    from .kmeans import SCALE, _best, _centroid_literal, kmeans_fit
+
+    spark = emb.sparkSession
+    cents, _ = kmeans_fit(emb, k, max_sweeps)
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(float(SCALE))).cast("long"),
+        ).alias("v"),
+    )
+    asg = vecs.select(
+        "vec_id",
+        "embedding",
+        _best(_centroid_literal(cents))["cid"].alias("cid"),
+    )
+    a = asg.select(F.col("cid"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = asg.select(F.col("cid"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(threshold))
+        .select("cid", "vb")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    model = spark.createDataFrame([(int(cid),) for cid, _ in cents], "cid int")
+    return (
+        model.join(sizes, "cid", "left")
+        .join(dropped, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("centroid_id"),
+            (F.coalesce(F.col("n_total"), F.lit(0)) - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("centroid_id")
+    )

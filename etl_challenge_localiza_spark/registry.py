@@ -6588,3 +6588,64 @@ def q_zorder_event_buckets(spark, sf_dir):
         )
         .select(F.col("bucket").cast("long"), "n_events", "min_z", "max_z")
     )
+
+
+@register(
+    "semdedup_drop",
+    oracle=f"""
+with vecs as (
+  select vec_id,
+         list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1000000.0) as bigint)) as v
+  from embeddings
+),
+c0 as (select vec_id as centroid_id, v as c from vecs where vec_id < 8),
+{_km_sweep('c0', 'c1')},
+{_km_sweep('c1', 'c2')},
+{_km_sweep('c2', 'c3')},
+fin as (
+  select v.vec_id, c.centroid_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> (v.v[i] - c.c[i]) * (v.v[i] - c.c[i]))) as dist2
+  from vecs v cross join c3 c
+  qualify row_number() over (partition by v.vec_id
+                             order by dist2, c.centroid_id) = 1
+),
+ed as (
+  select f.centroid_id, f.vec_id,
+         list_transform(e.embedding, x -> cast(x as double)) as ve
+  from fin f join embeddings e using (vec_id)
+),
+pairs as (
+  select a.centroid_id, b.vec_id as vb
+  from ed a join ed b
+    on a.centroid_id = b.centroid_id and a.vec_id < b.vec_id
+  where list_dot_product(a.ve, b.ve)
+        / sqrt(list_sum(list_transform(a.ve, x -> x * x))
+             * list_sum(list_transform(b.ve, x -> x * x))) >= 0.999
+),
+drp as (select centroid_id, count(distinct vb) as n_dropped
+        from pairs group by centroid_id),
+siz as (select centroid_id, count(*) as n_total from fin group by centroid_id)
+select cast(c.centroid_id as bigint) as centroid_id,
+       cast(coalesce(s.n_total, 0) - coalesce(d.n_dropped, 0) as bigint) as n_kept,
+       cast(coalesce(d.n_dropped, 0) as bigint) as n_dropped
+from c3 c
+left join siz s using (centroid_id)
+left join drp d using (centroid_id)
+""",
+)
+def q_semdedup_drop(spark, sf_dir):
+    """SemDeDup — semantic dedup scoped to TRAINED k-means clusters
+    (operators/similarity.py:semdedup_drop): fit 8 centroids with the
+    exact fixed-point Lloyd trainer, assign zero-shuffle against the
+    centroid literal, threshold within-cluster cosine pairs at 0.999
+    and drop the higher vec_id. Completes the embedding-dedup ladder:
+    label-blocked (embedding_near_dup_drop) → hash-bucketed
+    (brp_lsh_ann_pairs) → learned-cluster-blocked (this). The oracle
+    re-trains the identical model in DuckDB (unrolled integer CTE
+    sweeps) and replays the pair cut — the whole fit+dedup pipeline is
+    value-checked cross-engine, not just the counts."""
+    from .operators.similarity import semdedup_drop
+
+    return semdedup_drop(load_table(spark, sf_dir, "embeddings"), k=8, max_sweeps=3)

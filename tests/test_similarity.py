@@ -162,3 +162,26 @@ def test_brp_lsh_recall_floor_vs_brute_force(spark):
     assert found <= truth  # exact-distance verification on candidates
     recall = len(found & truth) / len(truth)
     assert recall >= 0.9, f"BRP-LSH recall {recall:.3f} < 0.9 ({len(truth)} true pairs)"
+
+
+def test_semdedup_drops_planted_cluster_duplicate(spark):
+    """A near-identical pair inside one k-means cluster loses its
+    higher vec_id; vectors merely in the same cluster but below the
+    cosine threshold survive."""
+    from etl_challenge_localiza_spark.operators.similarity import semdedup_drop
+
+    rows = [
+        # cluster A (seeded by vec 0)
+        (0, [1.0, 0.0, 0.0], 0),
+        (2, [0.95, 0.05, 0.0], 0),
+        (3, [0.95, 0.05, 0.0], 0),      # exact dup of vec 2 → dropped
+        # cluster B (seeded by vec 1)
+        (1, [0.0, 1.0, 0.0], 1),
+        (4, [0.05, 0.95, 0.0], 1),      # same cluster, cos < 0.999 → kept
+    ]
+    emb = spark.createDataFrame(rows, EMB_COLS)
+    out = {r["centroid_id"]: r for r in semdedup_drop(emb, k=2, max_sweeps=3).collect()}
+    assert sum(r["n_dropped"] for r in out.values()) == 1
+    assert sum(r["n_kept"] for r in out.values()) == 4
+    # the dup was in vec 0's cluster
+    assert out[0]["n_dropped"] == 1
