@@ -269,3 +269,52 @@ def boilerplate_segment_scrub(
             .alias("n_removed"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Okapi, idf = ln((N-df+0.5)/
+    (df+0.5)+1)) for one query over the corpus — the scoring layer the
+    inverted-index build feeds. Returns the top-``k`` (doc_id, bm25).
+
+    Plan shape: the exploded token stream is filtered to the query
+    terms BEFORE the (doc, term) aggregation — per-term work is
+    |query| wide, not |vocab|; corpus stats (N, avgdl) and per-term df
+    are tiny aggregates broadcast back (scalar-broadcast pattern);
+    the per-doc sum is rounded before ranking (engine-portability
+    rule for float reductions) with a doc_id tiebreak, and the top-k
+    is TakeOrderedAndProject — no global sort."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tk"))
+    dl = toks.select("doc_id", F.size("tk").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    wc = (
+        toks.select("doc_id", F.explode("tk").alias("w"))
+        .filter(F.col("w").isin(*terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = wc.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    part = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        wc.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), round_digits).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(k)
+    )

@@ -6649,3 +6649,52 @@ def q_semdedup_drop(spark, sf_dir):
     from .operators.similarity import semdedup_drop
 
     return semdedup_drop(load_table(spark, sf_dir, "embeddings"), k=8, max_sweeps=3)
+
+
+@register(
+    "bm25_top_docs",
+    oracle=f"""
+with toks as (
+  select doc_id, {SQL_TOKS} as tk from documents
+),
+dl as (select doc_id, cast(len(tk) as bigint) as dl from toks),
+stats as (select cast(count(*) as bigint) as n_docs,
+                 cast(sum(dl) as double) / count(*) as avgdl
+          from dl),
+wc as (
+  select doc_id, w, cast(count(*) as bigint) as tf
+  from (select doc_id, unnest(tk) as w from toks)
+  where w in ('spark', 'hash', 'join')
+  group by doc_id, w
+),
+dfreq as (select w, cast(count(*) as bigint) as df from wc group by w),
+scored as (
+  select wc.doc_id,
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * (wc.tf * 2.2)
+           / (wc.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) as part
+  from wc
+  join dfreq f using (w)
+  join dl d using (doc_id)
+  cross join stats s
+)
+select doc_id, round(sum(part), 6) as bm25
+from scored
+group by doc_id
+order by bm25 desc, doc_id
+limit 20
+""",
+)
+def q_bm25_top_docs(spark, sf_dir):
+    """BM25 ranked retrieval (Robertson k1=1.2, b=0.75) for the query
+    'spark hash join' — the scoring layer over the inverted-index
+    build (`inverted_index_postings`); logic in
+    operators/textops.py:bm25_topk (plan shape documented there:
+    filter-before-aggregate on the query terms, scalar-broadcast
+    corpus stats, rounded sum + doc_id tiebreak, TakeOrderedAndProject
+    top-k). At 100 TB this is the query-time path a sorted-bucketed
+    term index would serve; here it runs straight off the corpus."""
+    from .operators.textops import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["spark", "hash", "join"], k=20)

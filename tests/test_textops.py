@@ -173,3 +173,44 @@ def test_boilerplate_segment_scrub(spark):
     assert out[91]["clean_text"] == "" and out[91]["n_removed"] == 1
     assert out[92]["clean_text"] == "" and out[92]["n_segments"] == 0
     assert out[92]["n_removed"] == 0
+
+
+def test_bm25_matches_independent_reimplementation(spark):
+    """bm25_topk vs a from-scratch Python BM25 on a tiny corpus with
+    known tf/df/length structure."""
+    import math
+
+    from etl_challenge_localiza_spark.operators.textops import bm25_topk
+
+    corpus = {
+        0: "spark join spark spark",
+        1: "hash join hash",
+        2: "the quick brown fox",
+        3: "spark hash join spark hash join",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    terms = ["spark", "hash", "join"]
+    # independent reimplementation
+    toks = {i: t.split() for i, t in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {w: sum(1 for v in toks.values() if w in v) for w in terms}
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, v in toks.items():
+        s = 0.0
+        for w in terms:
+            tf = v.count(w)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[w] + 0.5) / (df[w] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(v) / avgdl))
+        if s:
+            exp[i] = round(s, 6)
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(docs, terms, k=10).collect()}
+    assert got == exp
+    # ranking: doc 3 (all three terms, high tf) must outrank doc 2-style misses
+    order = [r["doc_id"] for r in bm25_topk(docs, terms, k=10).collect()]
+    assert order[0] == 3 and 2 not in order
