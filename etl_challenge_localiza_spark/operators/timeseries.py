@@ -146,3 +146,39 @@ def rolling_interval_exact(
             )
         ).alias("__sum_trail"),
     )
+
+
+def ewma_final(
+    events: DataFrame, alpha: float = 0.25, round_digits: int = 6
+) -> DataFrame:
+    """Final exponentially-weighted moving average of ``value`` per
+    user (the streaming-metric smoother: s1 = x1,
+    s_n = α·x_n + (1-α)·s_{n-1}).
+
+    The recursion is re-expressed in closed form so it runs as ONE
+    aggregate instead of an O(history²) per-row window:
+    s_N = Σ_i x_i · (1-α)^(N-i) · (α for i>1, 1 for i=1).
+    Row positions come from a single ordered window pass (row_number +
+    partition count, same frame, one shuffle on user_id); the weighted
+    sum is then an ordinary hash aggregate with map-side combine —
+    O(rows) total, no driver loop, no recursive structure. Old terms
+    underflow to 0.0 gracefully ((1-α)^k → 0), matching the math.
+    The float reduction's accumulation order is engine-dependent, so
+    the result is rounded (engine-portability rule); counts pin the
+    partition structure exactly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    rows = events.select(
+        "user_id",
+        F.col("value").cast("double").alias("x"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    a = F.lit(float(alpha))
+    weight = F.pow(F.lit(1.0 - alpha), F.col("n") - F.col("rn")) * F.when(
+        F.col("rn") > 1, a
+    ).otherwise(F.lit(1.0))
+    return rows.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.round(F.sum(F.col("x") * weight), round_digits).alias("ewma_value"),
+    )

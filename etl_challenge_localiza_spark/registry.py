@@ -6698,3 +6698,32 @@ def q_bm25_top_docs(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, ["spark", "hash", "join"], k=20)
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+with pos as (
+  select user_id, value,
+         row_number() over (partition by user_id order by ts, event_id) as rn,
+         count(*) over (partition by user_id) as n
+  from events
+)
+select user_id,
+       cast(max(n) as bigint) as n_events,
+       round(sum(value * power(0.75, n - rn)
+                 * case when rn > 1 then 0.25 else 1.0 end), 6) as ewma_value
+from pos
+group by user_id
+""",
+)
+def q_ewma_user_value(spark, sf_dir):
+    """Per-user final EWMA of event values (α=0.25) — the recursive
+    smoother s_n = α·x_n + (1-α)·s_{n-1} re-expressed in closed form
+    as ONE weighted aggregate (operators/timeseries.py:ewma_final):
+    O(rows) with a single user_id shuffle, instead of the naive
+    O(history²) running-frame window or a non-distributable recursion.
+    The oracle replays the identical closed form in SQL."""
+    from .operators.timeseries import ewma_final
+
+    return ewma_final(load_table(spark, sf_dir, "events"), alpha=0.25)

@@ -54,3 +54,33 @@ def test_rolling_daily_revenue_trailing_window(spark):
     assert out[1] == (150.0, 150.0)
     assert out[5] == (10.0, 160.0)   # Jan 1 still inside the 7-day frame
     assert out[20] == (1.0, 1.0)     # trailing frame excludes stale days
+
+
+def test_ewma_final_matches_recursive_definition(spark):
+    """Closed-form aggregate == the literal recursion
+    s1 = x1, s_n = a*x_n + (1-a)*s_{n-1}, per user."""
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.operators.timeseries import ewma_final
+
+    series = {1: [10.0, 20.0, 30.0, 40.0], 2: [5.0], 3: [1.0, 100.0]}
+    rows, eid = [], 0
+    for uid, xs in series.items():
+        for i, x in enumerate(xs):
+            rows.append((eid, uid, datetime(2024, 1, 1, i), x))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    alpha = 0.25
+    exp = {}
+    for uid, xs in series.items():
+        s = xs[0]
+        for x in xs[1:]:
+            s = alpha * x + (1 - alpha) * s
+        exp[uid] = (len(xs), round(s, 6))
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in ewma_final(ev, alpha=alpha).collect()
+    }
+    assert got == exp
