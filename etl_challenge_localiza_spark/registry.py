@@ -6727,3 +6727,41 @@ def q_ewma_user_value(spark, sf_dir):
     from .operators.timeseries import ewma_final
 
     return ewma_final(load_table(spark, sf_dir, "events"), alpha=0.25)
+
+
+@register(
+    "streaming_session_stats",
+    oracle="""
+with flagged as (
+  select user_id, event_id, ts,
+         case when epoch_us(ts) - lag(epoch_us(ts)) over w is null
+                or epoch_us(ts) - lag(epoch_us(ts)) over w > 1800000000
+              then 1 else 0 end as new_session
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+with_id as (
+  select user_id, ts,
+         sum(new_session) over (partition by user_id order by ts, event_id
+             rows between unbounded preceding and current row) as session_id
+  from flagged
+)
+select user_id,
+       min(ts) as session_start,
+       max(ts) + interval 30 minutes as session_end_padded,
+       cast(count(*) as bigint) as n_events
+from with_id
+group by user_id, session_id
+""",
+)
+def q_streaming_session_stats(spark, sf_dir):
+    """STREAMING session windows (streaming/events_stream.py:
+    run_streaming_sessions): native session_window over the event
+    stream — gap-merged, data-dependent window bounds maintained in
+    streaming state, the hardest stateful-window shape. On the finite
+    input it equals the batch `session_window_stats`, so the identical
+    islands-sessionization SQL is the oracle — the streaming state
+    machine is value-checked, not just row-counted."""
+    from .streaming.events_stream import run_streaming_sessions
+
+    return run_streaming_sessions(spark, sf_dir)

@@ -392,3 +392,49 @@ def run_streaming_nation_rollup(
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def run_streaming_sessions(
+    spark: SparkSession, sf_dir: str, timeout_sec: int = 300
+) -> DataFrame:
+    """STATEFUL session-window streaming aggregate: Spark's native
+    ``session_window`` (30-min gap merge) over the event stream,
+    COMPLETE mode with availableNow. Gap-merged sessions are the
+    hardest streaming-state shape (windows have data-dependent bounds
+    and MERGE as events arrive — unlike tumbling/sliding whose bounds
+    are static); on the finite input this equals the batch
+    ``session_window_stats`` result, so the registry pairs it with the
+    identical islands-sessionization SQL oracle. The production shape
+    swaps COMPLETE for append + ``withWatermark`` so closed sessions
+    emit once and state is evicted (the streaming_dedup eviction
+    pattern, proven in tests/test_streaming.py)."""
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    agg = (
+        _event_stream(spark, sf_dir)
+        .groupBy(F.session_window(F.col("ts"), "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end_padded"),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow streaming query {name!r} did not finish "
+                f"within {timeout_sec}s"
+            )
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
