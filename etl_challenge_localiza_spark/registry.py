@@ -6765,3 +6765,32 @@ def q_streaming_session_stats(spark, sf_dir):
     from .streaming.events_stream import run_streaming_sessions
 
     return run_streaming_sessions(spark, sf_dir)
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+select cast(d.doc_id as bigint) as asset_id,
+       cast(f as int) as frame_index,
+       cast(3 + d.doc_id % 5 as int) as width,
+       cast(2 as int) as height,
+       cast((d.doc_id * 11 + 17 * f) % 256 as double) as mean_pixel
+from documents d, unnest(range(0, 2 + d.doc_id % 4)) as u(f)
+where f % 2 = 0
+""",
+)
+def q_multimodal_video_frames(spark, sf_dir):
+    """Video counterpart of the image/audio decode queries: REAL
+    multi-frame containers (concatenated-P6 PPM streams — the netpbm
+    stream format image2pipe emits), deterministically generated per
+    doc_id, decoded frame-by-frame by a pure-Python header walk and
+    subsampled at stride 2 (operators/multimodal.py:
+    decode_ppm_stream / sample_video_frames). Every decoded field
+    (frame count, kept indices, dims, constant-frame mean pixel)
+    reduces to closed-form arithmetic the DuckDB oracle states — the
+    container walk, the 1→N Arrow explosion, and the stride sampling
+    are all value-checked, not just row-counted."""
+    from .operators.multimodal import sample_video_frames, synthetic_ppm_stream_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_video_frames(synthetic_ppm_stream_assets(docs), stride=2)

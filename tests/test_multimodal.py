@@ -345,3 +345,37 @@ def test_extract_image_headers_distributed(spark):
         assert r["format"] == ("png", "jpeg", "gif")[i % 3]
         assert (r["width"], r["height"]) == (16 + i % 50, 9 + i % 40)
         assert (r["bit_depth"], r["n_channels"]) == (8, 3)
+
+
+def test_decode_ppm_stream_walks_frames_and_refuses_truncation():
+    from etl_challenge_localiza_spark.operators.multimodal import decode_ppm_stream
+
+    f0 = b"P6\n2 2\n255\n" + bytes([10]) * 12
+    f1 = b"P6\n3 1\n255\n" + bytes([200]) * 9
+    frames = decode_ppm_stream(f0 + f1)
+    assert frames == [(0, 2, 2, 10.0), (1, 3, 1, 200.0)]
+    # truncated second frame → loud refusal naming the frame
+    with pytest.raises(ValueError, match="frame 1"):
+        decode_ppm_stream(f0 + f1[:-1])
+    # garbage between frames → refusal, not silent resync
+    with pytest.raises(ValueError, match="frame 1"):
+        decode_ppm_stream(f0 + b"JUNK" + f1)
+
+
+def test_sample_video_frames_stride(spark):
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        sample_video_frames,
+        synthetic_ppm_stream_assets,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    out = sample_video_frames(synthetic_ppm_stream_assets(docs), stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["asset_id"], []).append(r["frame_index"])
+    for did, idxs in by_doc.items():
+        n_frames = 2 + did % 4
+        assert sorted(idxs) == [f for f in range(n_frames) if f % 2 == 0]
+    # closed-form mean pixel
+    for r in out:
+        assert r["mean_pixel"] == float((r["asset_id"] * 11 + 17 * r["frame_index"]) % 256)
