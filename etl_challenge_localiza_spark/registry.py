@@ -6794,3 +6794,161 @@ def q_multimodal_video_frames(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_video_frames(synthetic_ppm_stream_assets(docs), stride=2)
+
+
+@register(
+    "spearman_value_risk",
+    oracle="""
+with base as (
+  select value as x,
+         cast(json_extract_string(props, '$.k') as double) as y
+  from events
+  where value is not null
+    and json_extract_string(props, '$.k') is not null
+),
+ranked as (
+  select
+    2 * rank() over (order by x) + count(*) over (partition by x) - 1 as rx,
+    2 * rank() over (order by y) + count(*) over (partition by y) - 1 as ry
+  from base
+),
+s as (
+  select cast(count(*) as decimal(38,0)) as n,
+         sum(cast(rx as decimal(38,0))) as sx,
+         sum(cast(ry as decimal(38,0))) as sy,
+         sum(cast(rx as decimal(38,0)) * cast(rx as decimal(38,0))) as sxx,
+         sum(cast(ry as decimal(38,0)) * cast(ry as decimal(38,0))) as syy,
+         sum(cast(rx as decimal(38,0)) * cast(ry as decimal(38,0))) as sxy
+  from ranked
+)
+select cast(n as bigint) as n_obs,
+       round(cast(n * sxy - sx * sy as double)
+         / sqrt(cast(n * sxx - sx * sx as double)
+              * cast(n * syy - sy * sy as double)), 9) as spearman_rho
+from s
+""",
+)
+def q_spearman_value_risk(spark, sf_dir):
+    """Spearman rank correlation between event value and risk score,
+    EXACT: average-rank tie handling is kept in integers by scaling
+    ranks ×2 (avg rank = rank + (ties-1)/2 → 2·avg = 2·rank+ties-1),
+    all five power sums accumulate in decimal(38) (order-independent,
+    engine-exact); the final cast/sqrt/divide step is rounded to 9dp
+    because DuckDB's int128→double cast is not correctly rounded
+    beyond 2^53 (the n·Σxx product exceeds it) — the sums stay
+    exact, only the last step rounds. Distribution shape: two
+    global-order window
+    passes for the ranks (sort-based, the unavoidable cost of exact
+    ranks — at 100 TB swap in approx ranks via percentile buckets),
+    then ONE scalar aggregate; Pearson-on-ranks never materializes a
+    pair join. Native corr() is float-accumulation-order-dependent and
+    would not hash-match — this formulation is why it does."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("value").alias("x"),
+        F.get_json_object("props", "$.k").cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    wx, wy = Window.orderBy("x"), Window.orderBy("y")
+    px, py = Window.partitionBy("x"), Window.partitionBy("y")
+    ranked = base.select(
+        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(px) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(py) - 1).alias("ry"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(d("rx")).alias("sx"),
+        F.sum(d("ry")).alias("sy"),
+        F.sum(d("rx") * d("rx")).alias("sxx"),
+        F.sum(d("ry") * d("ry")).alias("syy"),
+        F.sum(d("rx") * d("ry")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            9,
+        ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "per_type_value_trend",
+    oracle="""
+with base as (
+  select event_type,
+         cast(epoch_us(ts) // 1000000 - 1704067200 as decimal(19,0)) as x,
+         cast(value as decimal(12,2)) as y
+  from events
+),
+s as (
+  select event_type,
+         cast(count(*) as decimal(38,0)) as n,
+         sum(cast(x as decimal(38,0))) as sx,
+         sum(cast(y as decimal(38,2))) as sy,
+         sum(cast(x * y as decimal(38,2))) as sxy,
+         sum(cast(x * x as decimal(38,0))) as sxx
+  from base group by event_type
+)
+select event_type,
+       cast(n as bigint) as n_obs,
+       round(86400.0 * cast(n * sxy - sx * sy as double)
+         / cast(n * sxx - sx * sx as double), 9) as slope_per_day,
+       round((cast(sy as double) - (cast(n * sxy - sx * sy as double)
+         / cast(n * sxx - sx * sx as double)) * cast(sx as double))
+         / cast(n as double), 9) as value_at_origin
+from s
+""",
+)
+def q_per_type_value_trend(spark, sf_dir):
+    """Distributed least-squares trend per event type (the drift
+    detector: is `value` rising over time?): slope and the fitted
+    value at a FIXED origin (2024-01-01) from the closed-form normal
+    equations. Epoch seconds are centered on that fixed origin so
+    every power sum and normal-equation product stays comfortably
+    inside decimal(38) — order-independent and engine-exact
+    (uncentered epoch² sums overflow precision 38 and the engines'
+    overflow paths differ). Floats appear only in the final casts and
+    divisions; those are rounded to 9dp because DuckDB's int128→
+    double cast is not correctly rounded beyond 2^53 (measured 2-ulp
+    drift on a 17-digit numerator), so ulp-exact division is
+    unattainable — the engine-portability rounding rule applies to
+    the last step only, the sums stay exact. One map-side-
+    combined aggregate per group; no window, no driver math; the same
+    five sums scale to 100 TB untouched (MADlib's linregr shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000))
+        .cast("long")
+        .__sub__(F.lit(1704067200))
+        .cast("decimal(19,0)")
+        .alias("x"),
+        F.col("value").cast("decimal(12,2)").alias("y"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,2)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,2)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_obs"),
+        F.round(F.lit(86400.0) * slope, 9).alias("slope_per_day"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double"),
+            9,
+        ).alias("value_at_origin"),
+    )

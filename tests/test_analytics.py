@@ -90,3 +90,92 @@ def test_retention_cohorts_single_fact_exchange(spark, sf0001):
     # exactly one REPARTITION_BY_COL origin per physical occurrence of
     # the fact subtree (the second occurrence is the reused exchange)
     assert plan.count("REPARTITION_BY_COL") >= 1
+
+
+def test_spearman_registry_matches_reference_with_ties(spark, tmp_path):
+    """spearman_value_risk vs a from-scratch average-rank Spearman on a
+    small constructed events table with deliberate ties."""
+    import json
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    xs = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 5.0, 8.0]
+    ys = [2.0, 1.0, 4.0, 4.0, 6.0, 9.0, 9.0, 10.0]
+    rows = [
+        (i, i % 3, f"2024-01-01 0{i}:00:00", x, json.dumps({"k": y}))
+        for i, (x, y) in enumerate(zip(xs, ys))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double, props string"
+    )
+    df = df.withColumn("ts", df["ts"].cast("timestamp_ntz")).withColumn(
+        "event_type", df["event_id"].cast("string")
+    )
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p, mode="overwrite")
+    import os, shutil
+
+    part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(p, part), str(tmp_path / "_events"))
+    shutil.rmtree(p)
+    shutil.move(str(tmp_path / "_events"), p)
+
+    def avg_ranks(vals):
+        s = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(s):
+            j = i
+            while j < len(s) and vals[s[j]] == vals[s[i]]:
+                j += 1
+            r = (i + 1 + j) / 2.0  # average of ranks i+1..j
+            for t in range(i, j):
+                ranks[s[t]] = r
+            i = j
+        return ranks
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    den = (
+        sum((a - mx) ** 2 for a in rx) * sum((b - my) ** 2 for b in ry)
+    ) ** 0.5
+    expected = round(num / den, 9)
+    out = QUERIES["spearman_value_risk"].fn(spark, str(tmp_path)).collect()[0]
+    assert out["n_obs"] == n
+    assert abs(out["spearman_rho"] - expected) < 1e-9
+
+
+def test_trend_recovers_planted_slope(spark, tmp_path):
+    """per_type_value_trend on an exactly linear series returns the
+    planted slope and origin value."""
+    import json
+    from datetime import datetime, timedelta
+
+    origin = datetime(2024, 1, 1)
+    rows = []
+    for i in range(50):
+        ts = origin + timedelta(hours=i)
+        value = round(100.0 + 0.5 * i, 2)  # +0.5/hour = +12.0/day
+        rows.append((i, 1, ts, "lin", value, json.dumps({"k": 1.0})))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp_ntz, event_type string, "
+        "value double, props string",
+    )
+    import os, shutil
+
+    p = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.parquet(p, mode="overwrite")
+    part = [f for f in os.listdir(p) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(p, part), str(tmp_path / "_e"))
+    shutil.rmtree(p)
+    shutil.move(str(tmp_path / "_e"), p)
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    out = QUERIES["per_type_value_trend"].fn(spark, str(tmp_path)).collect()[0]
+    assert out["n_obs"] == 50
+    assert abs(out["slope_per_day"] - 12.0) < 1e-6
+    assert abs(out["value_at_origin"] - 100.0) < 1e-6
