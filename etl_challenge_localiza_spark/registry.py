@@ -6952,3 +6952,89 @@ def q_per_type_value_trend(spark, sf_dir):
             9,
         ).alias("value_at_origin"),
     )
+
+
+@register(
+    "model_quality_auc",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL},
+base as (select doc_id, lang,
+                cast(len(toks) as bigint) as n_tokens,
+                cast(list_sum(list_transform(toks, x -> length(x))) as bigint) as sum_word_len,
+                cast(len(list_filter(toks, x -> list_contains({_SW}, x))) as bigint) as sw_hits
+         from t),
+wc as (select doc_id, w, count(*) as n
+       from (select doc_id, unnest({SQL_TOKS}) as w from documents)
+       group by doc_id, w),
+prof as (select doc_id, cast(max(n) as bigint) as max_count from wc group by doc_id),
+heur as (
+  select b.doc_id,
+         (case when b.n_tokens < 10 then 'too_short'
+              when b.n_tokens > 5000 then 'too_long'
+              when (cast(b.sum_word_len as double) / cast(b.n_tokens as double) < 2.0
+                    or cast(b.sum_word_len as double) / cast(b.n_tokens as double) > 12.0)
+                   then 'word_length'
+              when cast(b.sw_hits as double) / cast(b.n_tokens as double) < 0.05
+                   then 'low_stopword'
+              when cast(p.max_count as double) / cast(b.n_tokens as double) > 0.2
+                   then 'repetitive'
+              end) is null as label
+  from base b left join prof p using (doc_id)
+),
+ranked as (
+  select h.label,
+         2 * rank() over (order by s.logit) + count(*) over (partition by s.logit) - 1 as r2
+  from heur h join scored s using (doc_id)
+),
+agg as (
+  select cast(sum(case when label then 1 else 0 end) as bigint) as n_pos,
+         cast(sum(case when label then 0 else 1 end) as bigint) as n_neg,
+         cast(sum(case when label then r2 else 0 end) as bigint) as s2
+  from ranked
+)
+select n_pos, n_neg,
+       cast(s2 - n_pos * (n_pos + 1) as double)
+         / cast(2 * n_pos * n_neg as double) as auc
+from agg
+""",
+)
+def q_model_quality_auc(spark, sf_dir):
+    """ROC-AUC of the learned quality score against the heuristic
+    C4/Gopher gate label — the calibration check a real curation
+    pipeline runs before trusting a quality classifier. EXACT: AUC is
+    the Mann-Whitney rank-sum (AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) /
+    (n⁺n⁻)) with average-rank ties kept integer by the ×2 scaling
+    trick (2·avgrank = 2·rank + ties − 1), so the statistic is two
+    exact int64 totals and ONE double division — no float reduction
+    anywhere, bit-identical cross-engine with no rounding (all values
+    < 2^53). The rank pass is one global-order window (swap in
+    percentile-bucket approximate ranks at 100 TB); positives and
+    negatives never pair-join (the naive AUC is an n⁺×n⁻ join)."""
+    from pyspark.sql import Window
+
+    from .operators.curation import hashed_feature_logit, quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    heur = quality_gate(docs).select("doc_id", F.col("keep").alias("label"))
+    model = hashed_feature_logit(docs).select("doc_id", "logit")
+    ranked = heur.join(model, "doc_id").select(
+        "label",
+        (
+            2 * F.rank().over(Window.orderBy("logit"))
+            + F.count(F.lit(1)).over(Window.partitionBy("logit"))
+            - 1
+        ).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long").alias("n_neg"),
+        F.sum(F.when(F.col("label"), F.col("r2")).otherwise(0)).cast("long").alias("s2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("s2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

@@ -222,3 +222,27 @@ def test_dsir_matches_independent_computation(spark):
     assert got[1]["log_weight"] > got[3]["log_weight"]
     # empty doc scores 0 with 0 features
     assert got[5]["n_feats"] == 0 and got[5]["log_weight"] == 0.0
+
+
+def test_auc_rank_sum_equals_pairwise_definition(spark, sf0001):
+    """The rank-sum AUC must equal the O(n+ * n-) pairwise definition
+    (#(score_pos > score_neg) + 0.5 * ties) / (n_pos * n_neg) —
+    computed independently on the same docs."""
+    from etl_challenge_localiza_spark.operators.curation import (
+        hashed_feature_logit,
+        quality_gate,
+    )
+    from etl_challenge_localiza_spark.registry import QUERIES
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf0001, "documents")
+    heur = {r["doc_id"]: r["keep"] for r in quality_gate(docs).collect()}
+    logit = {r["doc_id"]: r["logit"] for r in hashed_feature_logit(docs).collect()}
+    pos = [logit[d] for d, k in heur.items() if k]
+    neg = [logit[d] for d, k in heur.items() if not k]
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    out = QUERIES["model_quality_auc"].fn(spark, sf0001).collect()[0]
+    assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
+    assert abs(out["auc"] - expected) < 1e-12
