@@ -7038,3 +7038,26 @@ def q_model_quality_auc(spark, sf_dir):
             / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+
+
+@register(
+    "bpe_train_encode",
+    oracle=None,  # iterative re-segmentation — not SQL-expressible;
+    # correctness pinned by tests/test_bpe.py (reference trainer/
+    # encoder comparison + conservation/fixpoint properties)
+)
+def q_bpe_train_encode(spark, sf_dir):
+    """Full BPE tokenizer round trip (operators/bpe.py): train 8
+    merges on the corpus with the distributed re-segmentation loop
+    (driver state = the merge list only; one Arrow pass per sweep,
+    map-side-combined pair counts, one argmax row collected), then
+    encode every document with the learned merges and report per-doc
+    word/char/BPE-token counts and compression. Deterministic: the
+    merge argmax has a total (count desc, pair asc) tiebreak and
+    segmentation is a pure function of (word, merges) — the
+    determinism audit covers it same-session."""
+    from .operators.bpe import bpe_encode_stats, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=8)
+    return bpe_encode_stats(docs, merges)

@@ -32,6 +32,11 @@ QUERIES_TO_RUN = [
     "q9_product_profit",
     "asof_latest_order",
     "user_rolling_hour_stats",
+    # round-6 events-based additions — the O(rows) closed-form claims
+    # (EWMA, rank-correlation, OLS trend) measured, not asserted
+    "ewma_user_value",
+    "spearman_value_risk",
+    "per_type_value_trend",
 ]
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
