@@ -318,3 +318,78 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5, k: int = 30) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by pointwise mutual
+    information (Church & Hanks 1990): PMI(a,b) = ln(P(a,b) /
+    (P(a)·P(b))) with probabilities from EXACT corpus counts — bigram
+    mass over the bigram total, unigram mass over the token total.
+    The collocation-extraction layer a phrase-mining / vocab-building
+    pipeline runs on top of bpe_top_merges' raw pair counts.
+
+    One scan, one keyed shuffle: unigram and bigram occurrences are
+    emitted as ONE unified exploded stream ((w, NULL) for unigrams,
+    (w1, w2) for bigrams) so a single map-side-combined hash aggregate
+    counts both at once. The marginal joins and totals run over the
+    aggregated (vocab + bigram-type)-sized table only — the identical
+    shuffle subtree below them is deduplicated by ReuseExchange, so
+    the corpus is scanned and partially aggregated once. The two
+    scalar totals broadcast (scalar-broadcast pattern). At 100 TB
+    nothing but (pair, count) partials ever shuffles; the final PMI is
+    one double expression over exact int64 counts, rounded to 6 dp for
+    cross-engine hash stability, ranked by TakeOrderedAndProject with
+    a total (pmi, w1, w2) tiebreak.
+    """
+    tok = tokens("text")
+    unis = F.transform(
+        tok,
+        lambda w: F.struct(w.alias("w1"), F.lit(None).cast("string").alias("w2")),
+    )
+    n_pairs = F.greatest(F.size(tok) - F.lit(1), F.lit(0))
+    zipped = F.arrays_zip(F.slice(tok, 1, n_pairs), F.slice(tok, 2, n_pairs))
+    bis = F.transform(
+        zipped, lambda s: F.struct(s["0"].alias("w1"), s["1"].alias("w2"))
+    )
+    counts = (
+        spread_small_scan(docs)
+        .select(F.explode(F.concat(unis, bis)).alias("s"))
+        .select("s.w1", "s.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    uc = counts.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("w"), F.col("c").alias("cw")
+    )
+    bc = counts.filter(
+        F.col("w2").isNotNull() & (F.col("c") >= min_count)
+    ).select("w1", "w2", F.col("c").alias("c_ab"))
+    totals = counts.agg(
+        F.sum(F.when(F.col("w2").isNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("t_total"),
+        F.sum(F.when(F.col("w2").isNotNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("b_total"),
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("t_total").cast("double"))
+            * F.col("t_total").cast("double")
+            / (
+                (F.col("b_total").cast("double") * F.col("c1").cast("double"))
+                * F.col("c2").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        bc.join(
+            uc.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1"
+        )
+        .join(uc.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

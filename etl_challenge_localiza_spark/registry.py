@@ -7061,3 +7061,40 @@ def q_bpe_train_encode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs, n_merges=8)
     return bpe_encode_stats(docs, merges)
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+with t as (select {SQL_TOKS} as toks from documents),
+uni as (select unnest(toks) as w from t),
+uc as (select w, cast(count(*) as bigint) as c from uni group by w),
+tot as (select cast(count(*) as bigint) as t_total from uni),
+bi as (select toks[g] as w1, toks[g + 1] as w2
+       from t, unnest(generate_series(1, len(toks) - 1)) s(g)
+       where len(toks) >= 2),
+bc as (select w1, w2, cast(count(*) as bigint) as c_ab from bi group by w1, w2),
+btot as (select cast(count(*) as bigint) as b_total from bi)
+select w1, w2, c_ab,
+       round(ln(((cast(c_ab as double) * cast(t_total as double)) * cast(t_total as double))
+              / ((cast(b_total as double) * cast(uc1.c as double)) * cast(uc2.c as double))), 6) as pmi
+from bc
+join uc uc1 on bc.w1 = uc1.w
+join uc uc2 on bc.w2 = uc2.w
+cross join tot cross join btot
+where c_ab >= 5
+order by pmi desc, w1, w2
+limit 30
+""",
+)
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation extraction by pointwise mutual information over
+    adjacent word pairs (operators/textops.py:pmi_collocations) — the
+    phrase-mining layer between raw pair counts (bpe_top_merges) and a
+    tokenizer/vocab build. Exact integer counts from ONE unified
+    unigram+bigram exploded stream (single scan, single shuffle,
+    ReuseExchange dedupes the shared aggregate); PMI itself is a
+    per-row double expression over broadcast scalar totals."""
+    from .operators.textops import pmi_collocations
+
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))

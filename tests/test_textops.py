@@ -214,3 +214,41 @@ def test_bm25_matches_independent_reimplementation(spark):
     # ranking: doc 3 (all three terms, high tf) must outrank doc 2-style misses
     order = [r["doc_id"] for r in bm25_topk(docs, terms, k=10).collect()]
     assert order[0] == 3 and 2 not in order
+
+
+def test_pmi_collocations_hand_computed(spark):
+    from math import log
+
+    from etl_challenge_localiza_spark.operators.textops import pmi_collocations
+
+    # 3 docs: "new york" always adjacent (strong collocation); "the"
+    # frequent and promiscuous (weak).
+    rows = [
+        (1, "new york is the big apple in the fog", "en", "s", 0),
+        (2, "the map of new york shows new york twice", "en", "s", 0),
+        (3, "the old port near new york was the hub", "en", "s", 0),
+    ]
+    df = _docs(spark, rows)
+    out = {
+        (r["w1"], r["w2"]): (r["c_ab"], r["pmi"])
+        for r in pmi_collocations(df, min_count=2, k=50).collect()
+    }
+    # hand counts: tokens per doc 9/9/9 => t_total = 27; bigrams 8/8/8 = 24
+    toks = [r[1].split() for r in rows]
+    t_total = sum(len(t) for t in toks)
+    b_total = sum(len(t) - 1 for t in toks)
+    assert (t_total, b_total) == (27, 24)
+    c_new = sum(t.count("new") for t in toks)   # 4
+    c_york = sum(t.count("york") for t in toks)  # 4
+    c_ab = 4  # "new york" appears 4 times, always adjacent
+    expected = round(
+        log(((c_ab * float(t_total)) * t_total) / ((b_total * float(c_new)) * c_york)),
+        6,
+    )
+    assert out[("new", "york")] == (4, pytest.approx(expected))
+    # perfect collocation outranks the frequent-but-promiscuous "the" pairs
+    assert all(
+        out[("new", "york")][1] >= pmi for (_, _), (_, pmi) in out.items()
+    )
+    # bigrams below min_count are dropped
+    assert ("big", "apple") not in out
