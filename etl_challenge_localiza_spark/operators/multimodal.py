@@ -709,3 +709,137 @@ def synthetic_ppm_stream_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(
         run, schema="asset_id long, payload binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image fingerprint: average hash (aHash) over the decoded raster
+# ---------------------------------------------------------------------------
+
+
+def _gray_raster(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode PPM (P6) or uncompressed 24-bit BMP into (width, height,
+    per-pixel gray sums r+g+b in image row order, top-down). BMP rows
+    are stored bottom-up for positive heights — re-ordered here so the
+    same image hashes identically across containers."""
+    if payload[:2] == b"P6":
+        m = _PPM_HEADER.match(payload)
+        if not m:
+            raise ValueError("not a binary PPM (P6) payload")
+        w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        pix = payload[m.end() : m.end() + w * h * 3]
+        if len(pix) != w * h * 3:
+            raise ValueError("truncated PPM pixel data")
+        gray = [pix[i] + pix[i + 1] + pix[i + 2] for i in range(0, len(pix), 3)]
+        return w, h, gray
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError("only uncompressed 24-bit BMP supported")
+        height = abs(h)
+        stride = (w * 3 + 3) & ~3
+        gray: list[int] = []
+        for y in range(height):
+            r = height - 1 - y if h > 0 else y  # bottom-up storage
+            row = payload[off + r * stride : off + r * stride + w * 3]
+            if len(row) != w * 3:
+                raise ValueError("truncated BMP pixel data")
+            gray.extend(row[i] + row[i + 1] + row[i + 2] for i in range(0, w * 3, 3))
+        return w, height, gray
+    raise ValueError("unsupported image format (only P6 PPM / 24-bit BMP)")
+
+
+def ahash_image(payload: bytes, grid: int = 8) -> str:
+    """Average hash (aHash): downsample the grayscale raster to
+    ``grid``x``grid`` block means by integer box binning, threshold
+    each block against the global mean, and pack the grid row-major
+    into a ``grid**2``-bit fingerprint (hex string, zero-padded).
+
+    The standard perceptual-dedup fingerprint (pHash family): identical
+    for re-encodes of the same picture across containers (PPM vs BMP,
+    pytest-asserted) and stable under uniform brightness shifts, unlike
+    the byte-level content_sha. Pure integer block sums; the only
+    floats are the final per-block/global mean comparisons."""
+    w, h, gray = _gray_raster(payload)
+    if not gray:
+        raise ValueError("empty raster")
+    sums = [[0] * grid for _ in range(grid)]
+    cnts = [[0] * grid for _ in range(grid)]
+    for y in range(h):
+        by = y * grid // h
+        row_base = y * w
+        for x in range(w):
+            sums[by][x * grid // w] += gray[row_base + x]
+            cnts[by][x * grid // w] += 1
+    total = sum(gray) / (3.0 * len(gray))
+    bits = 0
+    for by in range(grid):
+        for bx in range(grid):
+            if cnts[by][bx] and sums[by][bx] / (3.0 * cnts[by][bx]) > total:
+                bits |= 1 << (by * grid + bx)
+    return format(bits, "0%dx" % (grid * grid // 4))
+
+
+AHASH_SCHEMA = "asset_id long, ahash string"
+
+
+def image_ahash(assets: DataFrame, grid: int = 8) -> DataFrame:
+    """Per-asset perceptual fingerprint via :func:`ahash_image` through
+    the standard Arrow-batched crossing. Downstream exact-group dedup
+    is a plain hash groupBy on the 64-bit fingerprint; hamming-
+    tolerant near-dup search reuses the banded-LSH shape from
+    operators/dedup.py (split the 64 bits into 4x16-bit bands, bucket
+    join per band) — the fingerprint is deliberately band-splittable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "ahash": [ahash_image(bytes(p), grid) for p in pdf["payload"]],
+                }
+            )
+
+    return assets.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def synthetic_pattern_ppm_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL two-tone PPM images whose aHash is known in
+    closed form: pattern doc_id%4 picks which half of a 16x16 canvas is
+    bright (0 left / 1 top / 2 diagonal quadrants / 3 right), while the
+    actual byte values vary per image (dark = id%30, bright =
+    200 + id%56) — so byte-identical dedup (content_sha) sees every
+    image as unique but the perceptual hash collapses each pattern
+    class to one fingerprint the SQL oracle states as a literal."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        side = 16
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pat, dark, bright = did % 4, did % 30, 200 + did % 56
+                buf = bytearray(b"P6\n%d %d\n255\n" % (side, side))
+                half = side // 2
+                for y in range(side):
+                    for x in range(side):
+                        if pat == 0:
+                            lit = x < half
+                        elif pat == 1:
+                            lit = y < half
+                        elif pat == 2:
+                            lit = (x < half) == (y < half)
+                        else:
+                            lit = x >= half
+                        buf += bytes([bright if lit else dark]) * 3
+                payloads.append(bytes(buf))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="asset_id long, payload binary"
+    )

@@ -7098,3 +7098,47 @@ def q_pmi_collocations(spark, sf_dir):
     from .operators.textops import pmi_collocations
 
     return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "image_ahash_dedup",
+    oracle="""
+with h as (
+  select doc_id,
+         case doc_id % 4
+           when 0 then '0f0f0f0f0f0f0f0f'
+           when 1 then '00000000ffffffff'
+           when 2 then 'f0f0f0f00f0f0f0f'
+           else 'f0f0f0f0f0f0f0f0' end as ahash
+  from documents
+)
+select ahash, cast(count(*) as bigint) as n_images,
+       cast(min(doc_id) as bigint) as keeper
+from h group by ahash order by ahash
+""",
+)
+def q_image_ahash_dedup(spark, sf_dir):
+    """Perceptual image dedup: REAL 16x16 two-tone PPM bytes are
+    decoded and average-hashed (operators/multimodal.py:ahash_image —
+    8x8 box-binned block means thresholded on the global mean), then
+    exact-grouped on the 64-bit fingerprint. Every image has UNIQUE
+    bytes (per-id brightness), so byte-level dedup finds nothing while
+    the perceptual hash collapses the 4 pattern classes — the oracle
+    states each class fingerprint as a closed-form literal (the
+    multimodal_audio_decode pattern: synthetic assets, real decoder).
+    One Arrow crossing for the decode+hash, then a map-side-combined
+    groupBy on a 16-char key; hamming-tolerant variants band-split the
+    fingerprint into the LSH bucket shape of operators/dedup.py. At
+    100 TB the fingerprint table is the only thing that shuffles."""
+    from .operators.multimodal import image_ahash, synthetic_pattern_ppm_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = image_ahash(synthetic_pattern_ppm_assets(docs))
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_images"),
+            F.min("asset_id").cast("long").alias("keeper"),
+        )
+        .orderBy("ahash")
+    )

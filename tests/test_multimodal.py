@@ -379,3 +379,76 @@ def test_sample_video_frames_stride(spark):
     # closed-form mean pixel
     for r in out:
         assert r["mean_pixel"] == float((r["asset_id"] * 11 + 17 * r["frame_index"]) % 256)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual average hash (aHash)
+# ---------------------------------------------------------------------------
+
+def _two_tone_ppm(side, dark, bright, lit):
+    buf = bytearray(b"P6\n%d %d\n255\n" % (side, side))
+    for y in range(side):
+        for x in range(side):
+            buf += bytes([bright if lit(x, y) else dark]) * 3
+    return bytes(buf)
+
+
+def test_ahash_brightness_invariant_but_bytes_differ():
+    from etl_challenge_localiza_spark.operators.multimodal import ahash_image
+
+    a = _two_tone_ppm(16, 5, 201, lambda x, y: x < 8)
+    b = _two_tone_ppm(16, 29, 255, lambda x, y: x < 8)
+    assert a != b  # byte-level dedup would keep both
+    assert ahash_image(a) == ahash_image(b) == "0f0f0f0f0f0f0f0f"
+    assert ahash_image(_two_tone_ppm(16, 0, 200, lambda x, y: y < 8)) == (
+        "00000000ffffffff"
+    )
+
+
+def test_ahash_same_image_across_containers():
+    from etl_challenge_localiza_spark.operators.multimodal import ahash_image
+
+    # same 8x8 picture as PPM and as bottom-up BMP must hash identically
+    side, dark, bright = 8, 10, 240
+    lit = lambda x, y: (x < 4) == (y < 4)  # noqa: E731
+    ppm = _two_tone_ppm(side, dark, bright, lit)
+    bmp_rows = [
+        b"".join(
+            bytes([bright if lit(x, y) else dark]) * 3 for x in range(side)
+        )
+        for y in reversed(range(side))  # bottom-up row order
+    ]
+    bmp = _bmp_24(side, side, bmp_rows)
+    assert ahash_image(ppm) == ahash_image(bmp) == "f0f0f0f00f0f0f0f"
+
+
+def test_ahash_non_divisible_dims_and_refusals():
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.multimodal import ahash_image
+
+    # 10x10 raster box-bins into 8x8 without error and stays two-tone
+    assert ahash_image(_two_tone_ppm(10, 0, 250, lambda x, y: x < 5)) == (
+        "0f0f0f0f0f0f0f0f"
+    )
+    with _pytest.raises(ValueError):
+        ahash_image(b"GIF89a not a raster we decode")
+    with _pytest.raises(ValueError):
+        ahash_image(b"P6\n4 4\n255\n\x00\x01")  # truncated
+
+
+def test_image_ahash_dedup_collapses_pattern_classes(spark):
+    from etl_challenge_localiza_spark.operators.multimodal import (
+        image_ahash,
+        synthetic_pattern_ppm_assets,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    rows = image_ahash(synthetic_pattern_ppm_assets(docs)).collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["ahash"], []).append(r["asset_id"])
+    assert len(by_hash) == 4
+    for ids in by_hash.values():
+        pats = {i % 4 for i in ids}
+        assert len(pats) == 1 and len(ids) == 3
