@@ -97,6 +97,33 @@ def ngram_jaccard_pairs(
     one parse of the corpus, one full shuffle of the hashed shingle
     stream, then aggregates/joins over cap-bounded data only.
     """
+    counts = _blocked_overlap_counts(docs, n, block_cols, max_df)
+    return (
+        counts.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a_doc_id").cast("long").alias("doc_id_a"),
+            F.col("b_doc_id").cast("long").alias("doc_id_b"),
+            "jaccard",
+        )
+    )
+
+
+def _blocked_overlap_counts(
+    docs: DataFrame,
+    n: int,
+    block_cols: tuple[str, ...],
+    max_df: int,
+) -> DataFrame:
+    """Shared counting pipeline behind the set-similarity metrics:
+    (a_doc_id, b_doc_id, n_inter, n_a, n_b) over the df-capped hashed
+    shingle universe — steps 1-4 of the no-self-join design documented
+    on :func:`ngram_jaccard_pairs`. Jaccard and containment differ
+    only in the final formula over these three exact counts."""
     cols = ["doc_id", *block_cols]
     key = [*block_cols, "shingle"]
     raw = spread_small_scan(docs).select(
@@ -128,16 +155,43 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "a_doc_id").withColumnRenamed("n_shingles", "n_a"), "a_doc_id")
         .join(sizes.withColumnRenamed("doc_id", "b_doc_id").withColumnRenamed("n_shingles", "n_b"), "b_doc_id")
-        .withColumn(
-            "jaccard",
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    max_df: int = 100,
+) -> DataFrame:
+    """Blocked n-gram CONTAINMENT near-duplicate pairs: containment =
+    |A∩B| / min(|A|, |B|) — the asymmetric-length dedup mode Jaccard
+    structurally misses. A 20-shingle doc fully quoted inside a
+    400-shingle doc scores jaccard 0.05 (invisible at any sane
+    threshold) but containment 1.0; this is the standard detector for
+    press-release/quote/wrapper duplication in pretraining corpora
+    (Broder's containment, the same measure substring_dedup_spans
+    applies at window grain).
+
+    Identical scale shape to :func:`ngram_jaccard_pairs` — the shared
+    :func:`_blocked_overlap_counts` pipeline (one corpus parse, one
+    hashed-shingle shuffle, JVM-side pair expansion, df-capped) with a
+    different final formula: one double division over exact int64
+    counts. Returns (doc_id_a, doc_id_b, containment) with a < b.
+    """
+    counts = _blocked_overlap_counts(docs, n, block_cols, max_df)
+    return (
+        counts.withColumn(
+            "containment",
             F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            / F.least(F.col("n_a"), F.col("n_b")).cast("double"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("containment") >= threshold)
         .select(
             F.col("a_doc_id").cast("long").alias("doc_id_a"),
             F.col("b_doc_id").cast("long").alias("doc_id_b"),
-            "jaccard",
+            "containment",
         )
     )
 

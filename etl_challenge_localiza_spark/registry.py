@@ -7142,3 +7142,27 @@ def q_image_ahash_dedup(spark, sf_dir):
         )
         .orderBy("ahash")
     )
+
+
+@register(
+    "containment_near_dup",
+    oracle=f"""
+with {SQL_JACCARD_CTES}
+select cast(da as bigint) as doc_id_a, cast(db as bigint) as doc_id_b,
+       cast(ni as double) / cast(least(sa.n, sb.n) as double) as containment
+from inter
+join sizes sa on da = sa.doc_id
+join sizes sb on db = sb.doc_id
+where cast(ni as double) / cast(least(sa.n, sb.n) as double) >= 0.8
+""",
+)
+def q_containment_near_dup(spark, sf_dir):
+    """Asymmetric containment near-dup pairs (|A∩B| / min(|A|,|B|) ≥
+    0.8) — catches short docs quoted inside long ones, which Jaccard
+    structurally misses at any usable threshold
+    (operators/dedup.py:ngram_containment_pairs). Same one-shuffle
+    df-capped shingle pipeline as ngram_jaccard_pairs; only the final
+    formula differs (one double division over exact counts)."""
+    from .operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))

@@ -65,3 +65,32 @@ def test_simhash_near_dup(spark):
     }
     assert pairs[(1, 2)] == 0  # identical text → identical simhash
     assert (1, 4) not in pairs or pairs[(1, 4)] > 10
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    from etl_challenge_localiza_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    # doc 1: a short notice; doc 2: a long article quoting it verbatim
+    short = "the court ruled today that the merger may proceed as planned"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    rows = [
+        (1, short, "en", "s", len(short)),
+        (2, filler + " " + short, "en", "s", 0),
+        (3, "completely unrelated text about gardens and soil", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, DOC_COLS)
+    jacc = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    cont = {
+        (r["doc_id_a"], r["doc_id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    # every shingle of doc 1 appears in doc 2 -> containment 1.0
+    assert cont == {(1, 2): 1.0}
+    # but jaccard is diluted by doc 2's length — far below any dedup cut
+    assert jacc[(1, 2)] < 0.1
