@@ -331,3 +331,53 @@ def test_crashed_writer_takeover_single_winner(tmp_path):
     # the flock is released: a fresh acquisition succeeds immediately
     with snapshot_writer_lock(path):
         pass
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    from etl_challenge_localiza_spark.operators.merge import snapshot_diff
+    from etl_challenge_localiza_spark.sources.sinks import snapshot_write
+
+    path = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["k", "s", "v"]
+        ),
+        path,
+    )
+    v2 = snapshot_write(
+        spark,
+        spark.createDataFrame(
+            # 1 unchanged, 2 value-changed, 3 deleted, 4 added
+            [(1, "a", 10.0), (2, "b", 21.0), (4, "d", 40.0)],
+            ["k", "s", "v"],
+        ),
+        path,
+    )
+    out = {r["k"]: r for r in snapshot_diff(spark, path, v1, v2, "k").collect()}
+    assert {k: r["change"] for k, r in out.items()} == {
+        2: "changed",
+        3: "deleted",
+        4: "added",
+    }
+    assert 1 not in out  # unchanged keys are dropped
+    assert out[2]["old_fp"] is not None and out[2]["new_fp"] is not None
+    assert out[3]["new_fp"] is None and out[4]["old_fp"] is None
+    # reversing the versions flips added/deleted and keeps changed
+    rev = {r["k"]: r["change"] for r in snapshot_diff(spark, path, v2, v1, "k").collect()}
+    assert rev == {2: "changed", 3: "added", 4: "deleted"}
+
+
+def test_snapshot_diff_refuses_schema_drift(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.merge import snapshot_diff
+    from etl_challenge_localiza_spark.sources.sinks import snapshot_write
+
+    path = str(tmp_path / "tbl")
+    v1 = snapshot_write(spark, spark.createDataFrame([(1, "a")], ["k", "s"]), path)
+    v2 = snapshot_write(
+        spark, spark.createDataFrame([(1, "a", 9)], ["k", "s", "extra"]), path
+    )
+    with _pytest.raises(ValueError, match="schema drift"):
+        snapshot_diff(spark, path, v1, v2, "k")
