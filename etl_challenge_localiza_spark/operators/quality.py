@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -190,3 +191,54 @@ def check_gate(metrics: dict, threshold: float, phase: str) -> None:
         raise QualityGateError(
             f"Conformity {phase} ({rate:.4f}) < {threshold} — failing on quality policy."
         )
+
+
+def compression_signals(docs: DataFrame, level: int = 6) -> DataFrame:
+    """Compression-ratio quality signal: per-doc zlib(deflate) size over
+    raw utf-8 size — the classic repetition/boilerplate detector
+    (low ratio = machine-generated or template text; ratios near or
+    above 1.0 = already-compressed or high-entropy noise). Complements
+    the closed-form entropy/repetition expressions in
+    repetition_signals with a measure that sees LONG-RANGE repetition
+    (entropy is distribution-only; deflate's 32 KB window catches
+    repeated paragraphs).
+
+    The compressor is stdlib zlib behind ONE Arrow-batched pandas_udf
+    (the sanctioned shape for per-row Python work — same rule as the
+    multimodal decoders: batch crossing, no per-row pickling). Output
+    byte counts are exact integers; the ratio is one double division.
+    No SQL oracle exists (DuckDB has no compression function), so the
+    registry entry is rows-only; numeric correctness is pinned by
+    pytest bounds (repetitive ≪ prose < random) on planted inputs.
+    At 100 TB this is a pure map pass — zero shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def deflate_bytes(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else None
+        )
+
+    raw_bytes = F.octet_length("text").cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            raw_bytes.alias("n_bytes"),
+            deflate_bytes(F.col("text")).alias("deflate_bytes"),
+        )
+        .withColumn(
+            "compression_ratio",
+            F.when(
+                F.col("n_bytes") > 0,
+                F.col("deflate_bytes").cast("double")
+                / F.col("n_bytes").cast("double"),
+            ),
+        )
+        # repetition gate: only EXTREME compressibility is flagged
+        # (varied prose deflates to ~0.2-0.4; template spam lands <0.05)
+        .withColumn("keep", F.coalesce(F.col("compression_ratio") >= 0.1, F.lit(False)))
+    )

@@ -7166,3 +7166,17 @@ def q_containment_near_dup(spark, sf_dir):
     from .operators.dedup import ngram_containment_pairs
 
     return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("compression_quality_signals")  # rows-only: no SQL-side compressor
+def q_compression_quality_signals(spark, sf_dir):
+    """Per-doc deflate compression ratio as a repetition/boilerplate
+    quality signal (operators/quality.py:compression_signals) — the
+    long-range-repetition detector entropy-based repetition_signals
+    cannot see. Arrow-batched stdlib-zlib pandas_udf (one Python
+    crossing, zero shuffle); rows-only because no SQL engine
+    compresses, with numeric bounds pinned in tests/test_quality.py."""
+    from .operators.quality import compression_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_signals(docs)

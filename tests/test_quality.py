@@ -88,3 +88,35 @@ def test_observed_profile_single_pass(spark):
     assert got["total_rows"] == 2
     assert got["nulls_timestamp"] == 1
     assert got["nulls_location_region"] == 1
+
+
+def test_compression_signals_orders_text_classes(spark):
+    import hashlib
+    import zlib
+
+    from etl_challenge_localiza_spark.operators.quality import compression_signals
+
+    repetitive = "spam ham " * 400
+    prose = " ".join(
+        f"Sentence {i} mentions {hashlib.md5(str(i).encode()).hexdigest()[:6]} "
+        f"and speaks of topic {i * i % 97} briefly."
+        for i in range(60)
+    )
+    noise = " ".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(120)
+    )
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, prose), (3, noise), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in compression_signals(docs).collect()}
+    # exact integer check against the same stdlib compressor
+    assert out[1]["deflate_bytes"] == len(zlib.compress(repetitive.encode(), 6))
+    assert out[1]["n_bytes"] == len(repetitive.encode())
+    # repetitive << prose < noise
+    assert out[1]["compression_ratio"] < 0.05
+    assert out[1]["compression_ratio"] < out[2]["compression_ratio"] < out[3]["compression_ratio"]
+    assert out[3]["compression_ratio"] > 0.5
+    # gate: repetitive dropped, prose kept; empty doc -> null ratio, dropped
+    assert not out[1]["keep"] and out[2]["keep"]
+    assert out[4]["compression_ratio"] is None and not out[4]["keep"]
