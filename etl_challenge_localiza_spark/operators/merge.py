@@ -214,3 +214,48 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select("change", *keys, "old_fp", "new_fp")
     )
+
+
+AGG_STATE_COLS = ("n", "total_dec", "vmin", "vmax")
+
+
+def agg_state(df: DataFrame, key: str, value_col: str) -> DataFrame:
+    """Per-key mergeable aggregate state (count / exact decimal sum /
+    min / max) — the partial-aggregate tuple a materialized view
+    stores. The sum is decimal(18,2) so merging states is EXACTLY
+    associative (float partial sums would drift with merge order)."""
+    v = F.col(value_col)
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v.cast("decimal(18,2)")).alias("total_dec"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+
+
+def merge_agg_states(state: DataFrame, delta: DataFrame, key: str) -> DataFrame:
+    """Incremental materialized-view maintenance: merge a stored
+    per-key aggregate state with a new batch's state — the REFRESH
+    INCREMENTAL primitive. Count and exact-decimal sum add; min/max
+    combine via null-skipping least/greatest; keys present on only one
+    side pass through (full-outer join on the key, the single keyed
+    shuffle — at 100 TB both sides are key-partitioned and the delta
+    is usually tiny, so AQE broadcasts it).
+
+    Works for any distributive/algebraic aggregate state; holistic
+    aggregates (exact median/distinct) need the sketch path
+    (hll_sketch_mergeability shows the mergeable-distinct analog)."""
+    s = state.select(key, *[F.col(c).alias(f"s_{c}") for c in AGG_STATE_COLS])
+    d = delta.select(key, *[F.col(c).alias(f"d_{c}") for c in AGG_STATE_COLS])
+    zero = F.lit(0).cast("decimal(18,2)")
+    return s.join(d, on=key, how="full_outer").select(
+        key,
+        (F.coalesce(F.col("s_n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0)))
+        .cast("long")
+        .alias("n"),
+        (F.coalesce(F.col("s_total_dec"), zero) + F.coalesce(F.col("d_total_dec"), zero))
+        .cast("decimal(18,2)")
+        .alias("total_dec"),
+        F.least(F.col("s_vmin"), F.col("d_vmin")).alias("vmin"),
+        F.greatest(F.col("s_vmax"), F.col("d_vmax")).alias("vmax"),
+    )

@@ -242,3 +242,73 @@ def compression_signals(docs: DataFrame, level: int = 6) -> DataFrame:
         # (varied prose deflates to ~0.2-0.4; template spam lands <0.05)
         .withColumn("keep", F.coalesce(F.col("compression_ratio") >= 0.1, F.lit(False)))
     )
+
+
+def column_stats(df: DataFrame, approx_ndv: bool = False) -> DataFrame:
+    """ANALYZE TABLE-style per-column statistics profile — the stats a
+    cost-based optimizer collects (row count, null count, NDV, min and
+    max), computed for EVERY column of any DataFrame in ONE aggregate
+    pass over the data and unpivoted to one row per column:
+    (column, dtype, n_rows, n_nulls, n_distinct, min_num, max_num,
+    min_str, max_str). Numeric and timestamp extremes land in the
+    typed double slots (timestamps as epoch microseconds — engine-
+    portable, unlike cross-engine string formatting of doubles/
+    timestamps); string extremes in the string slots; other types
+    (arrays, binary) profile nulls/NDV only.
+
+    ``approx_ndv=True`` swaps exact ``count_distinct`` for HLL++
+    ``approx_count_distinct`` — the 100 TB path: exact multi-column
+    distinct counts make Catalyst expand the scan once per distinct
+    column (the standard multi-distinct plan), while the sketch path
+    is a single non-expanded pass. The final unpivot is an explode of
+    a 1-row array of structs — no shuffle beyond the scalar aggregate.
+    """
+    from pyspark.sql import types as T
+
+    ndv = F.approx_count_distinct if approx_ndv else F.count_distinct
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n_rows")]
+    null_str = F.lit(None).cast("string")
+    null_num = F.lit(None).cast("double")
+    per_col: list[tuple[str, str]] = []
+    for i, fld in enumerate(df.schema.fields):
+        c = F.col(fld.name)
+        aggs.append(F.count(c).cast("long").alias(f"__cnt_{i}"))
+        aggs.append(ndv(c).cast("long").alias(f"__ndv_{i}"))
+        if isinstance(fld.dataType, T.NumericType):
+            aggs.append(F.min(c).cast("double").alias(f"__min_{i}"))
+            aggs.append(F.max(c).cast("double").alias(f"__max_{i}"))
+            kind = "num"
+        elif isinstance(fld.dataType, (T.TimestampType, T.TimestampNTZType)):
+            # NTZ values are interpreted in the session zone (UTC here)
+            ep = F.unix_micros(c.cast("timestamp"))
+            aggs.append(F.min(ep).cast("double").alias(f"__min_{i}"))
+            aggs.append(F.max(ep).cast("double").alias(f"__max_{i}"))
+            kind = "num"
+        elif isinstance(fld.dataType, T.StringType):
+            aggs.append(F.min(c).alias(f"__min_{i}"))
+            aggs.append(F.max(c).alias(f"__max_{i}"))
+            kind = "str"
+        else:
+            kind = "none"
+        per_col.append((fld.name, kind))
+    row = df.agg(*aggs)
+    structs = []
+    for i, (fld, (name, kind)) in enumerate(zip(df.schema.fields, per_col)):
+        structs.append(
+            F.struct(
+                F.lit(name).alias("column"),
+                F.lit(fld.dataType.simpleString()).alias("dtype"),
+                F.col("__n_rows").alias("n_rows"),
+                (F.col("__n_rows") - F.col(f"__cnt_{i}")).cast("long").alias("n_nulls"),
+                F.col(f"__ndv_{i}").alias("n_distinct"),
+                (F.col(f"__min_{i}") if kind == "num" else null_num).alias("min_num"),
+                (F.col(f"__max_{i}") if kind == "num" else null_num).alias("max_num"),
+                (F.col(f"__min_{i}") if kind == "str" else null_str).alias("min_str"),
+                (F.col(f"__max_{i}") if kind == "str" else null_str).alias("max_str"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .orderBy("column")
+    )

@@ -7180,3 +7180,100 @@ def q_compression_quality_signals(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_signals(docs)
+
+
+@register(
+    "table_stats_events",
+    oracle="""
+select * from (
+  select 'event_id' as "column", 'bigint' as dtype,
+         cast(count(*) as bigint) as n_rows,
+         cast(count(*) - count(event_id) as bigint) as n_nulls,
+         cast(count(distinct event_id) as bigint) as n_distinct,
+         cast(min(event_id) as double) as min_num,
+         cast(max(event_id) as double) as max_num,
+         cast(null as varchar) as min_str, cast(null as varchar) as max_str
+  from events
+  union all
+  select 'ts', 'timestamp_ntz', cast(count(*) as bigint),
+         cast(count(*) - count(ts) as bigint),
+         cast(count(distinct ts) as bigint),
+         cast(epoch_us(min(ts)) as double), cast(epoch_us(max(ts)) as double),
+         null, null
+  from events
+  union all
+  select 'user_id', 'bigint', cast(count(*) as bigint),
+         cast(count(*) - count(user_id) as bigint),
+         cast(count(distinct user_id) as bigint),
+         cast(min(user_id) as double), cast(max(user_id) as double),
+         null, null
+  from events
+  union all
+  select 'event_type', 'string', cast(count(*) as bigint),
+         cast(count(*) - count(event_type) as bigint),
+         cast(count(distinct event_type) as bigint),
+         null, null, min(event_type), max(event_type)
+  from events
+  union all
+  select 'value', 'double', cast(count(*) as bigint),
+         cast(count(*) - count(value) as bigint),
+         cast(count(distinct value) as bigint),
+         cast(min(value) as double), cast(max(value) as double),
+         null, null
+  from events
+  union all
+  select 'props', 'string', cast(count(*) as bigint),
+         cast(count(*) - count(props) as bigint),
+         cast(count(distinct props) as bigint),
+         null, null, min(props), max(props)
+  from events
+) order by "column"
+""",
+)
+def q_table_stats_events(spark, sf_dir):
+    """ANALYZE TABLE-style stats profile of the events table
+    (operators/quality.py:column_stats): per-column rows/nulls/NDV/
+    typed min-max in one aggregate pass, unpivoted to a row per column
+    — the CBO-statistics collection surface. Timestamp extremes are
+    epoch microseconds (engine-portable, no string formatting);
+    exact NDV here, approx_count_distinct at 100 TB (approx_ndv=True,
+    avoiding the multi-distinct expand)."""
+    from .operators.quality import column_stats
+
+    return column_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "incremental_mv_update",
+    oracle="""
+select event_type,
+       cast(count(*) as bigint) as n,
+       cast(sum(cast(value as decimal(18,2))) as double) as total_value,
+       min(value) as vmin,
+       max(value) as vmax
+from events group by event_type
+""",
+)
+def q_incremental_mv_update(spark, sf_dir):
+    """Incremental materialized-view maintenance (operators/merge.py:
+    agg_state + merge_agg_states): the per-event_type aggregate is
+    maintained as a mergeable state tuple — history state merged with
+    a new batch's state (split at 2024-01-20) instead of recomputed.
+    The oracle is the FULL recompute over all events: equality proves
+    the merge is exactly associative (decimal sums, not float). This
+    is the REFRESH INCREMENTAL shape: at 100 TB the view refresh
+    touches only the delta plus a key-width state join."""
+    from .operators.merge import agg_state, merge_agg_states
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-20").cast("timestamp_ntz")
+    state = agg_state(ev.filter(F.col("ts") < cut), "event_type", "value")
+    delta = agg_state(ev.filter(F.col("ts") >= cut), "event_type", "value")
+    merged = merge_agg_states(state, delta, "event_type")
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("total_dec").cast("double").alias("total_value"),
+        "vmin",
+        "vmax",
+    )

@@ -381,3 +381,34 @@ def test_snapshot_diff_refuses_schema_drift(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="schema drift"):
         snapshot_diff(spark, path, v1, v2, "k")
+
+
+def test_incremental_agg_merge_equals_full_recompute(spark):
+    from etl_challenge_localiza_spark.operators.merge import agg_state, merge_agg_states
+
+    rows = [("a", 1.25), ("a", 2.50), ("b", 10.00), ("b", -3.75), ("c", 0.10)]
+    delta_rows = [("a", 4.00), ("c", -1.10), ("d", 99.99)]  # d: new key
+    hist = spark.createDataFrame(rows, ["k", "v"])
+    delta = spark.createDataFrame(delta_rows, ["k", "v"])
+    merged = {
+        r["k"]: r
+        for r in merge_agg_states(
+            agg_state(hist, "k", "v"), agg_state(delta, "k", "v"), "k"
+        ).collect()
+    }
+    full = {
+        r["k"]: r
+        for r in agg_state(hist.union(delta), "k", "v").collect()
+    }
+    assert set(merged) == set(full) == {"a", "b", "c", "d"}
+    for k in full:
+        assert merged[k]["n"] == full[k]["n"]
+        assert merged[k]["total_dec"] == full[k]["total_dec"]
+        assert merged[k]["vmin"] == full[k]["vmin"]
+        assert merged[k]["vmax"] == full[k]["vmax"]
+    # state-only key survives a merge with an empty delta
+    empty = spark.createDataFrame([], hist.schema)
+    alone = merge_agg_states(
+        agg_state(hist, "k", "v"), agg_state(empty, "k", "v"), "k"
+    )
+    assert {r["k"]: r["n"] for r in alone.collect()} == {"a": 2, "b": 2, "c": 1}

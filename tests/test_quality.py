@@ -120,3 +120,35 @@ def test_compression_signals_orders_text_classes(spark):
     # gate: repetitive dropped, prose kept; empty doc -> null ratio, dropped
     assert not out[1]["keep"] and out[2]["keep"]
     assert out[4]["compression_ratio"] is None and not out[4]["keep"]
+
+
+def test_column_stats_generic_profile(spark):
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.operators.quality import column_stats
+
+    rows = [
+        (1, "b", 2.5, datetime(2024, 1, 1), [1, 2]),
+        (2, "a", None, datetime(2024, 1, 2), None),
+        (3, None, 7.5, None, [3]),
+        (3, "a", 7.5, datetime(2024, 1, 2), []),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s", "v", "t", "arr"])
+    out = {r["column"]: r for r in column_stats(df).collect()}
+    assert set(out) == {"k", "s", "v", "t", "arr"}
+    k = out["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_num"], k["max_num"]) == (1.0, 3.0)
+    assert k["min_str"] is None
+    s = out["s"]
+    assert (s["n_nulls"], s["n_distinct"], s["min_str"], s["max_str"]) == (1, 2, "a", "b")
+    v = out["v"]
+    assert (v["n_nulls"], v["min_num"], v["max_num"]) == (1, 2.5, 7.5)
+    t = out["t"]
+    assert t["n_nulls"] == 1 and t["min_num"] == 1704067200000000.0  # 2024-01-01 UTC µs
+    arr = out["arr"]  # non-scalar: nulls/NDV only
+    assert (arr["n_nulls"], arr["n_distinct"]) == (1, 3)
+    assert arr["min_num"] is None and arr["min_str"] is None
+    # sketch path returns the same shape with approximate NDV
+    approx = {r["column"]: r for r in column_stats(df, approx_ndv=True).collect()}
+    assert approx["k"]["n_distinct"] >= 2
