@@ -7277,3 +7277,116 @@ def q_incremental_mv_update(spark, sf_dir):
         "vmin",
         "vmax",
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+with s as (
+  select event_type as from_type,
+         lead(event_type) over (partition by user_id order by ts, event_id)
+           as to_type
+  from events
+),
+c as (select from_type, to_type, cast(count(*) as bigint) as n
+      from s where to_type is not null group by 1, 2)
+select from_type, to_type, n,
+       cast(n as double)
+         / cast(sum(n) over (partition by from_type) as double) as p
+from c
+order by from_type, to_type
+""",
+)
+def q_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: consecutive (from_type → to_type) counts and row-
+    normalized transition probabilities — the ORDERED counterpart of
+    event_type_cooccurrence's unordered pair counts (sequence mining /
+    next-event-prediction baseline). One user-keyed window pass for
+    lead() (total (ts, event_id) tiebreak), a |types|²-bounded hash
+    aggregate, then a window-sum normalization over the TINY counts
+    table. Probability is one double division over exact int64 counts.
+    At 100 TB only (user, type, ts) column slices shuffle once."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(norm).cast("double")).alias("p"),
+    ).orderBy("from_type", "to_type")
+
+
+@register(
+    "chi2_lang_source",
+    oracle="""
+with c as (select lang, source, cast(count(*) as bigint) as obs
+           from documents group by 1, 2),
+m as (
+  select lang, source, obs,
+         sum(obs) over (partition by lang) as rt,
+         sum(obs) over (partition by source) as ct,
+         sum(obs) over () as n
+  from c
+),
+terms as (
+  select (cast(obs as double) - cast(rt * ct as double) / cast(n as double))
+         * (cast(obs as double) - cast(rt * ct as double) / cast(n as double))
+         / (cast(rt * ct as double) / cast(n as double)) as term
+  from m
+),
+dims as (select cast(count(distinct lang) as bigint) as n_langs,
+                cast(count(distinct source) as bigint) as n_sources
+         from documents)
+select cast((select count(*) from c) as bigint) as n_cells,
+       (select (n_langs - 1) * (n_sources - 1) from dims) as dof,
+       round((select sum(term) from terms), 6) as chi2
+""",
+)
+def q_chi2_lang_source(spark, sf_dir):
+    """Pearson chi-square test of independence on the lang × source
+    contingency table — the A/B-test / category-drift significance
+    primitive. The contingency counts, marginals and N are exact
+    int64 (one |langs|×|sources|-bounded aggregate plus window sums
+    over the tiny cell table); each cell's (obs−exp)²/exp term is
+    computed with the identical double expression in both engines and
+    the final sum is rounded to 6 dp (house rule for order-dependent
+    float reductions). dof = (r−1)(c−1). At 100 TB this is one
+    map-side-combined aggregate — the statistic itself costs nothing."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    m = cells.select(
+        "obs",
+        F.sum("obs").over(Window.partitionBy("lang")).alias("rt"),
+        F.sum("obs").over(Window.partitionBy("source")).alias("ct"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    exp = (F.col("rt") * F.col("ct")).cast("double") / F.col("n").cast("double")
+    term = (F.col("obs").cast("double") - exp) * (F.col("obs").cast("double") - exp) / exp
+    stats = m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum(term), 6).alias("chi2"),
+    )
+    dims = docs.agg(
+        (
+            (F.count_distinct("lang") - 1) * (F.count_distinct("source") - 1)
+        ).cast("long").alias("dof")
+    )
+    return stats.crossJoin(F.broadcast(dims)).select("n_cells", "dof", "chi2")

@@ -179,3 +179,59 @@ def test_trend_recovers_planted_slope(spark, tmp_path):
     assert out["n_obs"] == 50
     assert abs(out["slope_per_day"] - 12.0) < 1e-6
     assert abs(out["value_at_origin"] - 100.0) < 1e-6
+
+
+def test_event_transition_matrix_hand_counts(spark):
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+    import tempfile, os
+
+    rows = [
+        # user 1: a -> b -> b -> c ; user 2: a -> c ; tie on ts for user 2
+        (1, datetime(2024, 1, 1, 0, 0), 1, "a", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 0, 1), 1, "b", 0.0, "{}"),
+        (3, datetime(2024, 1, 1, 0, 2), 1, "b", 0.0, "{}"),
+        (4, datetime(2024, 1, 1, 0, 3), 1, "c", 0.0, "{}"),
+        (5, datetime(2024, 1, 2, 0, 0), 2, "a", 0.0, "{}"),
+        (6, datetime(2024, 1, 2, 0, 0), 2, "c", 0.0, "{}"),  # same ts, id later
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r["from_type"], r["to_type"]): (r["n"], r["p"])
+            for r in QUERIES["event_transition_matrix"].fn(spark, d).collect()
+        }
+    assert out[("a", "b")] == (1, 0.5)
+    assert out[("a", "c")] == (1, 0.5)  # user 2's tie resolved by event_id
+    assert out[("b", "b")] == (1, 0.5)
+    assert out[("b", "c")] == (1, 0.5)
+    assert len(out) == 4  # no cross-user transition (1's 'c' -> 2's 'a')
+
+
+def test_chi2_hand_computed_2x2(spark):
+    import tempfile, os
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # 2x2 contingency: lang en/de x source s1/s2, counts 30/10/10/30
+    rows = []
+    did = 0
+    for lang, source, n in [
+        ("en", "s1", 30), ("en", "s2", 10), ("de", "s1", 10), ("de", "s2", 30),
+    ]:
+        for _ in range(n):
+            rows.append((did, "t", lang, source, 1))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = QUERIES["chi2_lang_source"].fn(spark, d).first()
+    # hand: N=80, all marginals 40, exp=20 per cell, chi2 = 4*(10^2/20) = 20
+    assert (r["n_cells"], r["dof"]) == (4, 1)
+    assert r["chi2"] == 20.0
