@@ -7390,3 +7390,61 @@ def q_chi2_lang_source(spark, sf_dir):
         ).cast("long").alias("dof")
     )
     return stats.crossJoin(F.broadcast(dims)).select("n_cells", "dof", "chi2")
+
+
+@register(
+    "xml_roundtrip_rollup",
+    oracle="""
+select lang, source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars,
+       cast(sum(length(text)) as bigint) as total_len,
+       cast(sum(cast(concat('0x', substr(md5(text), 1, 15)) as bigint)
+                % 1000000007) as bigint) as content_checksum
+from documents group by lang, source
+""",
+)
+def q_xml_roundtrip_rollup(spark, sf_dir):
+    """XML source/sink round trip with value-fidelity proof: stage the
+    documents table as XML (Spark 4 native writer — element escaping,
+    one row element per doc), read it back with an EXPLICIT schema (no
+    inference pass), and roll up per (lang, source) including a
+    per-doc md5-derived content checksum (mod-prime, int64-safe).
+    The oracle computes the same rollup from the PARQUET source — so
+    equality proves the XML writer+reader preserved every text byte
+    and every typed value, not just row counts. The staged copy is
+    deleted before return (the aggregate is detached via eager
+    localCheckpoint — the JSONL-quarantine lifecycle pattern)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.readers import read_xml
+    from .sources.sinks import write_xml
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="xmlrt_")
+    try:
+        write_xml(docs, os.path.join(d, "docs"), row_tag="doc")
+        back = read_xml(
+            spark,
+            os.path.join(d, "docs"),
+            row_tag="doc",
+            schema_ddl=(
+                "doc_id bigint, text string, lang string, "
+                "source string, n_chars bigint"
+            ),
+        )
+        checksum = (
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+            % F.lit(1000000007)
+        )
+        agg = back.groupBy("lang", "source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.length("text")).cast("long").alias("total_len"),
+            F.sum(checksum).cast("long").alias("content_checksum"),
+        )
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -238,3 +238,22 @@ def read_jsonl_with_quarantine(
     finally:
         raw.unpersist()
     return good, quarantine
+
+
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", schema_ddl: str | None = None
+) -> DataFrame:
+    """XML source (Spark 4 native). Always pass ``schema_ddl`` in
+    production: schema inference costs a full extra pass over the
+    files and can widen types differently per batch. Surrounding
+    whitespace inside elements is trimmed by the reader's default
+    (``ignoreSurroundingSpaces``) — byte-exact round-tripping of
+    whitespace-significant text needs CDATA or a binary format; the
+    round-trip registry query proves value fidelity for normal text
+    via content checksums."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema_ddl is not None:
+        from pyspark.sql.types import StructType
+
+        r = r.schema(StructType.fromDDL(schema_ddl))
+    return r.load(path)

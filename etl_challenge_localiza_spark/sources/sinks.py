@@ -352,3 +352,13 @@ def snapshot_writer_lock(path: str, stale_sec: float = 3600.0):
         yield
     finally:
         os.close(fd)  # closing the fd releases the flock
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> str:
+    """XML sink (Spark 4 native, the former spark-xml package folded
+    into core): one element per row under ``row_tag``, values escaped
+    per the XML spec. XML matters as an interchange surface (feeds,
+    legacy enterprise exports); columnar formats remain the analytics
+    default — same policy note as the CSV sink."""
+    df.write.format("xml").option("rowTag", row_tag).mode("overwrite").save(path)
+    return path

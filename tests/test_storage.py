@@ -391,3 +391,20 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     bad = sorted(r["raw_line"] for r in quar.collect())
     assert len(bad) == 3
     assert any("not json at all" in line for line in bad)
+
+
+def test_xml_roundtrip_escapes_special_chars(spark, tmp_path):
+    from etl_challenge_localiza_spark.sources.readers import read_xml
+    from etl_challenge_localiza_spark.sources.sinks import write_xml
+
+    rows = [
+        (1, 'needs <escaping> & "quotes" and \'apostrophes\''),
+        (2, "unicode: héllo wörld — ☃ 中文"),
+        (3, "a]]>cdata-terminator-lookalike"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    p = str(tmp_path / "xml")
+    write_xml(df, p, row_tag="rec")
+    back = read_xml(spark, p, row_tag="rec", schema_ddl="id bigint, text string")
+    got = {r["id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)
