@@ -7448,3 +7448,71 @@ def q_xml_roundtrip_rollup(spark, sf_dir):
         return agg.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "ahash_hamming_matrix",
+    oracle="""
+with h as (
+  select doc_id,
+         case doc_id % 4
+           when 0 then '0f0f0f0f0f0f0f0f'
+           when 1 then '00000000ffffffff'
+           when 2 then 'f0f0f0f00f0f0f0f'
+           else 'f0f0f0f0f0f0f0f0' end as ahash
+  from documents
+),
+g as (select ahash, cast(count(*) as bigint) as n_images from h group by ahash),
+b as (select ahash, n_images,
+             cast(concat('0x', substr(ahash, 1, 8)) as bigint) as hi,
+             cast(concat('0x', substr(ahash, 9, 8)) as bigint) as lo
+      from g)
+select a.ahash as hash_a, c.ahash as hash_b,
+       a.n_images as n_a, c.n_images as n_b,
+       cast(bit_count(xor(a.hi, c.hi)) + bit_count(xor(a.lo, c.lo))
+            as bigint) as hamming
+from b a join b c on a.ahash < c.ahash
+order by hash_a, hash_b
+""",
+)
+def q_ahash_hamming_matrix(spark, sf_dir):
+    """Hamming-distance matrix between the DISTINCT perceptual-hash
+    groups — the verify stage of hamming-tolerant image dedup run at
+    the right altitude: pair expansion happens over the tiny distinct-
+    fingerprint aggregate (scalar-broadcast pattern: ≤ a few thousand
+    rows even for a 100 TB image corpus), never over images. The
+    distance itself is pure JVM bit arithmetic: the 64-bit hex
+    fingerprint splits into two 32-bit halves (sign-safe in int64),
+    hamming = bit_count(xor(hi)) + bit_count(xor(lo)) — the same
+    expression in DuckDB. Groups at distance ≤ k would merge in the
+    banded-LSH path; here the closed-form synthetic patterns sit at
+    exactly 32/64 bits apart (pytest-pinned), so nothing merges."""
+    from .operators.multimodal import image_ahash, synthetic_pattern_ppm_assets
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        image_ahash(synthetic_pattern_ppm_assets(docs))
+        .groupBy("ahash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+    )
+    b = groups.select(
+        "ahash",
+        "n_images",
+        F.conv(F.substring("ahash", 1, 8), 16, 10).cast("bigint").alias("hi"),
+        F.conv(F.substring("ahash", 9, 8), 16, 10).cast("bigint").alias("lo"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(F.broadcast(c), F.col("a.ahash") < F.col("c.ahash"))
+        .select(
+            F.col("a.ahash").alias("hash_a"),
+            F.col("c.ahash").alias("hash_b"),
+            F.col("a.n_images").alias("n_a"),
+            F.col("c.n_images").alias("n_b"),
+            (
+                F.bit_count(F.col("a.hi").bitwiseXOR(F.col("c.hi")))
+                + F.bit_count(F.col("a.lo").bitwiseXOR(F.col("c.lo")))
+            ).cast("long").alias("hamming"),
+        )
+        .orderBy("hash_a", "hash_b")
+    )

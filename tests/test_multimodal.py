@@ -452,3 +452,20 @@ def test_image_ahash_dedup_collapses_pattern_classes(spark):
     for ids in by_hash.values():
         pats = {i % 4 for i in ids}
         assert len(pats) == 1 and len(ids) == 3
+
+
+def test_ahash_hamming_matrix_pins_pattern_distances(spark):
+    import tempfile, os
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    docs = spark.createDataFrame([(i, "t", "en", "s", 1) for i in range(8)],
+                                 ["doc_id", "text", "lang", "source", "n_chars"])
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = QUERIES["ahash_hamming_matrix"].fn(spark, d).collect()
+    dist = {(r["hash_a"], r["hash_b"]): r["hamming"] for r in rows}
+    assert len(dist) == 6  # C(4,2) distinct-group pairs
+    # left-half vs right-half bright are exact complements: 64 bits apart
+    assert dist[("0f0f0f0f0f0f0f0f", "f0f0f0f0f0f0f0f0")] == 64
+    assert all(h in (32, 64) for h in dist.values())
