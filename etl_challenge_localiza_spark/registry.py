@@ -7516,3 +7516,87 @@ def q_ahash_hamming_matrix(spark, sf_dir):
         )
         .orderBy("hash_a", "hash_b")
     )
+
+
+@register(
+    "seasonal_anomaly_profile",
+    oracle="""
+with b as (
+  select event_type, cast(hour(ts) as bigint) as hod,
+         cast(count(*) as bigint) as n,
+         sum(cast(value as decimal(18,2))) as s,
+         sum(cast(value as decimal(18,2)) * cast(value as decimal(18,2))) as s2
+  from events group by 1, 2
+),
+stats as (
+  select event_type, hod, n,
+         cast(s as double) / cast(n as double) as mu,
+         sqrt(greatest(cast(s2 as double) / cast(n as double)
+              - (cast(s as double) / cast(n as double))
+                * (cast(s as double) / cast(n as double)), 0)) as sigma
+  from b
+)
+select s.event_type, s.hod, s.n,
+       round(s.mu, 6) as mean_value,
+       round(s.sigma, 6) as std_value,
+       cast(sum(case when abs(e.value - s.mu) > 3 * s.sigma
+                then 1 else 0 end) as bigint) as n_outliers
+from events e
+join stats s on e.event_type = s.event_type
+            and cast(hour(e.ts) as bigint) = s.hod
+group by s.event_type, s.hod, s.n, s.mu, s.sigma
+order by s.event_type, s.hod
+""",
+)
+def q_seasonal_anomaly_profile(spark, sf_dir):
+    """Seasonality-aware anomaly profile: a per-(event_type,
+    hour-of-day) baseline (mean, std from EXACT decimal first/second
+    moments — the lineitem_moment_stats recipe) joined back onto the
+    stream to count 3σ outliers against the hour's own baseline — the
+    time-of-day-aware upgrade of event_value_anomalies' global z-score
+    (a nightly batch job is not an anomaly at 3am just for being
+    bigger than the daily mean). Two passes: one map-side-combined
+    baseline aggregate (|types|×24 rows, broadcast back), one
+    conditional re-aggregation. μ and σ are single deterministic
+    double expressions over exact decimals, so the 3σ boolean is
+    engine-identical; displayed stats are rounded 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("long")
+    dec = F.col("value").cast("decimal(18,2)")
+    b = ev.groupBy("event_type", hod.alias("hod")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("s2"),
+    )
+    mu = F.col("s").cast("double") / F.col("n").cast("double")
+    sigma = F.sqrt(
+        F.greatest(
+            F.col("s2").cast("double") / F.col("n").cast("double") - mu * mu,
+            F.lit(0.0),
+        )
+    )
+    stats = b.select("event_type", "hod", "n", mu.alias("mu"), sigma.alias("sigma"))
+    joined = ev.select(
+        "event_type", hod.alias("hod"), "value"
+    ).join(F.broadcast(stats), ["event_type", "hod"])
+    return (
+        joined.groupBy("event_type", "hod", "n", "mu", "sigma")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            F.round("mu", 6).alias("mean_value"),
+            F.round("sigma", 6).alias("std_value"),
+            "n_outliers",
+        )
+        .orderBy("event_type", "hod")
+    )

@@ -84,3 +84,40 @@ def test_ewma_final_matches_recursive_definition(spark):
         for r in ewma_final(ev, alpha=alpha).collect()
     }
     assert got == exp
+
+
+def test_seasonal_anomaly_profile_hand_case(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # hour 0: 19 baseline points + one extreme. A single outlier among n
+    # points caps its own z at sqrt(n-1), so n must exceed 10 for a 3-sigma
+    # flag to be reachable (sqrt(19) = 4.36 > 3).
+    rows = []
+    eid = 0
+    for v in [10.0] * 19 + [1000.0]:
+        rows.append((eid, datetime(2024, 1, 1, 0, eid % 60), 1, "a", v, "{}"))
+        eid += 1
+    # hour 1: constant values -> sigma 0, no outliers (strict > keeps ties in)
+    for i, v in enumerate([5.0, 5.0, 5.0]):
+        rows.append((eid, datetime(2024, 1, 1, 1, i), 1, "a", v, "{}"))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r["event_type"], r["hod"]): r
+            for r in QUERIES["seasonal_anomaly_profile"].fn(spark, d).collect()
+        }
+    h0 = out[("a", 0)]
+    mu = (19 * 10.0 + 1000.0) / 20
+    assert h0["n"] == 20 and h0["mean_value"] == round(mu, 6)
+    # the 1000 is the single point beyond 3 sigma of its own hour
+    assert h0["n_outliers"] == 1
+    h1 = out[("a", 1)]
+    assert h1["std_value"] == 0.0 and h1["n_outliers"] == 0
