@@ -7600,3 +7600,99 @@ def q_seasonal_anomaly_profile(spark, sf_dir):
         )
         .orderBy("event_type", "hod")
     )
+
+
+@register(
+    "psi_value_drift",
+    oracle="""
+with ref as (select value from events where ts < timestamp '2024-01-16'),
+cur as (select value from events where ts >= timestamp '2024-01-16'),
+bnds as (select quantile_cont(value,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) as b from ref),
+rbin as (select len(list_filter(bnds.b, x -> value > x)) as bin
+         from ref, bnds),
+cbin as (select len(list_filter(bnds.b, x -> value > x)) as bin
+         from cur, bnds),
+bins as (select unnest(generate_series(0, 9)) as bin),
+rc as (select bin, cast(count(*) as bigint) as n_ref
+       from rbin group by bin),
+cc as (select bin, cast(count(*) as bigint) as n_cur
+       from cbin group by bin),
+tot as (select (select cast(count(*) as bigint) from ref) as nr,
+               (select cast(count(*) as bigint) from cur) as nc),
+m as (
+  select b.bin,
+         coalesce(rc.n_ref, 0) as n_ref, coalesce(cc.n_cur, 0) as n_cur,
+         cast(coalesce(rc.n_ref, 0) + 1 as double) / cast(nr + 10 as double) as p,
+         cast(coalesce(cc.n_cur, 0) + 1 as double) / cast(nc + 10 as double) as q
+  from bins b left join rc on b.bin = rc.bin
+              left join cc on b.bin = cc.bin
+              cross join tot
+)
+select cast(bin as bigint) as bin, n_ref, n_cur,
+       round((p - q) * ln(p / q), 9) as psi_term,
+       round(sum((p - q) * ln(p / q)) over (), 6) as psi_total
+from m order by bin
+""",
+)
+def q_psi_value_drift(spark, sf_dir):
+    """Population Stability Index between the first and second half of
+    the month (split at 2024-01-16) over reference-decile bins of
+    ``value`` — the standard production drift monitor for model
+    inputs/scores (PSI < 0.1 stable, > 0.25 drifted). Bin edges are
+    the reference half's EXACT interpolated deciles (percentile ==
+    DuckDB quantile_cont, proven bit-identical by value_percentiles),
+    broadcast as one array row; bin assignment is size(filter(edges,
+    e -> value > e)) — the identical comparison in both engines.
+    Laplace-smoothed shares ((n+1)/(N+10)) keep empty bins finite and
+    deterministic. Two aggregates over pruned column slices + a
+    10-row join: at 100 TB the PSI costs two scans of one column."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp_ntz")
+    ref = ev.filter(F.col("ts") < cut).select("value")
+    cur = ev.filter(F.col("ts") >= cut).select("value")
+    qs = ", ".join(str(x / 10) for x in range(1, 10))
+    bnds = ref.agg(F.expr(f"percentile(value, array({qs}))").alias("b"))
+    def binned(df):
+        return (
+            df.crossJoin(F.broadcast(bnds))
+            .select(
+                F.size(F.filter("b", lambda x: F.col("value") > x)).alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+    rc = binned(ref).withColumnRenamed("n", "n_ref")
+    cc = binned(cur).withColumnRenamed("n", "n_cur")
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    tot = ref.agg(F.count(F.lit(1)).cast("long").alias("nr")).crossJoin(
+        cur.agg(F.count(F.lit(1)).cast("long").alias("nc"))
+    )
+    m = (
+        bins.join(rc, "bin", "left")
+        .join(cc, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            (
+                (F.coalesce("n_ref", F.lit(0)) + 1).cast("double")
+                / (F.col("nr") + 10).cast("double")
+            ).alias("p"),
+            (
+                (F.coalesce("n_cur", F.lit(0)) + 1).cast("double")
+                / (F.col("nc") + 10).cast("double")
+            ).alias("q"),
+        )
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    from pyspark.sql import Window
+
+    return m.select(
+        F.col("bin").cast("long").alias("bin"),
+        "n_ref",
+        "n_cur",
+        F.round(term, 9).alias("psi_term"),
+        F.round(F.sum(term).over(Window.partitionBy()), 6).alias("psi_total"),
+    ).orderBy("bin")

@@ -121,3 +121,36 @@ def test_seasonal_anomaly_profile_hand_case(spark):
     assert h0["n_outliers"] == 1
     h1 = out[("a", 1)]
     assert h1["std_value"] == 0.0 and h1["n_outliers"] == 0
+
+
+def test_psi_drift_detects_shift_and_null_on_same(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    def run(ref_vals, cur_vals):
+        rows = []
+        eid = 0
+        for v in ref_vals:
+            rows.append((eid, datetime(2024, 1, 10, eid % 24), 1, "a", float(v), "{}"))
+            eid += 1
+        for v in cur_vals:
+            rows.append((eid, datetime(2024, 1, 20, eid % 24), 1, "a", float(v), "{}"))
+            eid += 1
+        ev = spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        with tempfile.TemporaryDirectory() as d:
+            ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+            return QUERIES["psi_value_drift"].fn(spark, d).collect()
+
+    base = list(range(1, 101))
+    same = run(base, base)
+    assert len(same) == 10 and all(r["n_ref"] == 10 for r in same)
+    assert same[0]["psi_total"] < 0.01  # identical distribution: ~0 (smoothing only)
+    shifted = run(base, [v + 200 for v in base])  # everything lands in the top bin
+    assert shifted[0]["psi_total"] > 0.25  # standard "drifted" threshold
+    top = {r["bin"]: r["n_cur"] for r in shifted}
+    assert top[9] == 100 and sum(v for b, v in top.items() if b < 9) == 0
