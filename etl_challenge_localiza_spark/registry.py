@@ -5930,6 +5930,32 @@ scored as (
   from f
 )"""
 
+#: heuristic C4/Gopher gate label as CTEs over the _MODEL_LOGIT_SQL
+#: ``t`` tokens (shared by the AUC and reliability-bin oracles).
+_HEUR_LABEL_CTES = f"""base as (select doc_id, lang,
+                cast(len(toks) as bigint) as n_tokens,
+                cast(list_sum(list_transform(toks, x -> length(x))) as bigint) as sum_word_len,
+                cast(len(list_filter(toks, x -> list_contains({_SW}, x))) as bigint) as sw_hits
+         from t),
+wc as (select doc_id, w, count(*) as n
+       from (select doc_id, unnest({SQL_TOKS}) as w from documents)
+       group by doc_id, w),
+prof as (select doc_id, cast(max(n) as bigint) as max_count from wc group by doc_id),
+heur as (
+  select b.doc_id,
+         (case when b.n_tokens < 10 then 'too_short'
+              when b.n_tokens > 5000 then 'too_long'
+              when (cast(b.sum_word_len as double) / cast(b.n_tokens as double) < 2.0
+                    or cast(b.sum_word_len as double) / cast(b.n_tokens as double) > 12.0)
+                   then 'word_length'
+              when cast(b.sw_hits as double) / cast(b.n_tokens as double) < 0.05
+                   then 'low_stopword'
+              when cast(p.max_count as double) / cast(b.n_tokens as double) > 0.2
+                   then 'repetitive'
+              end) is null as label
+  from base b left join prof p using (doc_id)
+)"""
+
 
 @register(
     "model_quality_scores",
@@ -6958,29 +6984,7 @@ def q_per_type_value_trend(spark, sf_dir):
     "model_quality_auc",
     oracle=f"""
 with {_MODEL_LOGIT_SQL},
-base as (select doc_id, lang,
-                cast(len(toks) as bigint) as n_tokens,
-                cast(list_sum(list_transform(toks, x -> length(x))) as bigint) as sum_word_len,
-                cast(len(list_filter(toks, x -> list_contains({_SW}, x))) as bigint) as sw_hits
-         from t),
-wc as (select doc_id, w, count(*) as n
-       from (select doc_id, unnest({SQL_TOKS}) as w from documents)
-       group by doc_id, w),
-prof as (select doc_id, cast(max(n) as bigint) as max_count from wc group by doc_id),
-heur as (
-  select b.doc_id,
-         (case when b.n_tokens < 10 then 'too_short'
-              when b.n_tokens > 5000 then 'too_long'
-              when (cast(b.sum_word_len as double) / cast(b.n_tokens as double) < 2.0
-                    or cast(b.sum_word_len as double) / cast(b.n_tokens as double) > 12.0)
-                   then 'word_length'
-              when cast(b.sw_hits as double) / cast(b.n_tokens as double) < 0.05
-                   then 'low_stopword'
-              when cast(p.max_count as double) / cast(b.n_tokens as double) > 0.2
-                   then 'repetitive'
-              end) is null as label
-  from base b left join prof p using (doc_id)
-),
+{_HEUR_LABEL_CTES},
 ranked as (
   select h.label,
          2 * rank() over (order by s.logit) + count(*) over (partition by s.logit) - 1 as r2
@@ -7696,3 +7700,68 @@ def q_psi_value_drift(spark, sf_dir):
         F.round(term, 9).alias("psi_term"),
         F.round(F.sum(term).over(Window.partitionBy()), 6).alias("psi_total"),
     ).orderBy("bin")
+
+
+@register(
+    "model_reliability_bins",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL},
+{_HEUR_LABEL_CTES},
+binned as (
+  select h.doc_id, h.label, s.logit,
+         ntile(10) over (order by s.logit, h.doc_id) as bin
+  from heur h join scored s using (doc_id)
+)
+select cast(bin as bigint) as bin,
+       cast(count(*) as bigint) as n,
+       round(min(logit), 9) as min_logit,
+       round(max(logit), 9) as max_logit,
+       round(sum(logit) / count(*), 6) as mean_logit,
+       cast(sum(case when label then 1 else 0 end) as bigint) as n_pos,
+       cast(sum(case when label then 1 else 0 end) as double)
+         / cast(count(*) as double) as pos_rate
+from binned group by bin order by bin
+""",
+)
+def q_model_reliability_bins(spark, sf_dir):
+    """Reliability (calibration) diagram for the learned quality gate:
+    equal-count score deciles (ntile over a TOTAL (logit, doc_id)
+    order — deterministic under ties) with per-bin heuristic-label
+    positive rate — read alongside model_quality_auc: AUC says the
+    ranking discriminates, the bins say WHERE the score is trustworthy.
+    Per-bin min/max logits are exact order statistics; the mean is the
+    one rounded float reduction; the positive rate is an exact integer
+    division. The global-order window is the same single-pass rank
+    shape as the AUC query (swap in percentile-bucket binning at
+    100 TB)."""
+    from pyspark.sql import Window
+
+    from .operators.curation import hashed_feature_logit, quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    heur = quality_gate(docs).select("doc_id", F.col("keep").alias("label"))
+    model = hashed_feature_logit(docs).select("doc_id", "logit")
+    binned = heur.join(model, "doc_id").select(
+        "label",
+        "logit",
+        F.ntile(10).over(Window.orderBy("logit", "doc_id")).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("logit"), 9).alias("min_logit"),
+            F.round(F.max("logit"), 9).alias("max_logit"),
+            F.round(F.sum("logit") / F.count(F.lit(1)), 6).alias("mean_logit"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("n_pos"),
+            (
+                F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("pos_rate"),
+        )
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            "n", "min_logit", "max_logit", "mean_logit", "n_pos", "pos_rate",
+        )
+        .orderBy("bin")
+    )

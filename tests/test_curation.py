@@ -246,3 +246,23 @@ def test_auc_rank_sum_equals_pairwise_definition(spark, sf0001):
     out = QUERIES["model_quality_auc"].fn(spark, sf0001).collect()[0]
     assert out["n_pos"] == len(pos) and out["n_neg"] == len(neg)
     assert abs(out["auc"] - expected) < 1e-12
+
+
+def test_reliability_bins_monotone_and_partition(spark, tmp_path):
+    import os
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # reuse real testdata at the smallest SF — the property under test is
+    # structural: bins partition the corpus, logit ranges are disjoint
+    # and ordered, and pos_rate is the exact n_pos/n ratio.
+    rows = QUERIES["model_reliability_bins"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["bin"] for r in rows] == list(range(1, 11))
+    assert sum(r["n"] for r in rows) == 500
+    for r in rows:
+        assert r["min_logit"] <= r["max_logit"]
+        assert r["pos_rate"] == r["n_pos"] / r["n"]
+    for a, b in zip(rows, rows[1:]):
+        assert a["max_logit"] <= b["min_logit"]  # deciles are ordered ranges
