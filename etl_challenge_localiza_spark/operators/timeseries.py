@@ -27,12 +27,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def gap_fill_hourly(events: DataFrame) -> DataFrame:
+def gap_fill_hourly(events: DataFrame, keep_null_sum: bool = False) -> DataFrame:
     """Per event_type hourly counts/sums with missing hours zero-filled
     across that type's own [min, max] hour span.
 
     Returns (event_type, hour_start, n_events, sum_value) — one row per
-    (type, hour) in the dense grid.
+    (type, hour) in the dense grid. ``keep_null_sum=True`` returns the
+    raw sum as ``sum_value_raw`` with NULL (not 0) for missing buckets
+    — the input the interpolating variant needs to tell "no data" from
+    "sums to zero".
     """
     hourly = events.groupBy(
         "event_type",
@@ -51,7 +54,15 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
             F.sequence("h0", "h1", F.expr("interval 1 hour"))
         ).alias("hour_start"),
     )
-    return grid.join(hourly, ["event_type", "hour_start"], "left").select(
+    joined = grid.join(hourly, ["event_type", "hour_start"], "left")
+    if keep_null_sum:
+        return joined.select(
+            "event_type",
+            "hour_start",
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            F.col("sv").cast("double").alias("sum_value_raw"),
+        )
+    return joined.select(
         "event_type",
         "hour_start",
         F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),

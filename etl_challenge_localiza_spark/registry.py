@@ -7765,3 +7765,120 @@ def q_model_reliability_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "events_gap_interpolate",
+    oracle="""
+with hourly as (
+  select event_type, date_trunc('hour', ts) as hour_start,
+         cast(count(*) as bigint) as n_events,
+         sum(cast(value as decimal(12,2))) as sv
+  from events group by 1, 2
+),
+grid as (
+  select event_type,
+         unnest(generate_series(min(hour_start), max(hour_start),
+                                interval 1 hour)) as hour_start
+  from hourly group by event_type
+),
+g as (
+  select g.event_type, g.hour_start,
+         coalesce(h.n_events, 0) as n_events,
+         cast(h.sv as double) as sv,
+         epoch_us(g.hour_start) as pos
+  from grid g
+  left join hourly h
+    on g.event_type = h.event_type and g.hour_start = h.hour_start
+),
+n as (
+  select *,
+         last_value(sv ignore nulls) over (
+           partition by event_type order by hour_start
+           rows between unbounded preceding and current row) as prev_val,
+         last_value(case when sv is not null then pos end ignore nulls) over (
+           partition by event_type order by hour_start
+           rows between unbounded preceding and current row) as prev_pos,
+         first_value(sv ignore nulls) over (
+           partition by event_type order by hour_start
+           rows between current row and unbounded following) as next_val,
+         first_value(case when sv is not null then pos end ignore nulls) over (
+           partition by event_type order by hour_start
+           rows between current row and unbounded following) as next_pos
+  from g
+)
+select event_type, hour_start, n_events,
+       case when sv is not null then sv
+            when prev_val is null then next_val
+            when next_val is null then prev_val
+            else prev_val + (next_val - prev_val)
+                 * (cast(pos - prev_pos as double)
+                    / cast(next_pos - prev_pos as double))
+       end as sum_value,
+       sv is null as interpolated
+from n
+order by event_type, hour_start
+""",
+)
+def q_events_gap_interpolate(spark, sf_dir):
+    """Gap filling by LINEAR INTERPOLATION (the sensor-series upgrade
+    of events_gap_fill's zero-fill): missing hourly buckets take
+    prev + (next−prev)·Δt/ΔT between their nearest observed neighbors
+    (IGNORE NULLS window carries), edge gaps carry the nearest value.
+    Same grid shape as gap_fill (per-type sequence explode, time-
+    bounded), plus two ordered window passes over the HOURLY table —
+    the windows run over types × hours rows, never raw events. The
+    interpolation weight is an exact integer µs ratio in one double
+    expression, identical in both engines."""
+    from pyspark.sql import Window
+
+    from .operators.timeseries import gap_fill_hourly
+
+    base = gap_fill_hourly(
+        load_table(spark, sf_dir, "events"), keep_null_sum=True
+    )
+    pos = F.unix_micros(F.col("hour_start").cast("timestamp"))
+    g = base.withColumn("pos", pos)
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sv = F.col("sum_value_raw")
+    obs_pos = F.when(sv.isNotNull(), F.col("pos"))
+    n = g.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        sv.alias("sv"),
+        "pos",
+        F.last(sv, ignorenulls=True).over(back).alias("prev_val"),
+        F.last(obs_pos, ignorenulls=True).over(back).alias("prev_pos"),
+        F.first(sv, ignorenulls=True).over(fwd).alias("next_val"),
+        F.first(obs_pos, ignorenulls=True).over(fwd).alias("next_pos"),
+    )
+    interp = (
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val")
+            + (F.col("next_val") - F.col("prev_val"))
+            * (
+                (F.col("pos") - F.col("prev_pos")).cast("double")
+                / (F.col("next_pos") - F.col("prev_pos")).cast("double")
+            )
+        )
+    )
+    return n.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        interp.alias("sum_value"),
+        F.col("sv").isNull().alias("interpolated"),
+    ).orderBy("event_type", "hour_start")

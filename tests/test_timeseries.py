@@ -154,3 +154,31 @@ def test_psi_drift_detects_shift_and_null_on_same(spark):
     assert shifted[0]["psi_total"] > 0.25  # standard "drifted" threshold
     top = {r["bin"]: r["n_cur"] for r in shifted}
     assert top[9] == 100 and sum(v for b, v in top.items() if b < 9) == 0
+
+
+def test_gap_interpolation_hand_case(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # type "a": hours 0 (sum 10), 3 (sum 40) -> hours 1,2 interpolate
+    # to 20, 30; zero-fill would have produced 0 there.
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 5), 1, "a", 10.0, "{}"),
+        (2, datetime(2024, 1, 1, 3, 5), 1, "a", 40.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["events_gap_interpolate"].fn(spark, d).collect()
+    got = [(r["hour_start"].hour, r["n_events"], r["sum_value"], r["interpolated"]) for r in out]
+    assert got == [
+        (0, 1, 10.0, False),
+        (1, 0, 20.0, True),
+        (2, 0, 30.0, True),
+        (3, 1, 40.0, False),
+    ]
