@@ -7882,3 +7882,90 @@ def q_events_gap_interpolate(spark, sf_dir):
         interp.alias("sum_value"),
         F.col("sv").isNull().alias("interpolated"),
     ).orderBy("event_type", "hour_start")
+
+
+@register(
+    "user_golden_profile",
+    oracle="""
+with latest as (
+  select user_id, props,
+         row_number() over (partition by user_id
+                            order by ts desc, event_id desc) as rn
+  from events where props is not null
+),
+mode_t as (
+  select user_id, event_type,
+         row_number() over (partition by user_id
+                            order by count(*) desc, event_type) as rn
+  from events group by user_id, event_type
+)
+select e.user_id,
+       cast(count(*) as bigint) as n_events,
+       min(e.ts) as first_seen,
+       max(e.ts) as last_seen,
+       cast(sum(cast(e.value as decimal(18,2))) as double) as total_value,
+       any_value(m.event_type) as top_event_type,
+       any_value(l.props) as latest_props
+from events e
+join mode_t m on e.user_id = m.user_id and m.rn = 1
+left join latest l on e.user_id = l.user_id and l.rn = 1
+group by e.user_id
+order by e.user_id
+""",
+)
+def q_user_golden_profile(spark, sf_dir):
+    """Golden-record consolidation (the MDM survivorship pattern):
+    one trusted profile per user assembled with PER-FIELD rules —
+    recency wins for the mutable attribute (latest non-null props,
+    total (ts, event_id) tiebreak), frequency wins for the categorical
+    (modal event_type, count-then-name tiebreak), and the numerics
+    aggregate exactly (count / min / max / decimal sum). Three
+    user-keyed aggregations joined on the key — one shuffle partition
+    scheme reused across all three (co-partitioned joins, no extra
+    exchange at scale); survivorship never collects rows to the
+    driver."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    latest = (
+        ev.filter(F.col("props").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("props").alias("latest_props"))
+    )
+    mode_t = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("cnt").desc(), F.col("event_type")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"))
+    )
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return (
+        base.join(mode_t, "user_id")
+        .join(latest, "user_id", "left")
+        .select(
+            "user_id", "n_events", "first_seen", "last_seen",
+            "total_value", "top_event_type", "latest_props",
+        )
+        .orderBy("user_id")
+    )

@@ -235,3 +235,35 @@ def test_chi2_hand_computed_2x2(spark):
     # hand: N=80, all marginals 40, exp=20 per cell, chi2 = 4*(10^2/20) = 20
     assert (r["n_cells"], r["dof"]) == (4, 1)
     assert r["chi2"] == 20.0
+
+
+def test_user_golden_profile_survivorship_rules(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = [
+        # user 1: props null on the LATEST event -> survivor is the
+        # latest NON-NULL; modal type "a" (2 vs 1); tie on ts broken by id
+        (1, datetime(2024, 1, 1, 0), 1, "a", 1.00, '{"k": 1}'),
+        (2, datetime(2024, 1, 2, 0), 1, "a", 2.00, '{"k": 2}'),
+        (3, datetime(2024, 1, 3, 0), 1, "b", 4.00, None),
+        # user 2: modal tie a/b resolved by name; all props null
+        (4, datetime(2024, 1, 1, 0), 2, "b", 1.50, None),
+        (5, datetime(2024, 1, 1, 0), 2, "a", 2.50, None),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["user_id"]: r for r in QUERIES["user_golden_profile"].fn(spark, d).collect()}
+    u1 = out[1]
+    assert u1["latest_props"] == '{"k": 2}'  # latest non-null, not the null
+    assert u1["top_event_type"] == "a" and u1["n_events"] == 3
+    assert u1["total_value"] == 7.0
+    u2 = out[2]
+    assert u2["top_event_type"] == "a"  # 1-1 tie -> name order
+    assert u2["latest_props"] is None  # no non-null props anywhere
