@@ -7969,3 +7969,59 @@ def q_user_golden_profile(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "user_recent_event_arrays",
+    oracle="""
+with l as (
+  select user_id,
+         list(event_type order by ts desc, event_id desc) as ts_,
+         list(value order by ts desc, event_id desc) as vs,
+         cast(count(*) as bigint) as n_events
+  from events group by user_id
+)
+select user_id,
+       array_to_string(ts_[1:3], ',') as recent_types,
+       vs[1] as v1, vs[2] as v2, vs[3] as v3,
+       n_events
+from l
+order by user_id
+""",
+)
+def q_user_recent_event_arrays(spark, sf_dir):
+    """Ordered array aggregation: each user's 3 most recent event
+    types/values as ARRAYS — the feature-store \"recent history as a
+    list column\" shape sequence models consume. Spark has no
+    ``list(x ORDER BY y)``, so the portable construction is
+    slice(transform(array_sort(collect_list(struct(keys..., payload))),
+    s -> payload), 1, 3): ONE hash aggregate collecting structs whose
+    leading fields are the sort key (descending via negated/bit-flipped
+    keys), sorted per-row JVM-side, then projected and sliced — no
+    window pass, no second shuffle, and the per-group buffer is the
+    group's events (cap it upstream with a window top-N when groups
+    are unbounded; here groups are user-sized). The type history is
+    string-joined and the values land in scalar columns (driver-
+    comparator convention: no raw array cells in oracle outputs)."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.struct(
+        (-F.unix_micros(F.col("ts").cast("timestamp"))).alias("k1"),
+        (-F.col("event_id")).alias("k2"),
+        F.col("event_type").alias("t"),
+        F.col("value").alias("v"),
+    )
+    sorted_items = F.array_sort(F.collect_list(item))
+    vs = F.transform(sorted_items, lambda s: s["v"])
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.slice(F.transform(sorted_items, lambda s: s["t"]), 1, 3), ","
+            ).alias("recent_types"),
+            F.element_at(vs, 1).alias("v1"),
+            F.element_at(vs, 2).alias("v2"),
+            F.element_at(vs, 3).alias("v3"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

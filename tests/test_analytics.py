@@ -267,3 +267,30 @@ def test_user_golden_profile_survivorship_rules(spark):
     u2 = out[2]
     assert u2["top_event_type"] == "a"  # 1-1 tie -> name order
     assert u2["latest_props"] is None  # no non-null props anywhere
+
+
+def test_user_recent_event_arrays_order(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "a", 1.0, "{}"),
+        (2, datetime(2024, 1, 2), 1, "b", 2.0, "{}"),
+        (3, datetime(2024, 1, 3), 1, "c", 3.0, "{}"),
+        (4, datetime(2024, 1, 4), 1, "d", 4.0, "{}"),
+        (5, datetime(2024, 1, 1), 2, "x", 9.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["user_id"]: r for r in QUERIES["user_recent_event_arrays"].fn(spark, d).collect()}
+    u1 = out[1]
+    assert u1["recent_types"] == "d,c,b"  # newest first, capped at 3
+    assert (u1["v1"], u1["v2"], u1["v3"]) == (4.0, 3.0, 2.0)
+    u2 = out[2]
+    assert u2["recent_types"] == "x" and u2["v2"] is None and u2["v3"] is None
