@@ -8025,3 +8025,26 @@ def q_user_recent_event_arrays(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "streaming_mv_refresh",
+    oracle="""
+select event_type,
+       cast(count(*) as bigint) as n,
+       cast(sum(cast(value as decimal(18,2))) as double) as total_value,
+       min(value) as vmin,
+       max(value) as vmax
+from events group by event_type
+""",
+)
+def q_streaming_mv_refresh(spark, sf_dir):
+    """Streaming materialized-view maintenance
+    (streaming/upsert.py:run_streaming_mv_refresh): the events table
+    streamed in 4 micro-batches through a foreachBatch agg-state
+    merge; the oracle is the FULL batch recompute — equality proves
+    the refresh is exact under micro-batch slicing (the streaming twin
+    of incremental_mv_update)."""
+    from .streaming.upsert import run_streaming_mv_refresh
+
+    return run_streaming_mv_refresh(spark, sf_dir)

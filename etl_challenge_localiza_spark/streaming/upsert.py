@@ -179,3 +179,55 @@ def run_streaming_snapshot_cdc(
     from ..sources.sinks import snapshot_read
 
     return snapshot_read(spark, table_path).select(*_COLS)
+
+
+def run_streaming_mv_refresh(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_sec: int = 300,
+    n_input_files: int = 4,
+) -> DataFrame:
+    """Continuously-maintained STREAMING materialized view: each
+    micro-batch reduces to its per-event_type mergeable aggregate
+    state (operators.merge.agg_state — count / exact decimal sum /
+    min / max) and merges it into the accumulating view with
+    merge_agg_states, so the refresh touches the batch plus a
+    |types|-sized state table, never the history. Because the decimal
+    state merge is exactly associative, the final view equals the
+    batch recompute under ANY micro-batch slicing — which is what the
+    oracle checks. The view is kept as versioned parquet (the same
+    plain-parquet stand-in as the CDC sinks; Delta/Iceberg MERGE at
+    production scale)."""
+    from ..operators.merge import agg_state, merge_agg_states
+
+    stream, base = _staged_event_stream(spark, sf_dir, n_input_files)
+    state = {"version": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        delta = agg_state(batch_df, "event_type", "value")
+        v = state["version"]
+        if v > 0:
+            cur = sess.read.parquet(os.path.join(base, f"mv{v}"))
+            merged = merge_agg_states(cur, delta, "event_type")
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(os.path.join(base, f"mv{v + 1}"))
+        state["version"] = v + 1
+        if v > 1:
+            shutil.rmtree(os.path.join(base, f"mv{v - 1}"), ignore_errors=True)
+
+    try:
+        _run_foreach_batch(stream, base, _apply, timeout_sec, "streaming MV refresh")
+        if state["version"] == 0:
+            raise RuntimeError("streaming MV refresh processed no micro-batches")
+        final = spark.read.parquet(os.path.join(base, f"mv{state['version']}"))
+        return final.select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("total_dec").cast("double").alias("total_value"),
+            "vmin",
+            "vmax",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

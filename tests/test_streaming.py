@@ -459,3 +459,33 @@ def test_streaming_snapshot_cdc_versions_and_converges(spark, sf0001, tmp_path):
         assert prev_keys <= keys  # coverage only grows
         assert len(rows) == len(keys)  # one row per key at every version
         prev_keys = keys
+
+
+def test_streaming_mv_refresh_slicing_independent(spark, tmp_path):
+    import os
+
+    from etl_challenge_localiza_spark.streaming.upsert import run_streaming_mv_refresh
+    from datetime import datetime
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 20), i % 3, ["a", "b"][i % 2], float(i) + 0.25, "{}")
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    def norm(df):
+        return sorted(
+            (r["event_type"], r["n"], r["total_value"], r["vmin"], r["vmax"])
+            for r in df.collect()
+        )
+
+    one = norm(run_streaming_mv_refresh(spark, d, n_input_files=1))
+    four = norm(run_streaming_mv_refresh(spark, d, n_input_files=4))
+    assert one == four  # exact associativity: any slicing, same view
+    total = sum(r[1] for r in one)
+    assert total == 40
