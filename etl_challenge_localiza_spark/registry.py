@@ -8048,3 +8048,65 @@ def q_streaming_mv_refresh(spark, sf_dir):
     from .streaming.upsert import run_streaming_mv_refresh
 
     return run_streaming_mv_refresh(spark, sf_dir)
+
+
+@register(
+    "fk_integrity_audit",
+    oracle="""
+select * from (
+  select 'orders.custkey->customer' as relationship,
+         (select cast(count(*) as bigint) from orders) as n_child,
+         (select cast(count(*) as bigint) from orders o
+          where not exists (select 1 from customer c
+                            where c.c_custkey = o.o_custkey)) as n_orphans
+  union all
+  select 'lineitem.orderkey->orders',
+         (select cast(count(*) as bigint) from lineitem),
+         (select cast(count(*) as bigint) from lineitem l
+          where not exists (select 1 from orders o
+                            where o.o_orderkey = l.l_orderkey))
+  union all
+  select 'lineitem.partkey->part',
+         (select cast(count(*) as bigint) from lineitem),
+         (select cast(count(*) as bigint) from lineitem l
+          where not exists (select 1 from part p
+                            where p.p_partkey = l.l_partkey))
+  union all
+  select 'customer.nationkey->nation',
+         (select cast(count(*) as bigint) from customer),
+         (select cast(count(*) as bigint) from customer c
+          where not exists (select 1 from nation n
+                            where n.n_nationkey = c.c_nationkey))
+) order by relationship
+""",
+)
+def q_fk_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the warehouse: orphan counts
+    for four FK relationships via LEFT ANTI joins (the DQ check a
+    lakehouse runs because parquet enforces no constraints). Each
+    anti join shuffles only the key column pair; the parent side of
+    the small dims broadcasts under AQE. Zero orphans on conforming
+    TPC-H data — the point is the audit shape; the pipeline's DQ gates
+    (C3/C4) would consume n_orphans exactly like a null-rule count."""
+    rels = [
+        ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for name, child, ck, parent, pk in rels:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        row = (
+            c.join(p, c[ck] == p[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+            .crossJoin(
+                F.broadcast(
+                    c.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+                )
+            )
+            .select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("relationship")

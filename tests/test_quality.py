@@ -152,3 +152,42 @@ def test_column_stats_generic_profile(spark):
     # sketch path returns the same shape with approximate NDV
     approx = {r["column"]: r for r in column_stats(df, approx_ndv=True).collect()}
     assert approx["k"]["n_distinct"] >= 2
+
+
+def test_fk_integrity_audit_detects_planted_orphans(spark, tmp_path):
+    import os
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    d = str(tmp_path)
+    spark.createDataFrame([(1,), (2,)], ["c_custkey"]).write.parquet(
+        os.path.join(d, "customer.parquet")
+    )
+    spark.createDataFrame([(1,), (2,)], ["n_nationkey"]).write.parquet(
+        os.path.join(d, "nation.parquet")
+    )
+    # order 30 references custkey 99 -> orphan
+    spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 99)], ["o_orderkey", "o_custkey"]
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame([(5,)], ["p_partkey"]).write.parquet(
+        os.path.join(d, "part.parquet")
+    )
+    # lineitem rows: one orphan orderkey, one orphan partkey
+    spark.createDataFrame(
+        [(10, 5), (77, 5), (20, 6)], ["l_orderkey", "l_partkey"]
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    # customer table needs a nationkey column for the 4th relationship
+    import shutil
+    shutil.rmtree(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (2, 42)], ["c_custkey", "c_nationkey"]
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    out = {
+        r["relationship"]: (r["n_child"], r["n_orphans"])
+        for r in QUERIES["fk_integrity_audit"].fn(spark, d).collect()
+    }
+    assert out["orders.custkey->customer"] == (3, 1)
+    assert out["lineitem.orderkey->orders"] == (3, 1)
+    assert out["lineitem.partkey->part"] == (3, 1)
+    assert out["customer.nationkey->nation"] == (2, 1)
