@@ -8110,3 +8110,119 @@ def q_fk_integrity_audit(spark, sf_dir):
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("relationship")
+
+
+#: 3-day lookback for multi-touch attribution, in microseconds.
+_MTA_W_US = 3 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "attribution_multi_touch",
+    oracle=f"""
+with conv as (
+  select event_id as conv_id, user_id, epoch_us(ts) as t_c,
+         cast(value as double) as value
+  from events where event_type = 'purchase'
+),
+touch as (
+  select user_id, event_type as channel, epoch_us(ts) as t_t
+  from events where event_type in ('click', 'view', 'signup')
+),
+pairs as (
+  select c.conv_id, c.value, t.channel
+  from conv c join touch t on c.user_id = t.user_id
+   and t.t_t >= c.t_c - {_MTA_W_US} and t.t_t < c.t_c
+),
+n as (select conv_id, cast(count(*) as bigint) as n_touches
+      from pairs group by conv_id),
+credit as (
+  select p.channel, p.conv_id,
+         p.value / cast(n.n_touches as double) as credit
+  from pairs p join n using (conv_id)
+)
+select * from (
+  select channel,
+         cast(count(distinct conv_id) as bigint) as n_conversions,
+         cast(count(*) as bigint) as n_touches,
+         round(sum(credit), 6) as credit_total
+  from credit group by channel
+  union all
+  select '(direct)', cast(count(*) as bigint), cast(0 as bigint),
+         round(sum(value), 6)
+  from conv c
+  where not exists (select 1 from pairs p where p.conv_id = c.conv_id)
+) order by channel
+""",
+)
+def q_attribution_multi_touch(spark, sf_dir):
+    """Multi-touch LINEAR attribution: every click/view/signup in the
+    3 days before a purchase shares the purchase value equally — the
+    fractional-credit counterpart of attribution_last_touch. The
+    conversion×touch pairing uses the bucketized interval-join shape
+    from operators/rangejoin.py (each conversion's lookback interval
+    lands in ≤2 W-sized buckets, so the join runs on (user, bucket)
+    with bounded fan-out — no per-user cross product on hot users);
+    per-conversion touch counts come from one aggregate joined back.
+    Credit is one double division per pair; channel totals are rounded
+    float reductions (house rule). Conversions with no touches land in
+    an explicit '(direct)' bucket so credit is conserved."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = F.lit(_MTA_W_US)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("key"),
+        us.alias("t_c"),
+        F.col("value").cast("double").alias("value"),
+    )
+    conv_b = conv.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("t_c") - w) / w),
+                    F.floor((F.col("t_c") - 1) / w),
+                )
+            )
+        ),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("channel"),
+        us.alias("t_t"),
+        F.floor(us / w).alias("bucket"),
+    )
+    pairs = (
+        conv_b.join(touch, ["key", "bucket"])
+        .filter((F.col("t_t") >= F.col("t_c") - w) & (F.col("t_t") < F.col("t_c")))
+        .select("conv_id", "value", "channel")
+    )
+    n = pairs.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    credit = pairs.join(n, "conv_id").select(
+        "channel",
+        "conv_id",
+        (F.col("value") / F.col("n_touches").cast("double")).alias("credit"),
+    )
+    by_channel = credit.groupBy("channel").agg(
+        F.count_distinct("conv_id").cast("long").alias("n_conversions"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(F.sum("credit"), 6).alias("credit_total"),
+    )
+    direct = (
+        conv.join(pairs.select("conv_id").distinct(), "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.round(F.sum("value"), 6).alias("credit_total"),
+        )
+        .select(
+            F.lit("(direct)").alias("channel"),
+            "n_conversions",
+            F.lit(0).cast("long").alias("n_touches"),
+            "credit_total",
+        )
+    )
+    return by_channel.unionByName(direct).orderBy("channel")

@@ -294,3 +294,39 @@ def test_user_recent_event_arrays_order(spark):
     assert (u1["v1"], u1["v2"], u1["v3"]) == (4.0, 3.0, 2.0)
     u2 = out[2]
     assert u2["recent_types"] == "x" and u2["v2"] is None and u2["v3"] is None
+
+
+def test_multi_touch_attribution_conserves_credit(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = [
+        # user 1: click + view in lookback, purchase 100 -> 50/50 split
+        (1, datetime(2024, 1, 1, 10), 1, "click", 0.0, "{}"),
+        (2, datetime(2024, 1, 2, 10), 1, "view", 0.0, "{}"),
+        (3, datetime(2024, 1, 3, 10), 1, "purchase", 100.0, "{}"),
+        # user 2: touch OUTSIDE the 3-day lookback -> direct conversion
+        (4, datetime(2024, 1, 1, 0), 2, "click", 0.0, "{}"),
+        (5, datetime(2024, 1, 10, 0), 2, "purchase", 40.0, "{}"),
+        # user 3: touch AFTER the purchase does not count
+        (6, datetime(2024, 1, 5, 0), 3, "purchase", 7.0, "{}"),
+        (7, datetime(2024, 1, 5, 1), 3, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["channel"]: r
+            for r in QUERIES["attribution_multi_touch"].fn(spark, d).collect()
+        }
+    assert out["click"]["credit_total"] == 50.0
+    assert out["view"]["credit_total"] == 50.0
+    assert out["(direct)"]["n_conversions"] == 2  # users 2 and 3
+    assert out["(direct)"]["credit_total"] == 47.0
+    # credit conservation: attributed + direct == total purchase value
+    assert sum(r["credit_total"] for r in out.values()) == 147.0
