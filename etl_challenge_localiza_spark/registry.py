@@ -8226,3 +8226,124 @@ def q_attribution_multi_touch(spark, sf_dir):
         )
     )
     return by_channel.unionByName(direct).orderBy("channel")
+
+
+@register(
+    "kwic_snippets",
+    oracle=f"""
+with t as (select doc_id, {SQL_TOKS} as toks from documents),
+hits as (
+  select doc_id, toks, 'merge' as term, list_position(toks, 'merge') as pos
+  from t
+  union all
+  select doc_id, toks, 'window' as term, list_position(toks, 'window') as pos
+  from t
+),
+h as (select * from hits where pos is not null and pos > 0)
+select doc_id, term, cast(pos as bigint) as pos,
+       array_to_string(toks[greatest(pos - 3, 1):pos + 3], ' ') as snippet
+from h
+order by doc_id, term
+""",
+)
+def q_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context extraction (the search-result snippet layer
+    over BM25 retrieval): for each query term, the FIRST occurrence
+    position and a ±3-token context window per matching document.
+    Pure array expressions — array_position + slice over the token
+    array, one per term, unioned — no explode of the token stream, so
+    the work is O(docs × terms) map-side with zero shuffle (the final
+    sort is presentation). 1-based positions and inclusive slice
+    bounds are written identically for Spark and DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    outs = []
+    for term in ("merge", "window"):
+        pos = F.array_position(toks, term)
+        start = F.greatest(pos - 3, F.lit(1))
+        # slice length: (pos+3) - start + 1, clipped by array end
+        length = F.col("pos") + 3 - F.col("start") + 1
+        outs.append(
+            docs.select(
+                "doc_id",
+                F.lit(term).alias("term"),
+                pos.alias("pos"),
+                start.alias("start"),
+                toks.alias("toks"),
+            )
+            .filter(F.col("pos") > 0)
+            .select(
+                "doc_id",
+                "term",
+                F.col("pos").cast("long").alias("pos"),
+                F.array_join(
+                    F.slice(F.col("toks"), F.col("start"), length), " "
+                ).alias("snippet"),
+            )
+        )
+    out = outs[0].unionByName(outs[1])
+    return out.orderBy("doc_id", "term")
+
+
+@register(
+    "benford_value_audit",
+    oracle="""
+with d as (
+  select cast(substr(cast(cast(round(value * 100) as bigint) as varchar), 1, 1)
+              as bigint) as digit
+  from events where value >= 0.01
+),
+c as (select digit, cast(count(*) as bigint) as n from d group by digit),
+tot as (select cast(count(*) as bigint) as total from d),
+e as (
+  select g.digit, coalesce(c.n, 0) as n,
+         ln(1.0 + 1.0 / cast(g.digit as double)) / ln(10.0) as expected_p
+  from (select unnest(generate_series(1, 9)) as digit) g
+  left join c on g.digit = c.digit
+)
+select cast(e.digit as bigint) as digit, e.n,
+       round(e.expected_p, 9) as expected_p,
+       round(cast(e.n as double) / cast(tot.total as double), 9) as observed_p,
+       round((cast(e.n as double) / cast(tot.total as double) - e.expected_p)
+             * (cast(e.n as double) / cast(tot.total as double) - e.expected_p)
+             / e.expected_p, 9) as chi2_term
+from e cross join tot
+order by digit
+""",
+)
+def q_benford_value_audit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit of transaction
+    values — the classic forensic-accounting screen (fabricated
+    amounts drift from the log distribution P(d) = log10(1 + 1/d)).
+    The digit is extracted EXACTLY: cents as int64 → leading decimal
+    character — no float log10/pow hops that could round differently
+    across engines. One map-side-combined 9-bucket aggregate, a
+    broadcast scalar total, and literal expected frequencies; per-
+    digit chi-square terms emitted for a gate to sum (the synthetic
+    uniform-ish testdata of course FAILS Benford — the audit's
+    correctness, not its verdict, is what the oracle pins)."""
+    ev = load_table(spark, sf_dir, "events")
+    digit = F.substring(
+        F.round(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    d = ev.filter(F.col("value") >= 0.01).select(digit.alias("digit"))
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = d.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    expected = F.log(1.0 + 1.0 / F.col("digit").cast("double")) / F.log(F.lit(10.0))
+    n0 = F.coalesce("n", F.lit(0))
+    obs = n0.cast("double") / F.col("total").cast("double")
+    return (
+        digits.join(c, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            n0.cast("long").alias("n"),
+            F.round(expected, 9).alias("expected_p"),
+            F.round(obs, 9).alias("observed_p"),
+            F.round((obs - expected) * (obs - expected) / expected, 9).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )

@@ -191,3 +191,32 @@ def test_fk_integrity_audit_detects_planted_orphans(spark, tmp_path):
     assert out["lineitem.orderkey->orders"] == (3, 1)
     assert out["lineitem.partkey->part"] == (3, 1)
     assert out["customer.nationkey->nation"] == (2, 1)
+
+
+def test_benford_audit_digit_extraction_and_missing_digit(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+    from math import log10
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # values whose first significant digits are 1,1,2,9; none start
+    # with 3..8 -> those rows must appear with n=0 and observed_p=0
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "a", 1.23, "{}"),    # cents 123 -> 1
+        (2, datetime(2024, 1, 1), 1, "a", 0.19, "{}"),    # cents 19  -> 1
+        (3, datetime(2024, 1, 1), 1, "a", 250.00, "{}"),  # 25000 -> 2
+        (4, datetime(2024, 1, 1), 1, "a", 0.09, "{}"),    # 9 -> 9
+        (5, datetime(2024, 1, 1), 1, "a", 0.001, "{}"),   # below floor: excluded
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["digit"]: r for r in QUERIES["benford_value_audit"].fn(spark, d).collect()}
+    assert [out[i]["n"] for i in range(1, 10)] == [2, 1, 0, 0, 0, 0, 0, 0, 1]
+    assert out[1]["observed_p"] == 0.5
+    assert out[3]["observed_p"] == 0.0 and out[3]["chi2_term"] > 0
+    assert out[1]["expected_p"] == round(log10(2), 9)

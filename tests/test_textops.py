@@ -252,3 +252,31 @@ def test_pmi_collocations_hand_computed(spark):
     )
     # bigrams below min_count are dropped
     assert ("big", "apple") not in out
+
+
+def test_kwic_snippet_windows(spark):
+    import os
+    import tempfile
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = [
+        (1, "a b c merge d e f", "en", "s", 0),      # interior hit
+        (2, "merge x y", "en", "s", 0),              # hit at position 1
+        (3, "p q window", "en", "s", 0),             # hit at the end
+        (4, "no hits here", "en", "s", 0),
+        (5, "window merge window", "en", "s", 0),    # first occurrence only
+    ]
+    docs = spark.createDataFrame(rows, DOC_COLS)
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            (r["doc_id"], r["term"]): (r["pos"], r["snippet"])
+            for r in QUERIES["kwic_snippets"].fn(spark, d).collect()
+        }
+    assert out[(1, "merge")] == (4, "a b c merge d e f")
+    assert out[(2, "merge")] == (1, "merge x y")          # left edge clips
+    assert out[(3, "window")] == (3, "p q window")        # right edge clips
+    assert (4, "merge") not in out and (4, "window") not in out
+    assert out[(5, "window")][0] == 1                     # first occurrence
+    assert out[(5, "merge")][0] == 2
