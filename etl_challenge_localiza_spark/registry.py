@@ -8347,3 +8347,92 @@ def q_benford_value_audit(spark, sf_dir):
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle="""
+with cohorts as (
+  select user_id, date_trunc('week', min(ts)) as cohort_week
+  from events group by user_id
+),
+sizes as (select cohort_week, cast(count(*) as bigint) as cohort_users
+          from cohorts group by cohort_week),
+activity as (
+  select c.cohort_week,
+         cast(date_diff('day', c.cohort_week, date_trunc('week', e.ts)) / 7
+              as bigint) as age_week,
+         e.user_id,
+         case when e.event_type = 'purchase'
+              then cast(e.value as decimal(18,2))
+              else cast(0 as decimal(18,2)) end as rev
+  from events e join cohorts c using (user_id)
+),
+w as (
+  select cohort_week, age_week,
+         cast(count(distinct user_id) as bigint) as n_active,
+         sum(rev) as revenue
+  from activity group by 1, 2
+)
+select w.cohort_week, w.age_week, w.n_active,
+       cast(w.revenue as double) as revenue,
+       cast(sum(w.revenue) over (partition by w.cohort_week
+                                 order by w.age_week) as double) as cum_revenue,
+       cast(sum(w.revenue) over (partition by w.cohort_week
+                                 order by w.age_week) as double)
+         / cast(s.cohort_users as double) as ltv_per_user
+from w join sizes s using (cohort_week)
+order by cohort_week, age_week
+""",
+)
+def q_cohort_ltv_curves(spark, sf_dir):
+    """Cohort lifetime-value curves: users grouped by first-seen week,
+    purchase revenue accumulated per cohort-age week, cumulative LTV
+    per cohort user — the marketing-analytics companion of
+    retention_cohorts (revenue curves instead of comeback rates).
+    Revenue accumulates in decimal(18,2) end to end (the running
+    cumulative included — exact, order-safe), with ONE double cast per
+    output column; ages are exact integer day arithmetic on truncated
+    weeks. Shape: a user-keyed first-seen aggregate broadcast back,
+    one (cohort, age) aggregate, then a window cumsum over the tiny
+    curve table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = lambda c: F.date_trunc("week", c).cast("timestamp_ntz")  # noqa: E731
+    cohorts = ev.groupBy("user_id").agg(wk(F.min("ts")).alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    activity = ev.join(cohorts, "user_id").select(
+        "cohort_week",
+        (
+            F.datediff(wk(F.col("ts")), F.col("cohort_week")) / 7
+        ).cast("bigint").alias("age_week"),
+        "user_id",
+        rev.alias("rev"),
+    )
+    w = activity.groupBy("cohort_week", "age_week").agg(
+        F.count_distinct("user_id").cast("long").alias("n_active"),
+        F.sum("rev").alias("revenue"),
+    )
+    cum = F.sum("revenue").over(
+        Window.partitionBy("cohort_week").orderBy("age_week")
+    )
+    return (
+        w.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "n_active",
+            F.col("revenue").cast("double").alias("revenue"),
+            cum.cast("double").alias("cum_revenue"),
+            (cum.cast("double") / F.col("cohort_users").cast("double")).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "age_week")
+    )

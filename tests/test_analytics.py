@@ -330,3 +330,36 @@ def test_multi_touch_attribution_conserves_credit(spark):
     assert out["(direct)"]["credit_total"] == 47.0
     # credit conservation: attributed + direct == total purchase value
     assert sum(r["credit_total"] for r in out.values()) == 147.0
+
+
+def test_cohort_ltv_hand_case(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # cohort A: users 1,2 first seen week of Jan 1 (Mon);
+    # user 1 purchases 10 in week 0 and 30 in week 1; user 2 never buys.
+    # cohort B: user 3 first seen week of Jan 8, buys 8 in week 0.
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "purchase", 10.0, "{}"),
+        (2, datetime(2024, 1, 2), 2, "view", 0.0, "{}"),
+        (3, datetime(2024, 1, 9), 1, "purchase", 30.0, "{}"),
+        (4, datetime(2024, 1, 8), 3, "purchase", 8.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r["cohort_week"].day, r["age_week"]): r
+            for r in QUERIES["cohort_ltv_curves"].fn(spark, d).collect()
+        }
+    a0, a1 = out[(1, 0)], out[(1, 1)]
+    assert a0["n_active"] == 2 and a0["revenue"] == 10.0
+    assert a1["n_active"] == 1 and a1["revenue"] == 30.0
+    assert a1["cum_revenue"] == 40.0 and a1["ltv_per_user"] == 20.0  # / 2 users
+    b0 = out[(8, 0)]
+    assert b0["n_active"] == 1 and b0["ltv_per_user"] == 8.0
