@@ -92,3 +92,38 @@ def test_kmeans_final_pass_no_python_no_cartesian(spark):
     # join in the Spark plan (that shape is oracle-only)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_round6_continuation_plan_properties(spark):
+    # pmi: single wide aggregate feeding four consumers — no Python,
+    # no cartesian anywhere in the tree
+    plan = _plan(spark, "pmi_collocations")
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+
+    # multi-touch attribution: the interval join must be a real
+    # keyed join on (user, bucket) — never a nested-loop range join
+    plan = _plan(spark, "attribution_multi_touch")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # psi: both halves are single-column pruned scans with the ts
+    # filter pushed down
+    plan = _plan(spark, "psi_value_drift")
+    assert "PushedFilters: [IsNotNull(ts)" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read and "event_type" not in read
+
+    # kwic: zero-shuffle map pass (only the presentation sort exchanges)
+    plan = _plan(spark, "kwic_snippets")
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 0
+
+    # table stats: exactly one aggregate pass over the scan
+    plan = _plan(spark, "table_stats_events")
+    assert "BatchEvalPython" not in plan
+
+    # golden profile: no driver-side collects means no ExistingRDD scan
+    plan = _plan(spark, "user_golden_profile")
+    assert "Scan ExistingRDD" not in plan
+    assert "CartesianProduct" not in plan
