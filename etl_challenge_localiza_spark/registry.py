@@ -8436,3 +8436,51 @@ def q_cohort_ltv_curves(spark, sf_dir):
         )
         .orderBy("cohort_week", "age_week")
     )
+
+
+@register(
+    "latest_order_argmax_agg",
+    oracle="""
+with o as (
+  select *,
+         (epoch_us(o_orderdate) // 86400000000) * 1000000000000
+           + o_orderkey as ak
+  from orders
+)
+select o_custkey,
+       arg_max(o_orderkey, ak) as o_orderkey,
+       max(o_orderdate) as o_orderdate,
+       arg_max(o_totalprice, ak) as o_totalprice
+from o
+group by o_custkey
+order by o_custkey
+""",
+)
+def q_latest_order_argmax_agg(spark, sf_dir):
+    """Latest order per customer as an ARGMAX AGGREGATE (max_by over a
+    packed (date, orderkey) bigint — total order, so ties are deterministic)
+    instead of the row_number window latest_order_per_customer uses.
+    Same result, different scale profile: one map-side-combined hash
+    aggregate with no per-partition sort and constant per-key state —
+    the shape to prefer when groups are huge or the full row is not
+    needed. The window form wins when many columns of the argmax row
+    must survive; both are first-class here, value-checked against
+    the same oracle semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    # packed total-order key: day-scale date (exact integer division)
+    # shifted past any orderkey — one bigint, max_by-able in both
+    # engines (struct ordering keys are Spark-only)
+    key = (
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        * F.lit(1_000_000_000_000)
+        + F.col("o_orderkey")
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", key).alias("o_orderkey"),
+            F.max("o_orderdate").alias("o_orderdate"),
+            F.max_by("o_totalprice", key).alias("o_totalprice"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -363,3 +363,18 @@ def test_cohort_ltv_hand_case(spark):
     assert a1["cum_revenue"] == 40.0 and a1["ltv_per_user"] == 20.0  # / 2 users
     b0 = out[(8, 0)]
     assert b0["n_active"] == 1 and b0["ltv_per_user"] == 8.0
+
+
+def test_argmax_agg_equals_window_form(spark):
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    via_agg = {
+        r["o_custkey"]: (r["o_orderkey"], r["o_totalprice"])
+        for r in QUERIES["latest_order_argmax_agg"].fn(spark, sf).collect()
+    }
+    via_window = {
+        r["o_custkey"]: (r["o_orderkey"], r["o_totalprice"])
+        for r in QUERIES["latest_order_per_customer"].fn(spark, sf).collect()
+    }
+    assert via_agg == via_window  # two plans, one semantics
