@@ -127,3 +127,44 @@ def test_round6_continuation_plan_properties(spark):
     plan = _plan(spark, "user_golden_profile")
     assert "Scan ExistingRDD" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: a fact table partitioned on the join key must be pruned at
+    runtime by the filtered dim side — the mechanism that makes
+    star-schema joins read a fraction of a 100 TB fact. Asserted on
+    the executed plan (dynamicpruningexpression on the fact scan) and
+    value-checked against the unpartitioned computation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = spark.range(0, 5000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).alias("type_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    fact_path = str(tmp_path / "fact")
+    ev.write.partitionBy("type_id").parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(10)],
+        ["type_id", "flag"],
+    )
+    fact = spark.read.parquet(fact_path)
+    joined = (
+        fact.join(dim.filter(F.col("flag") == "keep"), "type_id")
+        .groupBy("type_id")
+        .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
+    )
+    rows = {r["type_id"]: (r["n"], r["sv"]) for r in joined.collect()}
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, "DPP did not trigger"
+    # value check vs the unpartitioned frame
+    expected = {
+        r["type_id"]: (r["n"], r["sv"])
+        for r in ev.filter(F.col("type_id") < 2)
+        .groupBy("type_id")
+        .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows == expected and set(rows) == {0, 1}
