@@ -8484,3 +8484,121 @@ def q_latest_order_argmax_agg(spark, sf_dir):
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "temperature_mix_weights",
+    oracle="""
+with c as (select lang, cast(count(*) as bigint) as n_docs,
+                  cast(sum(n_chars) as bigint) as n_chars
+           from documents group by lang),
+p as (select *, pow(cast(n_docs as double), 0.7) as raw_w from c),
+t as (select sum(raw_w) as tot from p)
+select lang, n_docs, n_chars,
+       round(raw_w / tot, 9) as mix_weight,
+       round(raw_w / tot, 9)
+         / (cast(n_docs as double)
+            / (select sum(cast(n_docs as double)) from c)) as upsample_factor
+from p cross join t
+order by lang
+""",
+)
+def q_temperature_mix_weights(spark, sf_dir):
+    """Temperature-based multilingual mixing (the mT5/XLM-R alpha
+    sampling rule, alpha = 0.7): per-language sampling weight
+    proportional to n_docs^alpha, normalized — small languages
+    upsample, head languages downsample, with the exact upsample
+    factor vs natural frequency reported. One tiny per-lang rollup +
+    scalar broadcast; pow/division are per-row doubles with the
+    weight rounded 9 dp (house float rule). The factors feed
+    corpus_mix_weighted's deterministic sampler as its weight map."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    p = c.withColumn("raw_w", F.pow(F.col("n_docs").cast("double"), 0.7))
+    t = p.agg(
+        F.sum("raw_w").alias("tot"),
+        F.sum(F.col("n_docs").cast("double")).alias("n_total"),
+    )
+    w = F.round(F.col("raw_w") / F.col("tot"), 9)
+    return (
+        p.crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            w.alias("mix_weight"),
+            (
+                w / (F.col("n_docs").cast("double") / F.col("n_total"))
+            ).alias("upsample_factor"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "hard_negatives_ann",
+    oracle="""
+with a as (select * from embeddings where vec_id < 200),
+p as (
+  select a.vec_id, a.label,
+         b.vec_id as neg_vec_id, b.label as neg_label,
+         round(
+           list_dot_product(list_transform(a.embedding, x -> cast(x as double)),
+                            list_transform(b.embedding, x -> cast(x as double)))
+           / sqrt(list_sum(list_transform(a.embedding, x -> cast(x as double) * cast(x as double)))
+                * list_sum(list_transform(b.embedding, x -> cast(x as double) * cast(x as double)))),
+           6) as cos_sim
+  from a join embeddings b on a.label <> b.label
+)
+select vec_id, cast(label as int) as label,
+       cast(neg_vec_id as bigint) as neg_vec_id,
+       cast(neg_label as int) as neg_label, cos_sim
+from p
+qualify row_number() over (partition by vec_id
+                           order by cos_sim desc, neg_vec_id asc) = 1
+order by vec_id
+""",
+)
+def q_hard_negatives_ann(spark, sf_dir):
+    """Hard-negative mining for contrastive training: each anchor's
+    most-similar vector with a DIFFERENT label — the negatives that
+    actually move a metric-learning loss (contrastive_negatives draws
+    random ones; these are the hard ones). The bounded anchor set
+    (vec_id < 200) broadcasts against the corpus (scalar-broadcast
+    pattern: fan-out = anchors × corpus, never corpus²); the per-
+    anchor argmax folds map-side via max_by over a (rounded-cosine,
+    -neg_id) struct, so one row per anchor reaches the exchange. At
+    100 TB the anchor batch streams through the same shape, or the
+    IVF/BRP bucket path replaces the scan for recall@k trade-offs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    from .functions.vectors import cosine
+
+    pairs = emb.crossJoin(F.broadcast(a)).filter(
+        F.col("label") != F.col("a_label")
+    )
+    scored = pairs.select(
+        F.col("a_id"),
+        F.col("a_label"),
+        F.struct(
+            F.round(cosine("embedding", "a_emb"), 6).alias("cs"),
+            (-F.col("vec_id")).alias("negk"),
+            F.col("vec_id").alias("neg_vec_id"),
+            F.col("label").alias("neg_label"),
+        ).alias("s"),
+    )
+    best = scored.groupBy("a_id", "a_label").agg(F.max("s").alias("s"))
+    return best.select(
+        F.col("a_id").alias("vec_id"),
+        F.col("a_label").alias("label"),
+        F.col("s.neg_vec_id").cast("long").alias("neg_vec_id"),
+        F.col("s.neg_label").alias("neg_label"),
+        F.col("s.cs").alias("cos_sim"),
+    ).orderBy("vec_id")

@@ -266,3 +266,24 @@ def test_reliability_bins_monotone_and_partition(spark, tmp_path):
         assert r["pos_rate"] == r["n_pos"] / r["n"]
     for a, b in zip(rows, rows[1:]):
         assert a["max_logit"] <= b["min_logit"]  # deciles are ordered ranges
+
+
+def test_temperature_mix_upsamples_tail_languages(spark, tmp_path):
+    import os
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # head language 900 docs, tail language 100 -> alpha=0.7 shrinks the gap
+    rows = [(i, "t", "en" if i < 900 else "sw", "s", 10) for i in range(1000)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    d = str(tmp_path)
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r["lang"]: r for r in QUERIES["temperature_mix_weights"].fn(spark, d).collect()}
+    w_en, w_sw = out["en"]["mix_weight"], out["sw"]["mix_weight"]
+    assert abs(w_en + w_sw - 1.0) < 1e-6
+    # natural share of sw is 0.1; temperature sampling must raise it
+    assert w_sw > 0.1 and out["sw"]["upsample_factor"] > 1.0
+    assert out["en"]["upsample_factor"] < 1.0
+    # alpha=0.7 closed form: w_sw = 100^0.7 / (900^0.7 + 100^0.7)
+    expected = 100 ** 0.7 / (900 ** 0.7 + 100 ** 0.7)
+    assert abs(w_sw - expected) < 1e-6

@@ -185,3 +185,34 @@ def test_semdedup_drops_planted_cluster_duplicate(spark):
     assert sum(r["n_kept"] for r in out.values()) == 4
     # the dup was in vec 0's cluster
     assert out[0]["n_dropped"] == 1
+
+
+def test_hard_negatives_pick_closest_other_label(spark, tmp_path):
+    import os
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # anchor 0 (label 0) at [1,0]; same-label 1 at [1,0.01] must be
+    # IGNORED; other-label 2 at [0.9,0.1] is the hard negative even
+    # though other-label 3 at [0,1] also exists (it is easy).
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.01], 0),
+        (2, [0.9, 0.1], 1),
+        (3, [0.0, 1.0], 1),
+    ]
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+        StructField("label", IntegerType()),
+    ])
+    emb = spark.createDataFrame(rows, schema)
+    d = str(tmp_path)
+    emb.coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r["vec_id"]: r for r in QUERIES["hard_negatives_ann"].fn(spark, d).collect()}
+    assert out[0]["neg_vec_id"] == 2 and out[0]["neg_label"] == 1
+    assert out[1]["neg_vec_id"] == 2
+    # anchors of label 1 must pick a label-0 vector
+    assert out[2]["neg_label"] == 0 and out[3]["neg_label"] == 0
