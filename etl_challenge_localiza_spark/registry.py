@@ -7069,6 +7069,7 @@ def q_bpe_train_encode(spark, sf_dir):
 
 @register(
     "pmi_collocations",
+    headline=True,
     oracle=f"""
 with t as (select {SQL_TOKS} as toks from documents),
 uni as (select unnest(toks) as w from t),
@@ -7608,6 +7609,7 @@ def q_seasonal_anomaly_profile(spark, sf_dir):
 
 @register(
     "psi_value_drift",
+    headline=True,
     oracle="""
 with ref as (select value from events where ts < timestamp '2024-01-16'),
 cur as (select value from events where ts >= timestamp '2024-01-16'),
@@ -8118,6 +8120,7 @@ _MTA_W_US = 3 * 24 * 3600 * 1_000_000
 
 @register(
     "attribution_multi_touch",
+    headline=True,
     oracle=f"""
 with conv as (
   select event_id as conv_id, user_id, epoch_us(ts) as t_c,
