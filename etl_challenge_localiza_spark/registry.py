@@ -8605,3 +8605,108 @@ def q_hard_negatives_ann(spark, sf_dir):
         F.col("s.neg_label").alias("neg_label"),
         F.col("s.cs").alias("cos_sim"),
     ).orderBy("vec_id")
+
+
+@register(
+    "curriculum_packing",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL},
+d as (select s.doc_id, s.logit, dd.n_chars
+      from scored s join documents dd using (doc_id)),
+ordered as (
+  select doc_id, logit, n_chars,
+         coalesce(sum(n_chars) over (
+           order by logit desc, doc_id
+           rows between unbounded preceding and 1 preceding), 0) as chars_before
+  from d
+)
+select cast(floor(chars_before / 4096.0) as bigint) as pack_id,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as pack_chars,
+       round(sum(logit) / count(*), 6) as mean_logit,
+       cast(min(doc_id) as bigint) as first_doc
+from ordered group by pack_id order by pack_id
+""",
+)
+def q_curriculum_packing(spark, sf_dir):
+    """Curriculum-ordered sequence packing: documents sorted by the
+    LEARNED quality score (highest first, doc_id tiebreak) before the
+    prefix-sum pack assignment — early training packs carry the
+    highest-quality data (the anti-curriculum flips one sort key).
+    Composes model_quality_scores with seq_packing's exact-integer
+    prefix-sum bin assignment; mean pack quality is the one rounded
+    float reduction. The global-order window is the curriculum
+    contract; at 100 TB, range-bucket by score decile first and pack
+    within buckets (same trick the AUC rank documents)."""
+    from pyspark.sql import Window
+
+    from .operators.curation import hashed_feature_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_feature_logit(docs).select("doc_id", "logit")
+    d = docs.select("doc_id", "n_chars").join(scored, "doc_id")
+    w = (
+        Window.orderBy(F.col("logit").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = d.select(
+        "doc_id",
+        "logit",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("chars_before"),
+    )
+    return (
+        ordered.groupBy(
+            F.floor(F.col("chars_before") / 4096.0).cast("long").alias("pack_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("pack_chars"),
+            F.round(F.sum("logit") / F.count(F.lit(1)), 6).alias("mean_logit"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("pack_id")
+    )
+
+
+#: shared accent-fold map (written once, used literally in BOTH engines
+#: so the normalization is portable by construction — broader Unicode
+#: NFKC folding needs ICU, absent in both runtimes here).
+_ACCENT_SRC = "áàâãäéèêëíìîïóòôõöúùûüçñ"
+_ACCENT_DST = "aaaaaeeeeiiiiooooouuuucn"
+
+
+@register(
+    "normalized_dedup_docs",
+    oracle=f"""
+select md5(trim(regexp_replace(
+         translate(lower(text), '{_ACCENT_SRC}', '{_ACCENT_DST}'),
+         '\\s+', ' ', 'g'))) as norm_hash,
+       cast(min(doc_id) as bigint) as keeper_doc_id,
+       cast(count(*) as bigint) as n_copies
+from documents
+group by 1
+""",
+)
+def q_normalized_dedup_docs(spark, sf_dir):
+    """Canonicalization dedup: the fuzzy-normalized rung between exact
+    dedup (byte-identical only) and shingle near-dup — case folded,
+    accents folded through an EXPLICIT shared translate map (the same
+    literal string in both engines; full NFKC needs ICU, absent here
+    and documented), whitespace runs collapsed, edges trimmed, then
+    the same md5 group-by as exact_dedup_docs. Catches 'Café  au
+    lait ' vs 'cafe au lait' — re-typed/re-encoded copies that survive
+    byte-level dedup (pytest-planted). Pure codegen expressions; the
+    plan is exact dedup's plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.translate(F.lower(F.col("text")), _ACCENT_SRC, _ACCENT_DST),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )

@@ -287,3 +287,19 @@ def test_temperature_mix_upsamples_tail_languages(spark, tmp_path):
     # alpha=0.7 closed form: w_sw = 100^0.7 / (900^0.7 + 100^0.7)
     expected = 100 ** 0.7 / (900 ** 0.7 + 100 ** 0.7)
     assert abs(w_sw - expected) < 1e-6
+
+
+def test_curriculum_packs_order_by_quality(spark):
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = QUERIES["curriculum_packing"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert [r["pack_id"] for r in rows] == list(range(len(rows)))
+    # curriculum property: early packs are at least as good on average
+    # as late packs (monotone non-increasing mean quality, tiny jitter
+    # allowed where a pack boundary splits equal scores)
+    means = [r["mean_logit"] for r in rows]
+    assert means[0] == max(means)
+    assert means[-1] == min(means)
+    # packs hold ~4096 chars each except possibly the last
+    for r in rows[:-1]:
+        assert r["pack_chars"] >= 3500  # greedy fill approximation

@@ -94,3 +94,22 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert cont == {(1, 2): 1.0}
     # but jaccard is diluted by doc 2's length — far below any dedup cut
     assert jacc[(1, 2)] < 0.1
+
+
+def test_normalized_dedup_folds_accents_case_whitespace(spark):
+    import os
+    import tempfile
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = [
+        (1, "Café  au\tlait ", "fr", "s", 0),
+        (2, "cafe au lait", "fr", "s", 0),    # same after folding
+        (3, "café au laits", "fr", "s", 0),   # different content
+    ]
+    docs = spark.createDataFrame(rows, DOC_COLS)
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["keeper_doc_id"]: r["n_copies"]
+               for r in QUERIES["normalized_dedup_docs"].fn(spark, d).collect()}
+    assert out == {1: 2, 3: 1}  # 1 and 2 collapse; byte-dedup would not
