@@ -8710,3 +8710,139 @@ def q_normalized_dedup_docs(spark, sf_dir):
         F.min("doc_id").cast("long").alias("keeper_doc_id"),
         F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
+
+
+@register(
+    "funnel_latency_percentiles",
+    oracle="""
+with s as (
+  select user_id, epoch_us(ts) as t, event_type,
+         row_number() over (order by user_id, ts, event_id) as _rn
+  from events where event_type in ('click', 'purchase')
+),
+c as (
+  select user_id, t as t_click,
+         -- next purchase by the same user at or after the click
+         (select min(p.t) from s p
+          where p.user_id = s.user_id and p.event_type = 'purchase'
+            and p.t >= s.t) as t_conv
+  from s where event_type = 'click'
+),
+lat as (select cast(t_conv - t_click as bigint) as latency_us
+        from c where t_conv is not null)
+select cast(count(*) as bigint) as n_converted_clicks,
+       (select cast(count(*) as bigint) from c) as n_clicks,
+       cast(quantile_cont(latency_us, 0.5) as double) as p50_us,
+       cast(quantile_cont(latency_us, 0.9) as double) as p90_us,
+       cast(max(latency_us) as bigint) as max_us
+from lat
+""",
+)
+def q_funnel_latency_percentiles(spark, sf_dir):
+    """Time-to-convert latency: for every click, the delay until the
+    SAME user's next purchase (click→conversion funnel latency),
+    summarized as exact interpolated percentiles — the product metric
+    behind 'median time to purchase'. The next-purchase lookup is NOT
+    a correlated subquery at scale: one user-keyed window pass carries
+    the next purchase time backwards over the merged click/purchase
+    stream (min of future purchases == first_value over the reversed
+    order with purchases-only values, IGNORE NULLS). Latencies are
+    exact integer µs; percentile == quantile_cont bit-identically
+    (proven by value_percentiles)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+    )
+    # RANGE frame on t (not rows on (t, event_id)): a purchase at the
+    # SAME microsecond as the click must count regardless of event_id
+    # order — the frame then matches the oracle's p.t >= s.t exactly
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    purchase_t = F.when(F.col("event_type") == "purchase", F.col("t"))
+    carried = s.select(
+        "user_id",
+        "event_type",
+        "t",
+        F.min(purchase_t).over(fwd).alias("t_conv"),
+    )
+    clicks = carried.filter(F.col("event_type") == "click").select(
+        F.col("t").alias("t_click"), "t_conv"
+    )
+    lat = clicks.filter(F.col("t_conv").isNotNull()).select(
+        (F.col("t_conv") - F.col("t_click")).cast("bigint").alias("latency_us")
+    )
+    n_clicks = clicks.agg(F.count(F.lit(1)).cast("long").alias("n_clicks"))
+    return (
+        lat.agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted_clicks"),
+            F.expr("percentile(latency_us, 0.5)").alias("p50_us"),
+            F.expr("percentile(latency_us, 0.9)").alias("p90_us"),
+            F.max("latency_us").cast("bigint").alias("max_us"),
+        )
+        .crossJoin(F.broadcast(n_clicks))
+        .select(
+            "n_converted_clicks", "n_clicks", "p50_us", "p90_us", "max_us"
+        )
+    )
+
+
+@register(
+    "weighted_median_doc_size",
+    oracle="""
+with o as (
+  select lang, n_chars, doc_id,
+         sum(n_chars) over (partition by lang
+                            order by n_chars, doc_id) as cw,
+         sum(n_chars) over (partition by lang) as w
+  from documents
+)
+select lang,
+       cast(count(*) as bigint) as n_docs,
+       cast(max(w) as bigint) as total_chars,
+       cast(min(case when 2 * cw >= w then n_chars end) as bigint)
+         as weighted_median_chars,
+       cast(quantile_cont(n_chars, 0.5) as double) as plain_median_chars
+from o group by lang order by lang
+""",
+)
+def q_weighted_median_doc_size(spark, sf_dir):
+    """WEIGHTED median document size per language: the doc length X
+    such that half the corpus CHARACTERS live in docs of length ≤ X —
+    the storage/compute-planning stat a byte-weighted corpus needs
+    (the plain median answers 'typical doc'; the weighted one answers
+    'where the volume is', and long-tailed corpora separate them
+    hard). Exact integer algorithm: one ordered cumulative-weight
+    window per lang with a total (n_chars, doc_id) tiebreak, threshold
+    2·cumw ≥ W in integers (no W/2 fraction), first crossing via
+    MIN(case) — no percentile approximation anywhere. One lang-keyed
+    shuffle reused by both windows and the rollup."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cw = F.sum("n_chars").over(
+        Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    )
+    w = F.sum("n_chars").over(Window.partitionBy("lang"))
+    o = docs.select(
+        "lang", "n_chars", cw.alias("cw"), w.alias("w")
+    )
+    return (
+        o.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("w").cast("long").alias("total_chars"),
+            F.min(F.when(2 * F.col("cw") >= F.col("w"), F.col("n_chars")))
+            .cast("long")
+            .alias("weighted_median_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("plain_median_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -378,3 +378,52 @@ def test_argmax_agg_equals_window_form(spark):
         for r in QUERIES["latest_order_per_customer"].fn(spark, sf).collect()
     }
     assert via_agg == via_window  # two plans, one semantics
+
+
+def test_funnel_latency_carry_and_ties(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = [
+        # user 1: click at t0, purchase 1h later; second click never converts
+        (1, datetime(2024, 1, 1, 0), 1, "click", 0.0, "{}"),
+        (2, datetime(2024, 1, 1, 1), 1, "purchase", 5.0, "{}"),
+        (3, datetime(2024, 1, 1, 2), 1, "click", 0.0, "{}"),
+        # user 2: purchase at the SAME instant as the click counts (latency 0)
+        (4, datetime(2024, 1, 2, 0), 2, "click", 0.0, "{}"),
+        (5, datetime(2024, 1, 2, 0), 2, "purchase", 1.0, "{}"),
+        # user 3: purchase BEFORE the click does not count
+        (6, datetime(2024, 1, 3, 0), 3, "purchase", 1.0, "{}"),
+        (7, datetime(2024, 1, 3, 1), 3, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        r = QUERIES["funnel_latency_percentiles"].fn(spark, d).first()
+    assert r["n_clicks"] == 4
+    assert r["n_converted_clicks"] == 2  # user1 first click + user2 tie
+    assert r["max_us"] == 3600 * 1_000_000
+    assert r["p50_us"] == 1800 * 1_000_000.0  # interpolated between 0 and 1h
+
+
+def test_weighted_median_separates_from_plain_on_long_tail(spark):
+    import os
+    import tempfile
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # 9 docs of 10 chars + 1 doc of 910 chars: plain median 10, but
+    # 90% of the VOLUME is in the big doc -> weighted median 910
+    rows = [(i, "t", "en", "s", 10) for i in range(9)] + [(9, "t", "en", "s", 910)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        r = QUERIES["weighted_median_doc_size"].fn(spark, d).first()
+    assert r["plain_median_chars"] == 10.0
+    assert r["weighted_median_chars"] == 910
+    assert r["total_chars"] == 1000 and r["n_docs"] == 10
