@@ -8846,3 +8846,76 @@ def q_weighted_median_doc_size(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "ab_test_conversion_ztest",
+    oracle="""
+with assign as (
+  select user_id, user_id % 2 as variant,
+         max(case when event_type = 'purchase' then 1 else 0 end) as converted
+  from events group by user_id
+),
+v as (
+  select variant,
+         cast(count(*) as bigint) as n_users,
+         cast(sum(converted) as bigint) as n_converted
+  from assign group by variant
+),
+w as (
+  select max(case when variant = 0 then n_users end) as n0,
+         max(case when variant = 0 then n_converted end) as c0,
+         max(case when variant = 1 then n_users end) as n1,
+         max(case when variant = 1 then n_converted end) as c1
+  from v
+)
+select n0, c0, n1, c1,
+       round(cast(c0 as double) / cast(n0 as double), 9) as rate0,
+       round(cast(c1 as double) / cast(n1 as double), 9) as rate1,
+       round((cast(c1 as double) / cast(n1 as double)
+              - cast(c0 as double) / cast(n0 as double))
+             / sqrt((cast(c0 + c1 as double) / cast(n0 + n1 as double))
+                    * (1.0 - cast(c0 + c1 as double) / cast(n0 + n1 as double))
+                    * (1.0 / cast(n0 as double) + 1.0 / cast(n1 as double))),
+             6) as z_stat
+from w
+""",
+)
+def q_ab_test_conversion_ztest(spark, sf_dir):
+    """Two-proportion z-test for an A/B experiment: users are
+    deterministically bucketed (user_id % 2 — the hash-assignment
+    stand-in), per-user conversion is 'ever purchased', and the pooled
+    z-statistic compares variant conversion rates — the experimentation
+    readout chi2_lang_source's contingency test doesn't give (a SIGNED
+    effect direction). All counts exact (one user-keyed aggregate +
+    a 2-row rollup pivoted via conditional max); the z expression is
+    a single double formula over exact ints written identically in
+    both engines, rounded 6 dp. Significance = |z| > 1.96 downstream.
+    At 100 TB: one map-side-combined aggregate, nothing else."""
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("variant"), "converted")
+    v = assign.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    w = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pooled = (d("c0") + d("c1")) / (d("n0") + d("n1"))
+    z = (d("c1") / d("n1") - d("c0") / d("n0")) / F.sqrt(
+        pooled * (1.0 - pooled) * (1.0 / d("n0") + 1.0 / d("n1"))
+    )
+    return w.select(
+        "n0", "c0", "n1", "c1",
+        F.round(d("c0") / d("n0"), 9).alias("rate0"),
+        F.round(d("c1") / d("n1"), 9).alias("rate1"),
+        F.round(z, 6).alias("z_stat"),
+    )

@@ -427,3 +427,32 @@ def test_weighted_median_separates_from_plain_on_long_tail(spark):
     assert r["plain_median_chars"] == 10.0
     assert r["weighted_median_chars"] == 910
     assert r["total_chars"] == 1000 and r["n_docs"] == 10
+
+
+def test_ab_ztest_hand_computed(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+    from math import sqrt
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # variant 0 (even users): 10 users, 2 convert; variant 1: 10 users, 6
+    rows = []
+    eid = 0
+    for u in range(20):
+        converts = (u % 2 == 0 and u < 4) or (u % 2 == 1 and u < 12)
+        rows.append((eid, datetime(2024, 1, 1), u, "view", 0.0, "{}")); eid += 1
+        if converts:
+            rows.append((eid, datetime(2024, 1, 2), u, "purchase", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        r = QUERIES["ab_test_conversion_ztest"].fn(spark, d).first()
+    assert (r["n0"], r["c0"], r["n1"], r["c1"]) == (10, 2, 10, 6)
+    p = 8 / 20
+    z = (0.6 - 0.2) / sqrt(p * (1 - p) * (1 / 10 + 1 / 10))
+    assert r["z_stat"] == round(z, 6)
+    assert abs(r["z_stat"]) > 1.645  # directionally significant at 10%
