@@ -8919,3 +8919,209 @@ def q_ab_test_conversion_ztest(spark, sf_dir):
         F.round(d("c1") / d("n1"), 9).alias("rate1"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@register(
+    "dup_rate_report",
+    oracle="""
+with g as (select md5(text) as h, cast(count(*) as bigint) as sz
+           from documents group by md5(text)),
+hist as (select sz, cast(count(*) as bigint) as n_clusters
+         from g group by sz)
+select sz as cluster_size, n_clusters,
+       cast(sz * n_clusters as bigint) as n_docs_in_size,
+       round(cast(sz * n_clusters as double)
+             / (select cast(sum(sz) as double) from g), 9) as doc_share,
+       (select cast(sum(sz) - count(*) as bigint) from g) as n_dropped_corpus,
+       (select round(1.0 - cast(count(*) as double) / cast(sum(sz) as double), 9)
+        from g) as dup_rate_corpus
+from hist
+order by cluster_size
+""",
+)
+def q_dup_rate_report(spark, sf_dir):
+    """Dedup health report: the duplicate-cluster SIZE HISTOGRAM plus
+    corpus dup-rate — the summary every dedup run should publish
+    (a corpus where the histogram has a heavy tail needs the near-dup
+    passes; one big cluster usually means a template/boilerplate leak,
+    not organic duplication). Two tiny aggregates over the md5-group
+    table (cluster sizes, then size counts) with corpus scalars
+    broadcast onto each histogram row; everything is exact integers
+    but the two displayed shares."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    hist = g.groupBy("sz").agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+    tot = g.agg(
+        F.sum("sz").cast("long").alias("n_docs_total"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters_total"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs_in_size"),
+            F.round(
+                (F.col("sz") * F.col("n_clusters")).cast("double")
+                / F.col("n_docs_total").cast("double"),
+                9,
+            ).alias("doc_share"),
+            (F.col("n_docs_total") - F.col("n_clusters_total"))
+            .cast("long")
+            .alias("n_dropped_corpus"),
+            F.round(
+                1.0
+                - F.col("n_clusters_total").cast("double")
+                / F.col("n_docs_total").cast("double"),
+                9,
+            ).alias("dup_rate_corpus"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+with recursive {_SQL_COMPONENT_CTES},
+pairs as (select a, b from e0),
+naive as (
+  select doc_id,
+         case when substr(md5(cast(doc_id as varchar)), 1, 1)
+                   between '0' and 'b' then 'train'
+              when substr(md5(cast(doc_id as varchar)), 1, 1)
+                   between 'c' and 'd' then 'val'
+              else 'test' end as split
+  from documents
+),
+safe as (
+  select doc_id,
+         case when substr(md5(cast(component as varchar)), 1, 1)
+                   between '0' and 'b' then 'train'
+              when substr(md5(cast(component as varchar)), 1, 1)
+                   between 'c' and 'd' then 'val'
+              else 'test' end as split
+  from call
+)
+select (select cast(count(*) as bigint) from pairs) as n_near_dup_pairs,
+       (select cast(count(*) as bigint) from pairs p
+        join naive x on p.a = x.doc_id
+        join naive y on p.b = y.doc_id
+        where x.split <> y.split) as naive_cross_pairs,
+       (select cast(count(*) as bigint) from pairs p
+        join safe x on p.a = x.doc_id
+        join safe y on p.b = y.doc_id
+        where x.split <> y.split) as safe_cross_pairs
+""",
+)
+def q_split_leakage_audit(spark, sf_dir):
+    """Split-leakage AUDIT: over the exact∪near-dup edge set, count
+    pairs whose endpoints land in different train/val/test splits
+    under (a) naive per-doc hashing and (b) the cluster-granular safe
+    split — the verifiable guarantee behind leakage_safe_split:
+    safe_cross_pairs is structurally ZERO (both endpoints share a
+    component, components share a split), while the naive count is
+    whatever the dup rate leaks. Reuses the shared components loop;
+    the audit itself is two key-joins of the small edge list against
+    the assignment tables."""
+    _docs, comp_all = _doc_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    near = ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b")
+    )
+    w = Window.partitionBy("h")
+    exact = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("a"), F.col("doc_id").alias("b"))
+    )
+    pairs = near.union(exact).distinct()
+
+    def bucket(key_col):
+        nib = F.substring(F.md5(key_col.cast("string").cast("binary")), 1, 1)
+        return (
+            F.when(nib.between("0", "b"), "train")
+            .when(nib.between("c", "d"), "val")
+            .otherwise("test")
+        )
+
+    naive = docs.select("doc_id", bucket(F.col("doc_id")).alias("split"))
+    safe = comp_all.select("doc_id", bucket(F.col("component")).alias("split"))
+
+    def cross_count(assign, name):
+        return (
+            pairs.join(assign.withColumnRenamed("doc_id", "a").withColumnRenamed("split", "sa"), "a")
+            .join(assign.withColumnRenamed("doc_id", "b").withColumnRenamed("split", "sb"), "b")
+            .filter(F.col("sa") != F.col("sb"))
+            .agg(F.count(F.lit(1)).cast("long").alias(name))
+        )
+
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_near_dup_pairs"))
+    return (
+        n_pairs.crossJoin(cross_count(naive, "naive_cross_pairs"))
+        .crossJoin(cross_count(safe, "safe_cross_pairs"))
+    )
+
+
+@register(
+    "token_budget_subset",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL},
+d as (select s.doc_id, s.logit, dd.n_chars
+      from scored s join documents dd using (doc_id)),
+o as (
+  select doc_id, logit, n_chars,
+         coalesce(sum(n_chars) over (
+           order by logit desc, doc_id
+           rows between unbounded preceding and 1 preceding), 0) as before
+  from d
+),
+kept as (select * from o where before < 100000)
+select cast(count(*) as bigint) as n_docs_kept,
+       cast(sum(n_chars) as bigint) as chars_kept,
+       round(min(logit), 6) as quality_cutoff,
+       (select cast(count(*) as bigint) from documents) as n_docs_total
+from kept
+""",
+)
+def q_token_budget_subset(spark, sf_dir):
+    """Budget-constrained corpus subsetting: keep the BEST documents
+    by learned quality until a fixed char budget (100k standing in for
+    a token budget) is filled — 'train on the best N tokens', the
+    selection rule a compute-bound run applies after scoring. Greedy
+    by exact prefix sum over the (quality desc, doc_id) total order
+    (the doc that crosses the boundary is kept — deterministic, same
+    rule both engines); the reported quality_cutoff is the marginal
+    document's score. Same global-order window as curriculum_packing
+    with the same 100 TB range-bucket note."""
+    from pyspark.sql import Window
+
+    from .operators.curation import hashed_feature_logit
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_feature_logit(docs).select("doc_id", "logit")
+    d = docs.select("doc_id", "n_chars").join(scored, "doc_id")
+    w = (
+        Window.orderBy(F.col("logit").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept = d.select(
+        "doc_id",
+        "logit",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
+    ).filter(F.col("before") < 100_000)
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs_total"))
+    return (
+        kept.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+            F.round(F.min("logit"), 6).alias("quality_cutoff"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )

@@ -303,3 +303,25 @@ def test_curriculum_packs_order_by_quality(spark):
     # packs hold ~4096 chars each except possibly the last
     for r in rows[:-1]:
         assert r["pack_chars"] >= 3500  # greedy fill approximation
+
+
+def test_split_leakage_audit_safe_is_zero(spark):
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    r = QUERIES["split_leakage_audit"].fn(spark, "/root/testdata/sf0.01").first()
+    assert r["n_near_dup_pairs"] > 0  # the generator plants duplicates
+    assert r["safe_cross_pairs"] == 0  # structural guarantee holds
+    # per-doc hashing leaks SOME pairs across splits at this dup rate
+    assert 0 <= r["naive_cross_pairs"] <= r["n_near_dup_pairs"]
+
+
+def test_token_budget_keeps_best_until_boundary(spark):
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    r = QUERIES["token_budget_subset"].fn(spark, "/root/testdata/sf0.001").first()
+    # budget binds at this SF: a strict subset is kept, and it holds at
+    # least the budget (the boundary doc is included)
+    assert 0 < r["n_docs_kept"] < r["n_docs_total"]
+    assert r["chars_kept"] >= 100_000
+    # the cutoff is a real score the kept set achieved
+    assert r["quality_cutoff"] is not None

@@ -113,3 +113,25 @@ def test_normalized_dedup_folds_accents_case_whitespace(spark):
         out = {r["keeper_doc_id"]: r["n_copies"]
                for r in QUERIES["normalized_dedup_docs"].fn(spark, d).collect()}
     assert out == {1: 2, 3: 1}  # 1 and 2 collapse; byte-dedup would not
+
+
+def test_dup_rate_report_histogram(spark):
+    import os
+    import tempfile
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    # 4 unique docs, one duplicated x3, one x2 -> clusters {1:2, 2:1, 3:1}
+    rows = [
+        (1, "aaa", "en", "s", 0), (2, "aaa", "en", "s", 0), (3, "aaa", "en", "s", 0),
+        (4, "bbb", "en", "s", 0), (5, "bbb", "en", "s", 0),
+        (6, "ccc", "en", "s", 0), (7, "ddd", "en", "s", 0),
+    ]
+    docs = spark.createDataFrame(rows, DOC_COLS)
+    with tempfile.TemporaryDirectory() as d:
+        docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["cluster_size"]: r for r in QUERIES["dup_rate_report"].fn(spark, d).collect()}
+    assert {k: v["n_clusters"] for k, v in out.items()} == {1: 2, 2: 1, 3: 1}
+    assert out[3]["n_docs_in_size"] == 3
+    assert out[1]["n_dropped_corpus"] == 3  # 7 docs - 4 clusters
+    assert out[1]["dup_rate_corpus"] == round(1 - 4 / 7, 9)
