@@ -9125,3 +9125,137 @@ def q_token_budget_subset(spark, sf_dir):
         )
         .crossJoin(F.broadcast(tot))
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+with preds as ({_lang_id_oracle()})
+select lang_label, lang_guess,
+       cast(count(*) as bigint) as n,
+       round(cast(count(*) as double)
+             / cast(sum(count(*)) over (partition by lang_label) as double),
+             9) as row_share,
+       (select round(cast(sum(case when lang_label = lang_guess then 1 else 0 end)
+                          as double) / cast(count(*) as double), 9)
+        from preds) as overall_accuracy
+from preds
+group by lang_label, lang_guess
+order by lang_label, lang_guess
+""",
+)
+def q_lang_id_confusion(spark, sf_dir):
+    """Confusion matrix of the marker-token language-ID heuristic
+    against the labeled ``lang`` column — evaluating our own
+    classifier the way the AUC/reliability queries evaluate the
+    quality gate. Per-(label, guess) counts with row-normalized
+    shares and the corpus accuracy broadcast onto every cell; one
+    |langs|²-bounded aggregate over the lang_id pass."""
+    from .operators.textops import lang_id
+    from pyspark.sql import Window
+
+    preds = lang_id(load_table(spark, sf_dir, "documents"))
+    cells = preds.groupBy(
+        F.col("lang_label"), F.col("lang_guess")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    acc = preds.agg(
+        F.round(
+            F.sum(
+                F.when(F.col("lang_label") == F.col("lang_guess"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("overall_accuracy")
+    )
+    share = F.round(
+        F.col("n").cast("double")
+        / F.sum("n").over(Window.partitionBy("lang_label")).cast("double"),
+        9,
+    )
+    return (
+        cells.select("lang_label", "lang_guess", "n", share.alias("row_share"))
+        .crossJoin(F.broadcast(acc))
+        .orderBy("lang_label", "lang_guess")
+    )
+
+
+@register(
+    "corpus_card",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL},
+{_HEUR_LABEL_CTES},
+g as (select md5(text) as h, count(*) as sz from documents group by md5(text))
+select * from (
+  select 'n_docs' as metric, cast(count(*) as double) as value from documents
+  union all
+  select 'n_langs', cast(count(distinct lang) as double) from documents
+  union all
+  select 'n_sources', cast(count(distinct source) as double) from documents
+  union all
+  select 'total_chars', cast(sum(n_chars) as double) from documents
+  union all
+  select 'total_tokens', cast(sum(len(toks)) as double) from t
+  union all
+  select 'exact_dup_rate',
+         round(1.0 - cast(count(*) as double) / cast(sum(sz) as double), 9)
+  from g
+  union all
+  select 'heuristic_pass_rate',
+         round(cast(sum(case when label then 1 else 0 end) as double)
+               / cast(count(*) as double), 9)
+  from heur
+) order by metric
+""",
+)
+def q_corpus_card(spark, sf_dir):
+    """The corpus DATASHEET ('dataset card' numbers): size, diversity,
+    duplication and quality-gate pass rate in one long-format summary —
+    the handful of scalars every corpus release publishes. Each metric
+    is its own tiny aggregate (exact integers; the two rates are one
+    rounded division each) unioned into (metric, value) rows; at
+    100 TB this is a few map-side-combined scans of pruned columns."""
+    from .operators.curation import quality_gate
+    from .functions.text import tokens as _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def scalar(name, df_agg):
+        return df_agg.select(F.lit(name).alias("metric"), F.col("v").alias("value"))
+
+    rows = [
+        scalar("n_docs", docs.agg(F.count(F.lit(1)).cast("double").alias("v"))),
+        scalar("n_langs", docs.agg(F.count_distinct("lang").cast("double").alias("v"))),
+        scalar(
+            "n_sources", docs.agg(F.count_distinct("source").cast("double").alias("v"))
+        ),
+        scalar("total_chars", docs.agg(F.sum("n_chars").cast("double").alias("v"))),
+        scalar(
+            "total_tokens",
+            docs.agg(F.sum(F.size(_toks("text"))).cast("double").alias("v")),
+        ),
+        scalar(
+            "exact_dup_rate",
+            docs.groupBy(F.md5("text").alias("h"))
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .agg(
+                F.round(
+                    1.0 - F.count(F.lit(1)).cast("double") / F.sum("sz").cast("double"),
+                    9,
+                ).alias("v")
+            ),
+        ),
+        scalar(
+            "heuristic_pass_rate",
+            quality_gate(docs).agg(
+                F.round(
+                    F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    9,
+                ).alias("v")
+            ),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("metric")

@@ -280,3 +280,35 @@ def test_kwic_snippet_windows(spark):
     assert (4, "merge") not in out and (4, "window") not in out
     assert out[(5, "window")][0] == 1                     # first occurrence
     assert out[(5, "merge")][0] == 2
+
+
+def test_lang_id_confusion_diagonal_and_shares(spark):
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = QUERIES["lang_id_confusion"].fn(spark, "/root/testdata/sf0.001").collect()
+    acc = rows[0]["overall_accuracy"]
+    assert 0.0 <= acc <= 1.0
+    # row shares sum to 1 per label
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["lang_label"], 0.0)
+        by_label[r["lang_label"]] += r["row_share"]
+    assert all(abs(s - 1.0) < 1e-6 for s in by_label.values())
+    # accuracy equals the diagonal mass over the total
+    n_total = sum(r["n"] for r in rows)
+    n_diag = sum(r["n"] for r in rows if r["lang_label"] == r["lang_guess"])
+    assert acc == round(n_diag / n_total, 9)
+
+
+def test_corpus_card_metrics_consistent(spark):
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    card = {
+        r["metric"]: r["value"]
+        for r in QUERIES["corpus_card"].fn(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert card["n_docs"] == 500.0
+    assert card["n_langs"] == 5.0
+    assert 0.0 <= card["exact_dup_rate"] < 1.0
+    assert 0.0 <= card["heuristic_pass_rate"] <= 1.0
+    assert card["total_tokens"] > 0 and card["total_chars"] >= card["total_tokens"]
