@@ -9259,3 +9259,155 @@ def q_corpus_card(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("metric")
+
+
+@register(
+    "rolling_type_correlation",
+    oracle="""
+with h as (
+  select date_trunc('hour', ts) as hour_start,
+         cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as x,
+         cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as y
+  from events group by 1
+),
+r as (
+  select hour_start, x, y,
+         cast(count(*) over w as bigint) as n,
+         cast(sum(x) over w as bigint) as sx,
+         cast(sum(y) over w as bigint) as sy,
+         cast(sum(x * x) over w as bigint) as sxx,
+         cast(sum(y * y) over w as bigint) as syy,
+         cast(sum(x * y) over w as bigint) as sxy
+  from h
+  window w as (order by hour_start rows between 23 preceding and current row)
+)
+select hour_start, x, y, n,
+       case when (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+            then round(cast(n * sxy - sx * sy as double)
+                 / sqrt(cast(n * sxx - sx * sx as double)
+                        * cast(n * syy - sy * sy as double)), 6)
+       end as corr_24h
+from r
+order by hour_start
+""",
+)
+def q_rolling_type_correlation(spark, sf_dir):
+    """Trailing-24-hour Pearson correlation between click and purchase
+    hourly volumes — the co-movement monitor (does demand still follow
+    engagement?). The rolling correlation is five EXACT integer
+    rolling sums (counts and their products stay int64) over one
+    24-row frame, collapsed into a single rounded double expression —
+    no float accumulates across rows, so the window is as portable as
+    the exact-decimal EWMA. Degenerate windows (either series
+    constant) yield NULL rather than a 0/0. One hourly pre-aggregate,
+    then windows over the tiny types×hours table."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour_start")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.orderBy("hour_start").rowsBetween(-23, Window.currentRow)
+    r = h.select(
+        "hour_start",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("x").over(w).cast("long").alias("sx"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("long").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    corr = F.when(
+        vx * vy > 0,
+        F.round(cov.cast("double") / F.sqrt(vx.cast("double") * vy.cast("double")), 6),
+    )
+    return r.select("hour_start", "x", "y", "n", corr.alias("corr_24h")).orderBy(
+        "hour_start"
+    )
+
+
+@register(
+    "user_interarrival_stats",
+    oracle="""
+with s as (
+  select user_id, epoch_us(ts) as t,
+         lag(epoch_us(ts)) over (partition by user_id
+                                 order by ts, event_id) as prev_t
+  from events
+),
+g as (select user_id, cast(t - prev_t as bigint) as gap
+      from s where prev_t is not null),
+a as (
+  select user_id,
+         cast(count(*) as bigint) as n_gaps,
+         cast(sum(gap) as bigint) as sg,
+         sum(cast(gap as decimal(28,0)) * cast(gap as decimal(28,0))) as sgg
+  from g group by user_id
+)
+select user_id, n_gaps,
+       round(cast(sg as double) / cast(n_gaps as double) / 1e6, 6)
+         as mean_gap_s,
+       round(sqrt(greatest(cast(sgg as double) / cast(n_gaps as double)
+             - (cast(sg as double) / cast(n_gaps as double))
+               * (cast(sg as double) / cast(n_gaps as double)), 0)) / 1e6, 6)
+         as std_gap_s,
+       case when sg > 0 then
+         round(sqrt(greatest(cast(sgg as double) / cast(n_gaps as double)
+               - (cast(sg as double) / cast(n_gaps as double))
+                 * (cast(sg as double) / cast(n_gaps as double)), 0))
+               / (cast(sg as double) / cast(n_gaps as double)), 6)
+       end as burstiness_cv
+from a
+order by user_id
+""",
+)
+def q_user_interarrival_stats(spark, sf_dir):
+    """Inter-arrival burstiness per user: mean/std/CV of the gaps
+    between consecutive events — CV ≈ 1 is Poisson-like, CV ≫ 1 is
+    bursty (bot/batch suspects), CV ≪ 1 is metronomic (schedulers) —
+    the behavioral fingerprint sessionization thresholds should be
+    tuned against. Gaps are exact integer µs from one lag() pass;
+    the second moment accumulates in decimal(28,0)² (a 30-day µs gap
+    squared is ~10^25 — int64 would overflow, decimal(38) cannot);
+    mean/std/CV are single rounded double expressions."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", t.alias("t"), F.lag(t).over(w).alias("prev_t"))
+    g = s.filter(F.col("prev_t").isNotNull()).select(
+        "user_id", (F.col("t") - F.col("prev_t")).cast("long").alias("gap")
+    )
+    dec = F.col("gap").cast("decimal(28,0)")
+    a = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sg"),
+        F.sum(dec * dec).alias("sgg"),
+    )
+    mean = F.col("sg").cast("double") / F.col("n_gaps").cast("double")
+    var = F.greatest(
+        F.col("sgg").cast("double") / F.col("n_gaps").cast("double") - mean * mean,
+        F.lit(0.0),
+    )
+    return a.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        F.round(F.sqrt(var) / 1e6, 6).alias("std_gap_s"),
+        F.when(F.col("sg") > 0, F.round(F.sqrt(var) / mean, 6)).alias(
+            "burstiness_cv"
+        ),
+    ).orderBy("user_id")

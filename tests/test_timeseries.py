@@ -182,3 +182,68 @@ def test_gap_interpolation_hand_case(spark):
         (2, 0, 30.0, True),
         (3, 1, 40.0, False),
     ]
+
+
+def test_rolling_correlation_perfect_and_degenerate(spark):
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    # 30 hours: clicks = 1+h%5, purchases = 2*(1+h%5) -> corr exactly 1
+    for h in range(30):
+        for _ in range(1 + h % 5):
+            rows.append((eid, base + timedelta(hours=h), 1, "click", 0.0, "{}")); eid += 1
+        for _ in range(2 * (1 + h % 5)):
+            rows.append((eid, base + timedelta(hours=h), 1, "purchase", 0.0, "{}")); eid += 1
+    # a later constant-series stretch: purchases constant -> NULL corr
+    base2 = datetime(2024, 2, 1)
+    for h in range(26):
+        for _ in range(1 + h % 3):
+            rows.append((eid, base2 + timedelta(hours=h), 1, "click", 0.0, "{}")); eid += 1
+        rows.append((eid, base2 + timedelta(hours=h), 1, "purchase", 0.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["rolling_type_correlation"].fn(spark, d).collect()
+    jan = [r for r in out if r["hour_start"].month == 1]
+    assert jan[29]["corr_24h"] == 1.0  # proportional series
+    feb = [r for r in out if r["hour_start"].month == 2]
+    assert feb[25]["corr_24h"] is None  # constant purchase series
+
+
+def test_interarrival_cv_separates_metronome_from_bursts(spark):
+    import os
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: metronomic — exactly one event per hour -> std 0, cv 0
+    for h in range(10):
+        rows.append((eid, base + timedelta(hours=h), 1, "a", 0.0, "{}")); eid += 1
+    # user 2: bursty — 5 events in one second, then 5 a day later
+    for i in range(5):
+        rows.append((eid, base + timedelta(microseconds=i), 2, "a", 0.0, "{}")); eid += 1
+    for i in range(5):
+        rows.append((eid, base + timedelta(days=1, microseconds=i), 2, "a", 0.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["user_id"]: r for r in QUERIES["user_interarrival_stats"].fn(spark, d).collect()}
+    u1 = out[1]
+    assert u1["n_gaps"] == 9 and u1["mean_gap_s"] == 3600.0
+    assert u1["std_gap_s"] == 0.0 and u1["burstiness_cv"] == 0.0
+    u2 = out[2]
+    assert u2["burstiness_cv"] > 1.5  # heavy burst signature
