@@ -9411,3 +9411,122 @@ def q_user_interarrival_stats(spark, sf_dir):
             "burstiness_cv"
         ),
     ).orderBy("user_id")
+
+
+@register(
+    "pareto_user_revenue",
+    oracle="""
+with u as (
+  select user_id, sum(cast(value as decimal(18,2))) as rev
+  from events where event_type = 'purchase' group by user_id
+),
+r as (
+  select user_id, rev,
+         cast(row_number() over (order by rev desc, user_id) as bigint) as rnk,
+         sum(rev) over (order by rev desc, user_id
+                        rows between unbounded preceding and current row)
+           as cum_rev,
+         sum(rev) over () as total_rev,
+         cast(count(*) over () as bigint) as n_users
+  from u
+)
+select rnk, user_id, cast(rev as double) as revenue,
+       round(cast(cum_rev as double) / cast(total_rev as double), 9)
+         as cum_share,
+       cast(cum_rev as double) / cast(total_rev as double) >= 0.8
+         and cast(cum_rev - rev as double) / cast(total_rev as double) < 0.8
+         as is_p80_boundary,
+       round(cast(rnk as double) / cast(n_users as double), 9) as user_share
+from r
+order by rnk
+""",
+)
+def q_pareto_user_revenue(spark, sf_dir):
+    """Pareto (80/20) revenue-concentration analysis: users ranked by
+    purchase revenue with EXACT decimal cumulative shares, flagging
+    the user whose cumulative share first crosses 80% — 'how few users
+    carry 80% of revenue' is the concentration readout behind
+    heavy_hitter_customers' raw list. The running sum stays
+    decimal(18,2) (order-safe exact), each share is one rounded
+    division, the boundary flag is the exact crossing predicate
+    (cum ≥ 0.8 ∧ cum − own < 0.8). One keyed aggregate + one global-
+    order window over the users table (range-bucket at 100 TB)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev")
+    )
+    order = Window.orderBy(F.col("rev").desc(), F.col("user_id"))
+    run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = Window.partitionBy()
+    r = u.select(
+        "user_id",
+        "rev",
+        F.row_number().over(order).cast("long").alias("rnk"),
+        F.sum("rev").over(run).alias("cum_rev"),
+        F.sum("rev").over(full).alias("total_rev"),
+        F.count(F.lit(1)).over(full).cast("long").alias("n_users"),
+    )
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast("double")
+    prev_share = (F.col("cum_rev") - F.col("rev")).cast("double") / F.col(
+        "total_rev"
+    ).cast("double")
+    return r.select(
+        "rnk",
+        "user_id",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(share, 9).alias("cum_share"),
+        ((share >= 0.8) & (prev_share < 0.8)).alias("is_p80_boundary"),
+        F.round(F.col("rnk").cast("double") / F.col("n_users").cast("double"), 9).alias(
+            "user_share"
+        ),
+    ).orderBy("rnk")
+
+
+@register(
+    "top_event_paths",
+    oracle="""
+with s as (
+  select user_id, event_type,
+         lead(event_type, 1) over w as t2,
+         lead(event_type, 2) over w as t3
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+p as (
+  select event_type || '>' || t2 || '>' || t3 as path
+  from s where t3 is not null
+)
+select path, cast(count(*) as bigint) as n
+from p group by path
+order by n desc, path
+limit 10
+""",
+)
+def q_top_event_paths(spark, sf_dir):
+    """Top 3-step behavioral paths (the sequence-mining depth above
+    event_transition_matrix's 2-step transitions): two lead() columns
+    from ONE user-keyed window pass — not two passes — then a
+    |types|³-bounded hash aggregate and TakeOrderedAndProject top-10
+    with a total (count, path) tiebreak. The standard 'common user
+    journeys' product query; longer k just adds lead() columns to the
+    same single window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        s.select(
+            F.concat_ws(">", F.col("t1"), F.col("t2"), F.col("t3")).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(10)
+    )

@@ -456,3 +456,34 @@ def test_ab_ztest_hand_computed(spark):
     z = (0.6 - 0.2) / sqrt(p * (1 - p) * (1 / 10 + 1 / 10))
     assert r["z_stat"] == round(z, 6)
     assert abs(r["z_stat"]) > 1.645  # directionally significant at 10%
+
+
+def test_pareto_boundary_and_paths(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    # revenue 80/10/10: user 1 is exactly the 80% boundary
+    for u, v in [(1, 80.0), (2, 10.0), (3, 10.0)]:
+        rows.append((eid, datetime(2024, 1, 1), u, "purchase", v, "{}")); eid += 1
+    # a fixed 3-step journey for user 9: a>b>c twice (overlapping windows)
+    for i, t in enumerate(["a", "b", "c", "b", "c"]):
+        rows.append((eid, datetime(2024, 1, 2, i), 9, t, 0.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        pareto = QUERIES["pareto_user_revenue"].fn(spark, d).collect()
+        paths = {
+            r["path"]: r["n"]
+            for r in QUERIES["top_event_paths"].fn(spark, d).collect()
+        }
+    boundary = [r for r in pareto if r["is_p80_boundary"]]
+    assert len(boundary) == 1 and boundary[0]["user_id"] == 1
+    assert boundary[0]["cum_share"] == 0.8
+    assert paths["a>b>c"] == 1 and paths["b>c>b"] == 1 and paths["c>b>c"] == 1
