@@ -9540,3 +9540,67 @@ def q_top_event_paths(spark, sf_dir):
         .orderBy(F.col("n").desc(), F.col("path"))
         .limit(10)
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+with u as (
+  select user_id,
+         max(epoch_us(ts)) as last_t,
+         cast(count(*) as bigint) as freq,
+         sum(cast(value as decimal(18,2))) as monetary
+  from events where event_type = 'purchase' group by user_id
+),
+q as (
+  select user_id, freq,
+         cast(monetary as double) as monetary,
+         cast(ntile(5) over (order by last_t desc, user_id) as bigint) as r_q,
+         cast(ntile(5) over (order by freq desc, user_id) as bigint) as f_q,
+         cast(ntile(5) over (order by monetary desc, user_id) as bigint) as m_q
+  from u
+)
+select user_id, freq, monetary, r_q, f_q, m_q,
+       case when r_q <= 2 and f_q <= 2 and m_q <= 2 then 'champion'
+            when r_q >= 4 and f_q <= 2 then 'at_risk_loyal'
+            when r_q >= 4 then 'lapsed'
+            else 'regular' end as segment
+from q
+order by user_id
+""",
+)
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation: recency / frequency / monetary
+    quintiles (ntile over total orders — desc with user_id tiebreak,
+    so quintile 1 is always the BEST on each axis) folded into the
+    classic segment labels (champion / at-risk-loyal / lapsed). One
+    user-keyed aggregate then three rank passes over the small user
+    table (at 100 TB: range-bucket each axis like the other global
+    ntiles); monetary stays exact decimal until the displayed cast."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_t"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
+    )
+    def quint(col_desc):
+        return F.ntile(5).over(Window.orderBy(col_desc, F.col("user_id"))).cast("long")
+    q = u.select(
+        "user_id",
+        "freq",
+        F.col("monetary").cast("double").alias("monetary"),
+        quint(F.col("last_t").desc()).alias("r_q"),
+        quint(F.col("freq").desc()).alias("f_q"),
+        quint(F.col("monetary").desc()).alias("m_q"),
+    )
+    segment = (
+        F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2), "champion")
+        .when((F.col("r_q") >= 4) & (F.col("f_q") <= 2), "at_risk_loyal")
+        .when(F.col("r_q") >= 4, "lapsed")
+        .otherwise("regular")
+    )
+    return q.select(
+        "user_id", "freq", "monetary", "r_q", "f_q", "m_q", segment.alias("segment")
+    ).orderBy("user_id")

@@ -487,3 +487,31 @@ def test_pareto_boundary_and_paths(spark):
     assert len(boundary) == 1 and boundary[0]["user_id"] == 1
     assert boundary[0]["cum_share"] == 0.8
     assert paths["a>b>c"] == 1 and paths["b>c>b"] == 1 and paths["c>b>c"] == 1
+
+
+def test_rfm_quintile_orientation_and_segments(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    # user 1: recent + frequent + big spender -> champion
+    for d in (25, 26, 27, 28):
+        rows.append((eid, datetime(2024, 1, d), 1, "purchase", 100.0, "{}")); eid += 1
+    # users 2-4: middling singles mid-month
+    for u in (2, 3, 4):
+        rows.append((eid, datetime(2024, 1, 15), u, "purchase", 10.0, "{}")); eid += 1
+    # user 5: one old tiny purchase -> lapsed
+    rows.append((eid, datetime(2024, 1, 1), 5, "purchase", 1.0, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["user_id"]: r for r in QUERIES["rfm_segments"].fn(spark, d).collect()}
+    assert out[1]["segment"] == "champion"
+    assert (out[1]["r_q"], out[1]["f_q"], out[1]["m_q"]) == (1, 1, 1)
+    assert out[5]["segment"] == "lapsed" and out[5]["r_q"] == 5
