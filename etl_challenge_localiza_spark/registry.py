@@ -9604,3 +9604,173 @@ def q_rfm_segments(spark, sf_dir):
     return q.select(
         "user_id", "freq", "monetary", "r_q", "f_q", "m_q", segment.alias("segment")
     ).orderBy("user_id")
+
+
+@register(
+    "churn_labels",
+    oracle="""
+with f as (
+  select user_id,
+         cast(count(*) as bigint) as n_events_obs,
+         cast(count(distinct date_trunc('day', ts)) as bigint) as active_days_obs,
+         cast(sum(case when event_type = 'purchase'
+                  then cast(value as decimal(18,2))
+                  else cast(0 as decimal(18,2)) end) as double) as revenue_obs
+  from events where ts < timestamp '2024-01-24' group by user_id
+),
+l as (
+  select distinct user_id from events
+  where ts >= timestamp '2024-01-24'
+)
+select f.user_id, f.n_events_obs, f.active_days_obs, f.revenue_obs,
+       l.user_id is null as churned
+from f left join l on f.user_id = l.user_id
+order by f.user_id
+""",
+)
+def q_churn_labels(spark, sf_dir):
+    """Churn-dataset construction: features from the OBSERVATION
+    window (before Jan 24) and the label from the disjoint OUTCOME
+    window (no activity on/after Jan 24 → churned) — the
+    time-split label engineering that prevents feature/label leakage
+    (the tabular sibling of scd2_point_in_time's as-of joins). Both
+    windows scan with the time filter pushed down; the label is one
+    left anti-ish join on the user key. Revenue features accumulate in
+    exact decimal; users born in the outcome window are correctly
+    absent (no observation features exist for them)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-24").cast("timestamp_ntz")
+    obs = ev.filter(F.col("ts") < cut)
+    f = obs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events_obs"),
+        F.count_distinct(F.date_trunc("day", "ts")).cast("long").alias(
+            "active_days_obs"
+        ),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        )
+        .cast("double")
+        .alias("revenue_obs"),
+    )
+    alive = (
+        ev.filter(F.col("ts") >= cut).select("user_id").distinct()
+        .withColumn("alive", F.lit(True))
+    )
+    return (
+        f.join(alive, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events_obs",
+            "active_days_obs",
+            "revenue_obs",
+            F.col("alive").isNull().alias("churned"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "implicit_feedback_negatives",
+    oracle="""
+with np as (select cast(count(*) as bigint) as n_parts,
+                   cast(min(p_partkey) as bigint) as min_pk
+            from part),
+cust as (select distinct o_custkey from orders where o_custkey < 100),
+cand as (
+  select c.o_custkey, g.j as cand_rank,
+         np.min_pk + cast(concat('0x',
+             substr(md5(concat(cast(c.o_custkey as varchar), ':item:',
+                               cast(g.j as varchar))), 1, 7)) as bigint)
+           % np.n_parts as cand_partkey
+  from cust c
+  cross join np
+  cross join (select unnest(generate_series(1, 3)) as j) g
+),
+seen as (
+  select distinct o.o_custkey, l.l_partkey
+  from orders o join lineitem l on o.o_orderkey = l.l_orderkey
+  where o.o_custkey < 100
+)
+select c.o_custkey as custkey, cast(c.cand_rank as int) as cand_rank,
+       cast(c.cand_partkey as bigint) as neg_partkey
+from cand c
+where not exists (select 1 from seen s
+                  where s.o_custkey = c.o_custkey
+                    and s.l_partkey = c.cand_partkey)
+order by custkey, cand_rank
+""",
+)
+def q_implicit_feedback_negatives(spark, sf_dir):
+    """Implicit-feedback negative sampling for recommender training:
+    per customer, 3 deterministic pseudo-random candidate parts (the
+    portable md5 trick contrastive_negatives uses), ANTI-JOINED
+    against the customer's actual purchase history so every emitted
+    (customer, part) is a verified non-interaction — the standard
+    BPR/implicit-ALS negative generator, with the verification step a
+    real pipeline needs (naive random sampling emits false negatives
+    at the head of the popularity distribution). The interaction set
+    is built once (orders⋈lineitem key slices); candidates broadcast
+    against it. Deterministic and re-seedable via the salt."""
+    np_ = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.min("p_partkey").cast("long").alias("min_pk"),
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    cust = orders.select("o_custkey").distinct()
+    ranks = F.explode(F.sequence(F.lit(1), F.lit(3))).alias("cand_rank")
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("o_custkey").cast("string"),
+                    F.lit(":item:"),
+                    F.col("cand_rank").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    cand = (
+        cust.crossJoin(F.broadcast(np_))
+        .select("o_custkey", "n_parts", "min_pk", ranks)
+        .select(
+            "o_custkey",
+            F.col("cand_rank").cast("int").alias("cand_rank"),
+            (F.col("min_pk") + h % F.col("n_parts")).alias("cand_partkey"),
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    seen = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    # rename the seen side before joining: cand and seen share the
+    # orders lineage, and a raw o_custkey == o_custkey predicate
+    # resolves trivially true (Spark warns; the anti join would then
+    # filter on part alone)
+    seen_r = seen.select(
+        F.col("o_custkey").alias("s_custkey"),
+        F.col("l_partkey").alias("s_partkey"),
+    )
+    return (
+        cand.join(
+            seen_r,
+            (F.col("o_custkey") == F.col("s_custkey"))
+            & (F.col("cand_partkey") == F.col("s_partkey")),
+            "left_anti",
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "cand_rank",
+            F.col("cand_partkey").cast("long").alias("neg_partkey"),
+        )
+        .orderBy("custkey", "cand_rank")
+    )

@@ -325,3 +325,55 @@ def test_token_budget_keeps_best_until_boundary(spark):
     assert r["chars_kept"] >= 100_000
     # the cutoff is a real score the kept set achieved
     assert r["quality_cutoff"] is not None
+
+
+def test_churn_labels_time_split(spark):
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = [
+        # user 1: active in both windows -> not churned
+        (1, datetime(2024, 1, 2), 1, "purchase", 10.0, "{}"),
+        (2, datetime(2024, 1, 25), 1, "view", 0.0, "{}"),
+        # user 2: observation only -> churned
+        (3, datetime(2024, 1, 3), 2, "view", 0.0, "{}"),
+        (4, datetime(2024, 1, 4), 2, "view", 0.0, "{}"),
+        # user 3: born in the outcome window -> absent (no features)
+        (5, datetime(2024, 1, 28), 3, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+        out = {r["user_id"]: r for r in QUERIES["churn_labels"].fn(spark, d).collect()}
+    assert set(out) == {1, 2}
+    assert not out[1]["churned"] and out[1]["revenue_obs"] == 10.0
+    assert out[2]["churned"] and out[2]["n_events_obs"] == 2
+    assert out[2]["active_days_obs"] == 2
+
+
+def test_implicit_negatives_exclude_seen_interactions(spark):
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["implicit_feedback_negatives"].fn(spark, sf).collect()
+    assert 0 < len(out) <= 300  # 100 customers x 3 candidates, minus hits
+    # verify against the actual interaction set: no emitted pair was seen
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf, "orders").filter(F.col("o_custkey") < 100)
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    seen = set(
+        (r["o_custkey"], r["l_partkey"])
+        for r in orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    assert all((r["custkey"], r["neg_partkey"]) not in seen for r in out)
+    assert len(out) < 300  # at this SF some candidates WERE seen and dropped
