@@ -9367,8 +9367,11 @@ a as (
   from g group by user_id
 )
 select user_id, n_gaps,
-       round(cast(sg as double) / cast(n_gaps as double) / 1e6, 6)
-         as mean_gap_s,
+       -- UNROUNDED: sg/n is a ratio of exact ints < 2^53, and IEEE
+       -- division is correctly rounded in both engines — rounding it
+       -- CREATED a half-ulp boundary failure at sf0.1 (a user whose
+       -- mean gap was exactly ...0425 µs)
+       cast(sg as double) / cast(n_gaps as double) / 1e6 as mean_gap_s,
        round(sqrt(greatest(cast(sgg as double) / cast(n_gaps as double)
              - (cast(sg as double) / cast(n_gaps as double))
                * (cast(sg as double) / cast(n_gaps as double)), 0)) / 1e6, 6)
@@ -9391,7 +9394,10 @@ def q_user_interarrival_stats(spark, sf_dir):
     tuned against. Gaps are exact integer µs from one lag() pass;
     the second moment accumulates in decimal(28,0)² (a 30-day µs gap
     squared is ~10^25 — int64 would overflow, decimal(38) cannot);
-    mean/std/CV are single rounded double expressions."""
+    the mean is the exact unrounded int-ratio division (rounding a
+    rational value can land exactly on the grid and split engines —
+    found at sf0.1); std/CV round 6 dp (sqrt outputs don't sit on the
+    decimal grid)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -9415,7 +9421,7 @@ def q_user_interarrival_stats(spark, sf_dir):
     return a.select(
         "user_id",
         "n_gaps",
-        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        (mean / 1e6).alias("mean_gap_s"),
         F.round(F.sqrt(var) / 1e6, 6).alias("std_gap_s"),
         F.when(F.col("sg") > 0, F.round(F.sqrt(var) / mean, 6)).alias(
             "burstiness_cv"
