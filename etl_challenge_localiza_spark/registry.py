@@ -7542,7 +7542,7 @@ stats as (
   from b
 )
 select s.event_type, s.hod, s.n,
-       round(s.mu, 6) as mean_value,
+       s.mu as mean_value,
        round(s.sigma, 6) as std_value,
        cast(sum(case when abs(e.value - s.mu) > 3 * s.sigma
                 then 1 else 0 end) as bigint) as n_outliers
@@ -7599,7 +7599,7 @@ def q_seasonal_anomaly_profile(spark, sf_dir):
             "event_type",
             "hod",
             "n",
-            F.round("mu", 6).alias("mean_value"),
+            F.col("mu").alias("mean_value"),
             F.round("sigma", 6).alias("std_value"),
             "n_outliers",
         )
@@ -8306,7 +8306,7 @@ e as (
 )
 select cast(e.digit as bigint) as digit, e.n,
        round(e.expected_p, 9) as expected_p,
-       round(cast(e.n as double) / cast(tot.total as double), 9) as observed_p,
+       cast(e.n as double) / cast(tot.total as double) as observed_p,
        round((cast(e.n as double) / cast(tot.total as double) - e.expected_p)
              * (cast(e.n as double) / cast(tot.total as double) - e.expected_p)
              / e.expected_p, 9) as chi2_term
@@ -8343,7 +8343,7 @@ def q_benford_value_audit(spark, sf_dir):
             F.col("digit").cast("long").alias("digit"),
             n0.cast("long").alias("n"),
             F.round(expected, 9).alias("expected_p"),
-            F.round(obs, 9).alias("observed_p"),
+            obs.alias("observed_p"),
             F.round((obs - expected) * (obs - expected) / expected, 9).alias(
                 "chi2_term"
             ),
@@ -8880,8 +8880,8 @@ w as (
   from v
 )
 select n0, c0, n1, c1,
-       round(cast(c0 as double) / cast(n0 as double), 9) as rate0,
-       round(cast(c1 as double) / cast(n1 as double), 9) as rate1,
+       cast(c0 as double) / cast(n0 as double) as rate0,
+       cast(c1 as double) / cast(n1 as double) as rate1,
        round((cast(c1 as double) / cast(n1 as double)
               - cast(c0 as double) / cast(n0 as double))
              / sqrt((cast(c0 + c1 as double) / cast(n0 + n1 as double))
@@ -8925,8 +8925,8 @@ def q_ab_test_conversion_ztest(spark, sf_dir):
     )
     return w.select(
         "n0", "c0", "n1", "c1",
-        F.round(d("c0") / d("n0"), 9).alias("rate0"),
-        F.round(d("c1") / d("n1"), 9).alias("rate1"),
+        (d("c0") / d("n0")).alias("rate0"),
+        (d("c1") / d("n1")).alias("rate1"),
         F.round(z, 6).alias("z_stat"),
     )
 
@@ -8940,10 +8940,10 @@ hist as (select sz, cast(count(*) as bigint) as n_clusters
          from g group by sz)
 select sz as cluster_size, n_clusters,
        cast(sz * n_clusters as bigint) as n_docs_in_size,
-       round(cast(sz * n_clusters as double)
-             / (select cast(sum(sz) as double) from g), 9) as doc_share,
+       cast(sz * n_clusters as double)
+         / (select cast(sum(sz) as double) from g) as doc_share,
        (select cast(sum(sz) - count(*) as bigint) from g) as n_dropped_corpus,
-       (select round(1.0 - cast(count(*) as double) / cast(sum(sz) as double), 9)
+       (select 1.0 - cast(count(*) as double) / cast(sum(sz) as double)
         from g) as dup_rate_corpus
 from hist
 order by cluster_size
@@ -8973,19 +8973,17 @@ def q_dup_rate_report(spark, sf_dir):
             F.col("sz").alias("cluster_size"),
             "n_clusters",
             (F.col("sz") * F.col("n_clusters")).cast("long").alias("n_docs_in_size"),
-            F.round(
+            (
                 (F.col("sz") * F.col("n_clusters")).cast("double")
-                / F.col("n_docs_total").cast("double"),
-                9,
+                / F.col("n_docs_total").cast("double")
             ).alias("doc_share"),
             (F.col("n_docs_total") - F.col("n_clusters_total"))
             .cast("long")
             .alias("n_dropped_corpus"),
-            F.round(
+            (
                 1.0
                 - F.col("n_clusters_total").cast("double")
-                / F.col("n_docs_total").cast("double"),
-                9,
+                / F.col("n_docs_total").cast("double")
             ).alias("dup_rate_corpus"),
         )
         .orderBy("cluster_size")
@@ -9143,11 +9141,11 @@ def q_token_budget_subset(spark, sf_dir):
 with preds as ({_lang_id_oracle()})
 select lang_label, lang_guess,
        cast(count(*) as bigint) as n,
-       round(cast(count(*) as double)
-             / cast(sum(count(*)) over (partition by lang_label) as double),
-             9) as row_share,
-       (select round(cast(sum(case when lang_label = lang_guess then 1 else 0 end)
-                          as double) / cast(count(*) as double), 9)
+       cast(count(*) as double)
+         / cast(sum(count(*)) over (partition by lang_label) as double)
+         as row_share,
+       (select cast(sum(case when lang_label = lang_guess then 1 else 0 end)
+                    as double) / cast(count(*) as double)
         from preds) as overall_accuracy
 from preds
 group by lang_label, lang_guess
@@ -9169,18 +9167,16 @@ def q_lang_id_confusion(spark, sf_dir):
         F.col("lang_label"), F.col("lang_guess")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
     acc = preds.agg(
-        F.round(
+        (
             F.sum(
                 F.when(F.col("lang_label") == F.col("lang_guess"), 1).otherwise(0)
             ).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            9,
+            / F.count(F.lit(1)).cast("double")
         ).alias("overall_accuracy")
     )
-    share = F.round(
+    share = (
         F.col("n").cast("double")
-        / F.sum("n").over(Window.partitionBy("lang_label")).cast("double"),
-        9,
+        / F.sum("n").over(Window.partitionBy("lang_label")).cast("double")
     )
     return (
         cells.select("lang_label", "lang_guess", "n", share.alias("row_share"))
@@ -9447,12 +9443,11 @@ r as (
   from u
 )
 select rnk, user_id, cast(rev as double) as revenue,
-       round(cast(cum_rev as double) / cast(total_rev as double), 9)
-         as cum_share,
+       cast(cum_rev as double) / cast(total_rev as double) as cum_share,
        cast(cum_rev as double) / cast(total_rev as double) >= 0.8
          and cast(cum_rev - rev as double) / cast(total_rev as double) < 0.8
          as is_p80_boundary,
-       round(cast(rnk as double) / cast(n_users as double), 9) as user_share
+       cast(rnk as double) / cast(n_users as double) as user_share
 from r
 order by rnk
 """,
@@ -9492,9 +9487,9 @@ def q_pareto_user_revenue(spark, sf_dir):
         "rnk",
         "user_id",
         F.col("rev").cast("double").alias("revenue"),
-        F.round(share, 9).alias("cum_share"),
+        share.alias("cum_share"),
         ((share >= 0.8) & (prev_share < 0.8)).alias("is_p80_boundary"),
-        F.round(F.col("rnk").cast("double") / F.col("n_users").cast("double"), 9).alias(
+        (F.col("rnk").cast("double") / F.col("n_users").cast("double")).alias(
             "user_share"
         ),
     ).orderBy("rnk")
