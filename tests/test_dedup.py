@@ -134,4 +134,4 @@ def test_dup_rate_report_histogram(spark):
     assert {k: v["n_clusters"] for k, v in out.items()} == {1: 2, 2: 1, 3: 1}
     assert out[3]["n_docs_in_size"] == 3
     assert out[1]["n_dropped_corpus"] == 3  # 7 docs - 4 clusters
-    assert out[1]["dup_rate_corpus"] == round(1 - 4 / 7, 9)
+    assert out[1]["dup_rate_corpus"] == 1 - 4 / 7  # unrounded exact IEEE
