@@ -78,15 +78,33 @@ def _flagged_occurrences(docs: DataFrame, w: int, hash_mode: str) -> DataFrame:
     """Window occurrences annotated (per window-key group, one shuffle)
     with ``n_docs`` (distinct documents containing the window) and
     ``rn`` (rank by (doc_id, start_pos) — rn=1 is the canonical
-    occurrence Lee-et-al-style scrubbing keeps)."""
+    occurrence Lee-et-al-style scrubbing keeps).
+
+    ``n_docs`` is computed as ``max(dense_rank() over (wkey order by
+    doc_id))`` in two window passes over the SAME wkey shuffle, not as
+    ``size(collect_set(doc_id))``: collect_set holds the distinct-doc
+    set in the aggregate buffer, so a corpus-hot window (boilerplate
+    repeated across 10^7+ docs at 100 TB) would pin O(distinct docs)
+    memory on one task — the sort-based window operator spills ROWS,
+    not aggregate state. dense_rank and unordered max each carry O(1)
+    state, the ordered pass shares the (doc_id, start_pos) sort with
+    row_number, and no new Exchange is introduced (both windows
+    partition by wkey)."""
     occ = _window_occurrences(docs, w, hash_mode)
     grp = Window.partitionBy("wkey")
     order = grp.orderBy("doc_id", "start_pos")
-    return occ.select(
+    ranked = occ.select(
         "doc_id",
         "start_pos",
-        F.size(F.collect_set("doc_id").over(grp)).alias("n_docs"),
+        "wkey",
+        F.dense_rank().over(grp.orderBy("doc_id")).alias("doc_rank"),
         F.row_number().over(order).alias("rn"),
+    )
+    return ranked.select(
+        "doc_id",
+        "start_pos",
+        F.max("doc_rank").over(grp).alias("n_docs"),
+        "rn",
     )
 
 

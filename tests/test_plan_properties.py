@@ -129,6 +129,19 @@ def test_round6_continuation_plan_properties(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_substring_ndocs_uses_o1_state_windows(spark):
+    """substring dedup's distinct-doc count must stay O(1) aggregate
+    state: max(dense_rank) two-pass, never collect_set (whose buffer is
+    O(distinct docs) on a corpus-hot boilerplate window at 100 TB —
+    the sort-based window operator spills rows, not aggregate state).
+    Both window passes must ride ONE wkey exchange."""
+    for name in ("substring_dedup_spans", "substring_scrub_keep_first"):
+        plan = _plan(spark, name)
+        assert "collect_set" not in plan, name
+        assert "dense_rank" in plan, name
+        assert plan.count("Exchange hashpartitioning(wkey") == 1, name
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     """DPP: a fact table partitioned on the join key must be pruned at
     runtime by the filtered dim side — the mechanism that makes
