@@ -170,10 +170,20 @@ def snapshot_diff(
     Returns one row per differing key: (change, <key cols>, old_fp,
     new_fp) with change ∈ {'added', 'deleted', 'changed'}; unchanged
     keys are dropped. Row payloads are compared by a map-side sha256
-    fingerprint of the non-key columns (canonical JSON of a struct in
-    sorted column order), so the full-outer join — the one keyed
-    shuffle — carries only (key, 64-hex) tuples, never the payload:
-    at 100 TB the diff costs two scans plus a key-width shuffle.
+    fingerprint of the non-key columns: each column cast to string in
+    sorted column order, nulls mapped to an explicit sentinel, joined
+    on an unprintable separator — a CANONICAL encoding, unlike
+    to_json, which omits null fields (two different null patterns can
+    serialize identically) and serializes maps in nondeterministic
+    key order (identical data can serialize differently). NaN doubles
+    cast to the stable string 'NaN', so NaN == NaN for diff purposes
+    (the right call for change detection). Map-typed payload columns
+    are rejected with ValueError — their cast-to-string also preserves
+    insertion order, so the caller must canonicalize them first (e.g.
+    ``map_entries`` sorted by key). The full-outer join — the one
+    keyed shuffle — carries only (key, 64-hex) tuples, never the
+    payload: at 100 TB the diff costs two scans plus a key-width
+    shuffle.
     Duplicate keys within a version pair up via the join like-for-like
     only if unique; snapshot tables written via snapshot_merge are
     keyed-unique by construction.
@@ -187,11 +197,26 @@ def snapshot_diff(
 
     def fingerprints(df: DataFrame, alias: str) -> DataFrame:
         others = sorted(c for c in df.columns if c not in keys)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if f.name in others and f.dataType.typeName() == "map"
+        ]
+        if bad:
+            raise ValueError(
+                f"map-typed payload columns {bad} have no canonical "
+                "string form — canonicalize (e.g. sorted map_entries) "
+                "before snapshot_diff"
+            )
+        # \x1f separates columns, \x00∅ marks null: both unprintable-
+        # prefixed, so no legitimate string value can collide with the
+        # encoding of a different row
+        cells = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00∅")) for c in others
+        ]
         return df.select(
             *keys,
-            F.sha2(
-                F.to_json(F.struct(*[F.col(c) for c in others])), 256
-            ).alias(alias),
+            F.sha2(F.concat_ws("\x1f", *cells), 256).alias(alias),
         )
 
     old = snapshot_read(spark, path, v_old)

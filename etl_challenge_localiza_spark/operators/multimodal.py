@@ -782,7 +782,10 @@ def ahash_image(payload: bytes, grid: int = 8) -> str:
         for bx in range(grid):
             if cnts[by][bx] and sums[by][bx] / (3.0 * cnts[by][bx]) > total:
                 bits |= 1 << (by * grid + bx)
-    return format(bits, "0%dx" % (grid * grid // 4))
+    # ceil(grid^2 / 4) hex chars: keeps the fingerprint fixed-width for
+    # odd grids too (grid=5 -> 25 bits -> 7 chars), which the fixed-
+    # offset hi/lo band split in ahash_hamming_matrix relies on
+    return format(bits, "0%dx" % ((grid * grid + 3) // 4))
 
 
 AHASH_SCHEMA = "asset_id long, ahash string"

@@ -8292,7 +8292,7 @@ def q_kwic_snippets(spark, sf_dir):
     "benford_value_audit",
     oracle="""
 with d as (
-  select cast(substr(cast(cast(round(value * 100) as bigint) as varchar), 1, 1)
+  select cast(substr(cast(cast(round(value * 1000000) as bigint) as varchar), 1, 1)
               as bigint) as digit
   from events where value >= 0.01
 ),
@@ -8318,16 +8318,24 @@ def q_benford_value_audit(spark, sf_dir):
     """Benford's-law first-significant-digit audit of transaction
     values — the classic forensic-accounting screen (fabricated
     amounts drift from the log distribution P(d) = log10(1 + 1/d)).
-    The digit is extracted EXACTLY: cents as int64 → leading decimal
+    The digit is extracted EXACTLY: MICROS as int64 → leading decimal
     character — no float log10/pow hops that could round differently
-    across engines. One map-side-combined 9-bucket aggregate, a
+    across engines. Micros, not cents (ADVICE r6): at cents grain a
+    value in [0.01, 0.095) rounds across a digit boundary (0.019 →
+    2 cents → digit '2', true FSD 1); the micro grid pushes that
+    boundary class below the >= 0.01 admission filter entirely, so
+    every admitted value reports its true first significant digit.
+    (Grain caveat: exact for values up to ~9.2e12 — int64 ceiling at
+    1e6 scale — far above any transaction amount; both engines
+    round half-away-from-zero for positives, so the int64 is
+    identical.) One map-side-combined 9-bucket aggregate, a
     broadcast scalar total, and literal expected frequencies; per-
     digit chi-square terms emitted for a gate to sum (the synthetic
     uniform-ish testdata of course FAILS Benford — the audit's
     correctness, not its verdict, is what the oracle pins)."""
     ev = load_table(spark, sf_dir, "events")
     digit = F.substring(
-        F.round(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+        F.round(F.col("value") * 1000000).cast("bigint").cast("string"), 1, 1
     ).cast("bigint")
     d = ev.filter(F.col("value") >= 0.01).select(digit.alias("digit"))
     c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -245,13 +245,20 @@ def read_xml(
 ) -> DataFrame:
     """XML source (Spark 4 native). Always pass ``schema_ddl`` in
     production: schema inference costs a full extra pass over the
-    files and can widen types differently per batch. Surrounding
-    whitespace inside elements is trimmed by the reader's default
-    (``ignoreSurroundingSpaces``) — byte-exact round-tripping of
-    whitespace-significant text needs CDATA or a binary format; the
-    round-trip registry query proves value fidelity for normal text
-    via content checksums."""
-    r = spark.read.format("xml").option("rowTag", row_tag)
+    files and can widen types differently per batch.
+    ``ignoreSurroundingSpaces`` is pinned FALSE so element text with
+    leading/trailing whitespace survives the round trip byte-exact —
+    the reader's default trims it, which would silently break the
+    content-checksum equality the xml_roundtrip_rollup oracle pins
+    (ADVICE r6). Caveat that remains: a whitespace-significant EMPTY
+    element still reads back null (an XML-model limit, not a trim) —
+    byte-exact round-tripping of empty-vs-missing needs CDATA or a
+    binary format."""
+    r = (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .option("ignoreSurroundingSpaces", "false")
+    )
     if schema_ddl is not None:
         from pyspark.sql.types import StructType
 

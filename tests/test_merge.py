@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_challenge_localiza_spark.operators.merge import merge_upsert
 
 
@@ -366,6 +368,54 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     # reversing the versions flips added/deleted and keeps changed
     rev = {r["k"]: r["change"] for r in snapshot_diff(spark, path, v2, v1, "k").collect()}
     assert rev == {2: "changed", 3: "added", 4: "deleted"}
+
+
+def test_snapshot_diff_canonical_fingerprint(spark, tmp_path):
+    """Null patterns distinguish, NaN is self-stable (NaN==NaN for
+    change detection), and map payload columns are refused — the
+    canonical-encoding guarantees to_json could not give (ADVICE r6)."""
+    import math
+
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.merge import snapshot_diff
+    from etl_challenge_localiza_spark.sources.sinks import snapshot_write
+
+    path = str(tmp_path / "tbl")
+    nan = float("nan")
+    v1 = snapshot_write(
+        spark,
+        spark.createDataFrame(
+            [(1, None, "x"), (2, "u", None), (3, "w", None)],
+            "k int, a string, b string",
+        ).withColumn("v", F.lit(nan)),
+        path,
+    )
+    v2 = snapshot_write(
+        spark,
+        spark.createDataFrame(
+            # 1: null moved a->b (must be 'changed'); 2: unchanged incl
+            # NaN payload (must NOT appear); 3: b null -> empty string
+            # (must be 'changed' — null and '' are distinct)
+            [(1, "x", None), (2, "u", None), (3, "w", "")],
+            "k int, a string, b string",
+        ).withColumn("v", F.lit(nan)),
+        path,
+    )
+    out = {r["k"]: r["change"] for r in snapshot_diff(spark, path, v1, v2, "k").collect()}
+    assert out == {1: "changed", 3: "changed"}
+    assert math.isnan(nan)  # sanity: the payload really was NaN
+
+    mpath = str(tmp_path / "mtbl")
+    mv = snapshot_write(
+        spark,
+        spark.range(1).select(
+            F.col("id").alias("k"), F.create_map(F.lit("a"), F.lit(1)).alias("m")
+        ),
+        mpath,
+    )
+    with _pytest.raises(ValueError, match="map-typed"):
+        snapshot_diff(spark, mpath, mv, mv, "k")
 
 
 def test_snapshot_diff_refuses_schema_drift(spark, tmp_path):

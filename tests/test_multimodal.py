@@ -436,6 +436,12 @@ def test_ahash_non_divisible_dims_and_refusals():
     with _pytest.raises(ValueError):
         ahash_image(b"P6\n4 4\n255\n\x00\x01")  # truncated
 
+    # odd grids stay fixed-width (ADVICE r6): ceil(grid^2/4) hex chars,
+    # so the fixed-offset hi/lo band split downstream never misaligns
+    for grid in (3, 5, 7, 8):
+        fp = ahash_image(_two_tone_ppm(16, 0, 250, lambda x, y: x < 8), grid=grid)
+        assert len(fp) == (grid * grid + 3) // 4, grid
+
 
 def test_image_ahash_dedup_collapses_pattern_classes(spark):
     from etl_challenge_localiza_spark.operators.multimodal import (

@@ -204,11 +204,17 @@ def test_benford_audit_digit_extraction_and_missing_digit(spark):
     # values whose first significant digits are 1,1,2,9; none start
     # with 3..8 -> those rows must appear with n=0 and observed_p=0
     rows = [
-        (1, datetime(2024, 1, 1), 1, "a", 1.23, "{}"),    # cents 123 -> 1
-        (2, datetime(2024, 1, 1), 1, "a", 0.19, "{}"),    # cents 19  -> 1
-        (3, datetime(2024, 1, 1), 1, "a", 250.00, "{}"),  # 25000 -> 2
-        (4, datetime(2024, 1, 1), 1, "a", 0.09, "{}"),    # 9 -> 9
+        (1, datetime(2024, 1, 1), 1, "a", 1.23, "{}"),    # FSD 1
+        (2, datetime(2024, 1, 1), 1, "a", 0.19, "{}"),    # FSD 1
+        (3, datetime(2024, 1, 1), 1, "a", 250.00, "{}"),  # FSD 2
+        (4, datetime(2024, 1, 1), 1, "a", 0.09, "{}"),    # FSD 9
         (5, datetime(2024, 1, 1), 1, "a", 0.001, "{}"),   # below floor: excluded
+        # ADVICE r6 boundary class: sub-dime values whose CENTS
+        # rounding crosses a digit boundary — micros grain must report
+        # the true first significant digit (0.019 -> 19000 -> 1, not
+        # the cents-rounded 2; 0.095 -> 95000 -> 9)
+        (6, datetime(2024, 1, 1), 1, "a", 0.019, "{}"),   # FSD 1
+        (7, datetime(2024, 1, 1), 1, "a", 0.095, "{}"),   # FSD 9
     ]
     ev = spark.createDataFrame(
         rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -216,7 +222,7 @@ def test_benford_audit_digit_extraction_and_missing_digit(spark):
     with tempfile.TemporaryDirectory() as d:
         ev.coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
         out = {r["digit"]: r for r in QUERIES["benford_value_audit"].fn(spark, d).collect()}
-    assert [out[i]["n"] for i in range(1, 10)] == [2, 1, 0, 0, 0, 0, 0, 0, 1]
+    assert [out[i]["n"] for i in range(1, 10)] == [3, 1, 0, 0, 0, 0, 0, 0, 2]
     assert out[1]["observed_p"] == 0.5
     assert out[3]["observed_p"] == 0.0 and out[3]["chi2_term"] > 0
     assert out[1]["expected_p"] == round(log10(2), 9)

@@ -401,6 +401,8 @@ def test_xml_roundtrip_escapes_special_chars(spark, tmp_path):
         (1, 'needs <escaping> & "quotes" and \'apostrophes\''),
         (2, "unicode: héllo wörld — ☃ 中文"),
         (3, "a]]>cdata-terminator-lookalike"),
+        (4, "  leading and trailing whitespace survive  "),
+        (5, "\ttab-framed\t"),
     ]
     df = spark.createDataFrame(rows, ["id", "text"])
     p = str(tmp_path / "xml")
