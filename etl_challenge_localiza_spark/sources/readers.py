@@ -28,6 +28,33 @@ TESTDATA_TABLES = (
 )
 
 
+# Analyzed-DataFrame memo: repeated load_table calls for the same
+# on-disk table (a bench run dispatches 34 queries over the same ten
+# tables; the driver's correctness gate dispatches 50) re-pay parquet
+# footer reading + InMemoryFileIndex listing + schema analysis through
+# py4j on EVERY call — fixed driver-side latency that a long-lived
+# production session amortizes to zero. DataFrames are immutable, so
+# handing the same analyzed plan back is semantics-free; the key
+# carries the session's applicationId (a restarted session never sees
+# stale plans) and the path's mtime+size (a rewritten table — e.g. a
+# pytest tmp dir — invalidates naturally).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+_TABLE_CACHE_MAX = 64
+
+
+def _table_cache_key(spark: SparkSession, path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+        return (
+            spark.sparkContext.applicationId,
+            os.path.abspath(path),
+            st.st_mtime_ns,
+            st.st_size,
+        )
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic-benchmark table (columnar parquet scan).
 
@@ -43,17 +70,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = _table_cache_key(spark, path)
+    if key is not None:
+        cached = _TABLE_CACHE.get(key)
+        if cached is not None:
+            return cached
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
         # NTZ so events timestamps carry the same (timezone-free)
         # semantics as every other table and as DuckDB's read of the
         # file — collected values are naive either way.
         df = df.withColumn("ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
+    if key is not None:
+        while len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.pop(next(iter(_TABLE_CACHE)))
+        _TABLE_CACHE[key] = df
     return df
 
 
@@ -74,7 +111,18 @@ def spread_small_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
             parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except Exception:
             parts = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, parts // 2):
+    # getNumPartitions triggers physical planning of the scan (split
+    # computation through py4j) — memoized on the DataFrame object, so
+    # the load_table-cached frames pay it once per session, not once
+    # per dispatched query
+    nparts = getattr(df, "_sg_scan_parts", None)
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        try:
+            df._sg_scan_parts = nparts
+        except Exception:
+            pass
+    if nparts < max(2, parts // 2):
         return df.repartition(parts)
     return df
 
