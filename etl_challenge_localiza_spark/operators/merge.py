@@ -170,20 +170,25 @@ def snapshot_diff(
     Returns one row per differing key: (change, <key cols>, old_fp,
     new_fp) with change ∈ {'added', 'deleted', 'changed'}; unchanged
     keys are dropped. Row payloads are compared by a map-side sha256
-    fingerprint of the non-key columns: each column cast to string in
-    sorted column order, nulls mapped to an explicit sentinel, joined
-    on an unprintable separator — a CANONICAL encoding, unlike
-    to_json, which omits null fields (two different null patterns can
-    serialize identically) and serializes maps in nondeterministic
-    key order (identical data can serialize differently). NaN doubles
-    cast to the stable string 'NaN', so NaN == NaN for diff purposes
-    (the right call for change detection). Map-typed payload columns
-    are rejected with ValueError — their cast-to-string also preserves
-    insertion order, so the caller must canonicalize them first (e.g.
-    ``map_entries`` sorted by key). The full-outer join — the one
-    keyed shuffle — carries only (key, 64-hex) tuples, never the
-    payload: at 100 TB the diff costs two scans plus a key-width
-    shuffle.
+    fingerprint of the non-key columns, built INJECTIVELY: each cell
+    is hashed on its own (sha2 of the cell's string form; nulls map
+    to the non-hex token '∅'), and the row fingerprint is sha2 over
+    the concatenation of those fixed-width per-cell digests in sorted
+    column order. Because every cell digest is exactly 64 hex chars
+    (and the null token is not), no payload byte — including \\x1f or
+    any other separator-looking code point — can shift a cell
+    boundary: distinct rows get distinct encodings up to sha256
+    collision. Atomic cells use cast-to-string (NaN doubles cast to
+    the stable 'NaN', so NaN == NaN for diff purposes — the right
+    call for change detection); array/struct cells use to_json, which
+    is canonical per fixed schema once maps are excluded. Map-typed
+    payload columns — at ANY nesting depth — are rejected with
+    ValueError: both cast-to-string and to_json serialize maps in
+    insertion order, so identical maps can serialize differently; the
+    caller must canonicalize first (e.g. ``map_entries`` sorted by
+    key). The full-outer join — the one keyed shuffle — carries only
+    (key, 64-hex) tuples, never the payload: at 100 TB the diff costs
+    two scans plus a key-width shuffle.
     Duplicate keys within a version pair up via the join like-for-like
     only if unique; snapshot tables written via snapshot_merge are
     keyed-unique by construction.
@@ -195,29 +200,40 @@ def snapshot_diff(
 
     keys = [key] if isinstance(key, str) else list(key)
 
+    def contains_map(dt) -> bool:
+        # recursive: a map nested inside a struct/array is just as
+        # order-ambiguous as a top-level one (round-7 advisory)
+        tn = dt.typeName()
+        if tn == "map":
+            return True
+        if tn == "array":
+            return contains_map(dt.elementType)
+        if tn == "struct":
+            return any(contains_map(f.dataType) for f in dt.fields)
+        return False
+
     def fingerprints(df: DataFrame, alias: str) -> DataFrame:
         others = sorted(c for c in df.columns if c not in keys)
-        bad = [
-            f.name
-            for f in df.schema.fields
-            if f.name in others and f.dataType.typeName() == "map"
-        ]
+        types = {f.name: f.dataType for f in df.schema.fields}
+        bad = [c for c in others if contains_map(types[c])]
         if bad:
             raise ValueError(
-                f"map-typed payload columns {bad} have no canonical "
-                "string form — canonicalize (e.g. sorted map_entries) "
-                "before snapshot_diff"
+                f"map-typed payload columns {bad} (at any nesting "
+                "depth) have no canonical string form — canonicalize "
+                "(e.g. sorted map_entries) before snapshot_diff"
             )
-        # \x1f separates columns, \x00∅ marks null: both unprintable-
-        # prefixed, so no legitimate string value can collide with the
-        # encoding of a different row
-        cells = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00∅")) for c in others
-        ]
-        return df.select(
-            *keys,
-            F.sha2(F.concat_ws("\x1f", *cells), 256).alias(alias),
-        )
+        # per-cell sha2 digests are fixed-width (64 hex) and the null
+        # token '∅' is not hex, so concatenating them is injective:
+        # payload bytes can never shift a cell boundary
+        def cell(c: str):
+            if types[c].typeName() in ("array", "struct"):
+                s = F.to_json(F.col(c))
+            else:
+                s = F.col(c).cast("string")
+            return F.coalesce(F.sha2(s, 256), F.lit("∅"))
+
+        joined = F.concat(*[cell(c) for c in others]) if others else F.lit("")
+        return df.select(*keys, F.sha2(joined, 256).alias(alias))
 
     old = snapshot_read(spark, path, v_old)
     new = snapshot_read(spark, path, v_new)

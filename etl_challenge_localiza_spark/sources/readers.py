@@ -43,13 +43,33 @@ _TABLE_CACHE_MAX = 64
 
 
 def _table_cache_key(spark: SparkSession, path: str) -> tuple | None:
+    # For a directory table the top-level mtime only changes when an
+    # ENTRY is added/removed/renamed — rewriting a part file in place,
+    # or rewriting files inside a partition subdirectory, does not bump
+    # it (ADVICE r7). Folding each immediate entry's (name, mtime, size)
+    # into the key catches both: an in-place part rewrite changes that
+    # entry's mtime; a partitioned layout's subdirectory mtime changes
+    # when ITS files are added/replaced (the whole-dir-rewrite pattern
+    # every writer in this repo uses). Deeper nesting would need a full
+    # walk — not worth the per-call stat storm; partitioned tables here
+    # are at most one level deep.
     try:
         st = os.stat(path)
+        entries: tuple = ()
+        if os.path.isdir(path):
+            with os.scandir(path) as it:
+                entries = tuple(
+                    sorted(
+                        (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                        for e in it
+                    )
+                )
         return (
             spark.sparkContext.applicationId,
             os.path.abspath(path),
             st.st_mtime_ns,
             st.st_size,
+            entries,
         )
     except Exception:
         return None
@@ -301,7 +321,26 @@ def read_xml(
     (ADVICE r6). Caveat that remains: a whitespace-significant EMPTY
     element still reads back null (an XML-model limit, not a trim) —
     byte-exact round-tripping of empty-vs-missing needs CDATA or a
-    binary format."""
+    binary format.
+
+    ``schema_ddl=None`` + ``ignoreSurroundingSpaces=false`` interact
+    (ADVICE r7): inference can capture the WRITER'S indentation between
+    child elements as data (a spurious ``_VALUE`` field on struct
+    rows), changing the inferred schema vs a trimmed read. With an
+    explicit schema the indentation text has nowhere to land and is
+    dropped, so "always pass schema_ddl" is load-bearing for
+    correctness here, not just for the extra inference pass; inferred
+    reads emit a UserWarning."""
+    if schema_ddl is None:
+        import warnings
+
+        warnings.warn(
+            "read_xml without schema_ddl: schema inference with "
+            "ignoreSurroundingSpaces=false can capture inter-element "
+            "indentation as a _VALUE field — pass an explicit schema",
+            UserWarning,
+            stacklevel=2,
+        )
     r = (
         spark.read.format("xml")
         .option("rowTag", row_tag)

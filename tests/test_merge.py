@@ -418,6 +418,70 @@ def test_snapshot_diff_canonical_fingerprint(spark, tmp_path):
         snapshot_diff(spark, mpath, mv, mv, "k")
 
 
+def test_snapshot_diff_injective_encoding(spark, tmp_path):
+    """Adversarial separator/nesting cases (ADVICE r7): payload bytes
+    must never shift a cell boundary, and maps are refused at ANY
+    nesting depth — per-cell sha2 digests are fixed-width, so
+    ('a\\x1fb','c') vs ('a','b\\x1fc') hash differently."""
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.merge import snapshot_diff
+    from etl_challenge_localiza_spark.sources.sinks import snapshot_write
+
+    path = str(tmp_path / "tbl")
+    v1 = snapshot_write(
+        spark,
+        spark.createDataFrame(
+            # k=1: separator byte inside a cell; k=2: value equal to the
+            # retired null sentinel of the pre-r8 encoding
+            [(1, "a\x1fb", "c"), (2, "\x00∅", "z")],
+            "k int, a string, b string",
+        ),
+        path,
+    )
+    v2 = snapshot_write(
+        spark,
+        spark.createDataFrame(
+            # k=1: same bytes, shifted cell boundary — MUST be 'changed';
+            # k=2: old sentinel replaced by a real null — MUST be 'changed'
+            [(1, "a", "b\x1fc"), (2, None, "z")],
+            "k int, a string, b string",
+        ),
+        path,
+    )
+    out = {r["k"]: r["change"] for r in snapshot_diff(spark, path, v1, v2, "k").collect()}
+    assert out == {1: "changed", 2: "changed"}
+
+    # arrays whose to_json differs even when cast-to-string collides:
+    # ['a, b'] and ['a','b'] both cast to '[a, b]' but are distinct rows
+    apath = str(tmp_path / "atbl")
+    a1 = snapshot_write(
+        spark,
+        spark.createDataFrame([(1, ["a, b"])], "k int, arr array<string>"),
+        apath,
+    )
+    a2 = snapshot_write(
+        spark,
+        spark.createDataFrame([(1, ["a", "b"])], "k int, arr array<string>"),
+        apath,
+    )
+    aout = {r["k"]: r["change"] for r in snapshot_diff(spark, apath, a1, a2, "k").collect()}
+    assert aout == {1: "changed"}
+
+    # nested map (map inside a struct) refused, not silently hashed
+    npath = str(tmp_path / "ntbl")
+    nv = snapshot_write(
+        spark,
+        spark.range(1).select(
+            F.col("id").alias("k"),
+            F.struct(F.create_map(F.lit("a"), F.lit(1)).alias("m")).alias("s"),
+        ),
+        npath,
+    )
+    with _pytest.raises(ValueError, match="map-typed"):
+        snapshot_diff(spark, npath, nv, nv, "k")
+
+
 def test_snapshot_diff_refuses_schema_drift(spark, tmp_path):
     import pytest as _pytest
 

@@ -393,6 +393,27 @@ def test_jsonl_quarantine_split(spark, tmp_path):
     assert any("not json at all" in line for line in bad)
 
 
+def test_read_xml_warns_without_schema(spark, tmp_path):
+    """Inferred-schema XML reads warn: ignoreSurroundingSpaces=false +
+    inference can capture writer indentation as data (ADVICE r7)."""
+    import warnings
+
+    from etl_challenge_localiza_spark.sources.readers import read_xml
+    from etl_challenge_localiza_spark.sources.sinks import write_xml
+
+    df = spark.createDataFrame([(1, "a")], ["id", "text"])
+    p = str(tmp_path / "xml")
+    write_xml(df, p, row_tag="rec")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        read_xml(spark, p, row_tag="rec")
+    assert any("schema_ddl" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        read_xml(spark, p, row_tag="rec", schema_ddl="id bigint, text string")
+    assert not any("schema_ddl" in str(x.message) for x in w)
+
+
 def test_xml_roundtrip_escapes_special_chars(spark, tmp_path):
     from etl_challenge_localiza_spark.sources.readers import read_xml
     from etl_challenge_localiza_spark.sources.sinks import write_xml
@@ -410,3 +431,41 @@ def test_xml_roundtrip_escapes_special_chars(spark, tmp_path):
     back = read_xml(spark, p, row_tag="rec", schema_ddl="id bigint, text string")
     got = {r["id"]: r["text"] for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_load_table_memo_hits_and_invalidates(spark, tmp_path):
+    """The analyzed-plan memo returns the SAME DataFrame object for an
+    unchanged table, and invalidates when a part file inside the table
+    directory is rewritten in place — the case the top-level-dir mtime
+    alone would miss (ADVICE r7: subdirectory/part-file rewrites don't
+    bump the parent mtime)."""
+    import os
+    import shutil
+    import time
+
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    sf = str(tmp_path)
+    tdir = os.path.join(sf, "t.parquet")
+    spark.createDataFrame([(1, "a")], ["k", "s"]).coalesce(1).write.parquet(tdir)
+
+    df1 = load_table(spark, sf, "t")
+    df2 = load_table(spark, sf, "t")
+    assert df1 is df2  # memo hit: same analyzed plan object
+
+    # rewrite a part file IN PLACE (same name, same dir entry count) so
+    # the parent directory's mtime/size stay put
+    part = next(p for p in os.listdir(tdir) if p.endswith(".parquet"))
+    stage = os.path.join(sf, "stage.parquet")
+    spark.createDataFrame([(2, "b"), (3, "c")], ["k", "s"]).coalesce(1).write.parquet(stage)
+    spart = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    shutil.copyfile(os.path.join(stage, spart), os.path.join(tdir, part))
+    # keep Hadoop LocalFS's checksum sidecar consistent with the new bytes
+    shutil.copyfile(
+        os.path.join(stage, f".{spart}.crc"), os.path.join(tdir, f".{part}.crc")
+    )
+
+    df3 = load_table(spark, sf, "t")
+    assert df3 is not df1  # entry-level stat folded into the key
+    assert df3.count() == 2
