@@ -7054,16 +7054,20 @@ def q_bpe_train_encode(spark, sf_dir):
     """Full BPE tokenizer round trip (operators/bpe.py): train 8
     merges on the corpus with the distributed re-segmentation loop
     (driver state = the merge list only; one Arrow pass per sweep,
-    map-side-combined pair counts, one argmax row collected), then
+    map-side-combined pair counts, one top-candidates collect), then
     encode every document with the learned merges and report per-doc
-    word/char/BPE-token counts and compression. Deterministic: the
-    merge argmax has a total (count desc, pair asc) tiebreak and
-    segmentation is a pure function of (word, merges) — the
-    determinism audit covers it same-session."""
+    word/char/BPE-token counts and compression. batch=4 accepts up to
+    4 symbol-disjoint merges per sweep (ADVICE r6/r7: halves-to-
+    quarters the corpus sweeps vs one merge per collect; the accepted
+    pairs' counts are exact under disjointness — see
+    train_bpe_merges). Deterministic: candidate order has a total
+    (count desc, pair asc) tiebreak and segmentation is a pure
+    function of (word, merges) — the determinism audit covers it
+    same-session."""
     from .operators.bpe import bpe_encode_stats, train_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = train_bpe_merges(docs, n_merges=8)
+    merges = train_bpe_merges(docs, n_merges=8, batch=4)
     return bpe_encode_stats(docs, merges)
 
 
