@@ -8235,6 +8235,146 @@ def q_attribution_multi_touch(spark, sf_dir):
     return by_channel.unionByName(direct).orderBy("channel")
 
 
+#: Per-conversion touch cap for the capped attribution variant.
+_MTA_CAP = 8
+
+
+@register(
+    "attribution_multi_touch_capped",
+    oracle=f"""
+with conv as (
+  select event_id as conv_id, user_id, epoch_us(ts) as t_c,
+         cast(value as double) as value
+  from events where event_type = 'purchase'
+),
+touch as (
+  select user_id, event_type as channel, epoch_us(ts) as t_t
+  from events where event_type in ('click', 'view', 'signup')
+),
+pairs as (
+  select c.conv_id, c.value, t.channel, t.t_t
+  from conv c join touch t on c.user_id = t.user_id
+   and t.t_t >= c.t_c - {_MTA_W_US} and t.t_t < c.t_c
+),
+capped as (
+  select conv_id, value, channel from (
+    select p.*,
+           row_number() over (partition by conv_id
+                              order by t_t desc, channel asc) as rn
+    from pairs p
+  ) where rn <= {_MTA_CAP}
+),
+n as (select conv_id, cast(count(*) as bigint) as n_touches
+      from capped group by conv_id),
+credit as (
+  select p.channel, p.conv_id,
+         p.value / cast(n.n_touches as double) as credit
+  from capped p join n using (conv_id)
+)
+select * from (
+  select channel,
+         cast(count(distinct conv_id) as bigint) as n_conversions,
+         cast(count(*) as bigint) as n_touches,
+         round(sum(credit), 6) as credit_total
+  from credit group by channel
+  union all
+  select '(direct)', cast(count(*) as bigint), cast(0 as bigint),
+         round(sum(value), 6)
+  from conv c
+  where not exists (select 1 from pairs p where p.conv_id = c.conv_id)
+) order by channel
+""",
+)
+def q_attribution_multi_touch_capped(spark, sf_dir):
+    """Multi-touch linear attribution with a PER-CONVERSION TOUCH CAP
+    (VERDICT r6/r7 directive): only the 8 most-recent touches in
+    the lookback share the credit. Semantics aside (recency-capped
+    linear is a standard MTA house rule), the cap is the SCALE
+    control the uncapped variant lacks: uncapped output grows with
+    conversions × touches-in-window (x10 data grew it ~x9.3), while
+    the capped credit rows are bounded at cap × conversions — O(rows)
+    in conversions regardless of per-user touch density. The cap is a
+    rank-predicate window (row_number over (conv_id, t_t desc,
+    channel asc) — a total order on distinct tuples, so tied
+    duplicates are interchangeable and aggregates deterministic),
+    which Spark executes as WindowGroupLimit: per-partition top-N
+    heaps BEFORE the full sort/shuffle materializes, so the
+    intermediate never holds more than N rows per conversion per
+    task. The '(direct)' bucket still keys off UNCAPPED pairs — a
+    conversion whose touches were all cap-evicted is attributed, not
+    direct, and total credit stays conserved."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = F.lit(_MTA_W_US)
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("key"),
+        us.alias("t_c"),
+        F.col("value").cast("double").alias("value"),
+    )
+    conv_b = conv.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("t_c") - w) / w),
+                    F.floor((F.col("t_c") - 1) / w),
+                )
+            )
+        ),
+    )
+    touch = ev.filter(
+        F.col("event_type").isin("click", "view", "signup")
+    ).select(
+        F.col("user_id").alias("key"),
+        F.col("event_type").alias("channel"),
+        us.alias("t_t"),
+        F.floor(us / w).alias("bucket"),
+    )
+    pairs = (
+        conv_b.join(touch, ["key", "bucket"])
+        .filter((F.col("t_t") >= F.col("t_c") - w) & (F.col("t_t") < F.col("t_c")))
+        .select("conv_id", "value", "channel", "t_t")
+    )
+    recency = Window.partitionBy("conv_id").orderBy(
+        F.col("t_t").desc(), F.col("channel").asc()
+    )
+    capped = (
+        pairs.withColumn("rn", F.row_number().over(recency))
+        .filter(F.col("rn") <= _MTA_CAP)
+        .select("conv_id", "value", "channel")
+    )
+    n = capped.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    credit = capped.join(n, "conv_id").select(
+        "channel",
+        "conv_id",
+        (F.col("value") / F.col("n_touches").cast("double")).alias("credit"),
+    )
+    by_channel = credit.groupBy("channel").agg(
+        F.count_distinct("conv_id").cast("long").alias("n_conversions"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(F.sum("credit"), 6).alias("credit_total"),
+    )
+    direct = (
+        conv.join(pairs.select("conv_id").distinct(), "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.round(F.sum("value"), 6).alias("credit_total"),
+        )
+        .select(
+            F.lit("(direct)").alias("channel"),
+            "n_conversions",
+            F.lit(0).cast("long").alias("n_touches"),
+            "credit_total",
+        )
+    )
+    return by_channel.unionByName(direct).orderBy("channel")
+
+
 @register(
     "kwic_snippets",
     oracle=f"""

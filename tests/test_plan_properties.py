@@ -181,3 +181,12 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         .collect()
     }
     assert rows == expected and set(rows) == {0, 1}
+
+
+def test_attribution_cap_uses_window_group_limit(spark):
+    """The touch cap must execute as WindowGroupLimit (per-partition
+    top-N heaps before the sort materializes), not a full window sort
+    — the property that bounds per-conversion state (VERDICT r7 #4)."""
+    plan = _plan(spark, "attribution_multi_touch_capped")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
