@@ -39,12 +39,12 @@ SRC = "/root/testdata/sf0.1"
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".relscale")
 
 
-def build_sf1(spark, k: int = 10) -> str:
+def build_sf1(spark, k: int = 10, out_name: str = "sf1") -> str:
     from pyspark.sql import functions as F
 
     from etl_challenge_localiza_spark.sources.readers import load_table
 
-    out = os.path.join(ROOT, "sf1")
+    out = os.path.join(ROOT, out_name)
     if os.path.exists(os.path.join(out, "_DONE")):
         return out
     shutil.rmtree(out, ignore_errors=True)
