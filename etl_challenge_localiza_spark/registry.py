@@ -8287,22 +8287,40 @@ select * from (
 )
 def q_attribution_multi_touch_capped(spark, sf_dir):
     """Multi-touch linear attribution with a PER-CONVERSION TOUCH CAP
-    (VERDICT r6/r7 directive): only the 8 most-recent touches in
-    the lookback share the credit. Semantics aside (recency-capped
-    linear is a standard MTA house rule), the cap is the SCALE
-    control the uncapped variant lacks: uncapped output grows with
-    conversions × touches-in-window (x10 data grew it ~x9.3), while
-    the capped credit rows are bounded at cap × conversions — O(rows)
-    in conversions regardless of per-user touch density. The cap is a
-    rank-predicate window (row_number over (conv_id, t_t desc,
-    channel asc) — a total order on distinct tuples, so tied
-    duplicates are interchangeable and aggregates deterministic),
-    which Spark executes as WindowGroupLimit: per-partition top-N
-    heaps BEFORE the full sort/shuffle materializes, so the
-    intermediate never holds more than N rows per conversion per
-    task. The '(direct)' bucket still keys off UNCAPPED pairs — a
-    conversion whose touches were all cap-evicted is attributed, not
-    direct, and total credit stays conserved."""
+    (VERDICT r6/r7 directive): only the 8 most-recent touches in the
+    lookback share the credit. The cap is the SCALE control the
+    uncapped variant lacks — and this plan bounds the ENUMERATION,
+    not just the output. A first cut (interval-join all pairs, then
+    WindowGroupLimit top-8 per conversion) still enumerated
+    conversions × touches-in-window before discarding: on the ×10
+    tier (where per-user touch density itself grows ×10, so pair
+    count grows ~×100) it measured ×11.8 vs the uncapped ×20. This
+    plan never materializes more than cap rows per conversion:
+
+    1. number each user's touches once — ``seq`` = row_number over
+       (t_t asc, channel desc), so the LARGEST seqs are exactly the
+       oracle's (t_t desc, channel asc) top ranks;
+    2. as-of (union + keyed-window carry, operators/asof.py shape)
+       each conversion to ``end`` = seq of its latest strictly-prior
+       touch (probe at t_c − 1 µs makes the inclusive carry strict);
+    3. explode each conversion into ≤cap (key, end − off) slot keys
+       and EQUI-join back to the touch sequence — join output is
+       ≤ cap × conversions BY CONSTRUCTION, regardless of per-user
+       density (the 8 most recent touches before t_c occupy
+       consecutive seqs end-7..end, so the slots are exactly the
+       oracle's top-8; the lookback filter then drops slots older
+       than the window — anything it drops was outside the top-8
+       anyway, never in-window, because in-window touches are by
+       definition the most recent ones).
+
+    Cost at 100 TB: two keyed shuffles of the touch table (seq
+    window + as-of union window) and one (key, seq) equi-join of
+    cap × conversions rows — O(events log events), no density² term.
+    The '(direct)' bucket = conversions with zero in-window slots;
+    a conversion whose latest prior touch is out-of-window has no
+    in-window touches at all (the latest touch is the most recent),
+    so left-anti on the capped rows is exact and credit is
+    conserved."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -8314,36 +8332,65 @@ def q_attribution_multi_touch_capped(spark, sf_dir):
         us.alias("t_c"),
         F.col("value").cast("double").alias("value"),
     )
-    conv_b = conv.withColumn(
-        "bucket",
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor((F.col("t_c") - w) / w),
-                    F.floor((F.col("t_c") - 1) / w),
+    touch = (
+        ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("event_type").alias("channel"),
+            us.alias("t_t"),
+        )
+        .withColumn(
+            "seq",
+            F.row_number().over(
+                Window.partitionBy("key").orderBy(
+                    F.col("t_t").asc(), F.col("channel").desc()
                 )
+            ),
+        )
+    )
+    state = touch.select(
+        "key",
+        F.col("t_t").alias("t"),
+        F.lit(1).alias("is_state"),
+        "seq",
+        F.lit(None).cast("long").alias("conv_id"),
+        F.lit(None).cast("long").alias("t_c"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    probe = conv.select(
+        "key",
+        (F.col("t_c") - 1).alias("t"),
+        F.lit(0).alias("is_state"),
+        F.lit(None).cast("int").alias("seq"),
+        "conv_id",
+        "t_c",
+        "value",
+    )
+    carry = (
+        Window.partitionBy("key")
+        .orderBy(F.col("t").asc(), F.col("is_state").desc(), F.col("seq").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ends = (
+        state.unionByName(probe)
+        .withColumn("end", F.last("seq", ignorenulls=True).over(carry))
+        .filter((F.col("is_state") == 0) & F.col("end").isNotNull())
+        .select("conv_id", "t_c", "value", "key", "end")
+    )
+    slots = ends.withColumn(
+        "seq",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.least(F.lit(_MTA_CAP - 1), F.col("end") - 1)
+                ),
+                lambda off: F.col("end") - off,
             )
         ),
-    )
-    touch = ev.filter(
-        F.col("event_type").isin("click", "view", "signup")
-    ).select(
-        F.col("user_id").alias("key"),
-        F.col("event_type").alias("channel"),
-        us.alias("t_t"),
-        F.floor(us / w).alias("bucket"),
-    )
-    pairs = (
-        conv_b.join(touch, ["key", "bucket"])
-        .filter((F.col("t_t") >= F.col("t_c") - w) & (F.col("t_t") < F.col("t_c")))
-        .select("conv_id", "value", "channel", "t_t")
-    )
-    recency = Window.partitionBy("conv_id").orderBy(
-        F.col("t_t").desc(), F.col("channel").asc()
-    )
+    ).drop("end")
     capped = (
-        pairs.withColumn("rn", F.row_number().over(recency))
-        .filter(F.col("rn") <= _MTA_CAP)
+        slots.join(touch, ["key", "seq"])
+        .filter(F.col("t_t") >= F.col("t_c") - w)
         .select("conv_id", "value", "channel")
     )
     n = capped.groupBy("conv_id").agg(
@@ -8360,7 +8407,7 @@ def q_attribution_multi_touch_capped(spark, sf_dir):
         F.round(F.sum("credit"), 6).alias("credit_total"),
     )
     direct = (
-        conv.join(pairs.select("conv_id").distinct(), "conv_id", "left_anti")
+        conv.join(capped.select("conv_id").distinct(), "conv_id", "left_anti")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_conversions"),
             F.round(F.sum("value"), 6).alias("credit_total"),

@@ -183,10 +183,16 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert rows == expected and set(rows) == {0, 1}
 
 
-def test_attribution_cap_uses_window_group_limit(spark):
-    """The touch cap must execute as WindowGroupLimit (per-partition
-    top-N heaps before the sort materializes), not a full window sort
-    — the property that bounds per-conversion state (VERDICT r7 #4)."""
+def test_attribution_cap_bounds_enumeration(spark):
+    """The touch cap must bound the JOIN ENUMERATION, not just the
+    output (VERDICT r7 #4): the plan's only pairing join is the
+    (key, seq) equi-join of the exploded <=8 slot keys — no
+    interval-bucket join whose output grows with conversions x
+    touch-density, no cartesian fallback."""
     plan = _plan(spark, "attribution_multi_touch_capped")
-    assert "WindowGroupLimit" in plan
+    # the <=cap slot enumeration is in the plan...
+    assert "least(7" in plan and "explode(transform(sequence(0" in plan
+    # ...and the old all-pairs interval join is not
+    assert "bucket" not in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
