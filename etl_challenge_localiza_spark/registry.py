@@ -6678,6 +6678,33 @@ def q_semdedup_drop(spark, sf_dir):
 
 
 @register(
+    "semdedup_pruned_drop",
+    oracle=None,  # two-level sample-fit codebook — the fit is a
+    # driver-side exact-int Lloyd over a hash-ordered sample, not
+    # SQL-expressible; correctness pinned by
+    # tests/test_similarity.py::test_semdedup_pruned_finds_planted_dups_and_conserves
+    # (planted-group drops, conservation, precision, determinism)
+)
+def q_semdedup_pruned_drop(spark, sf_dir):
+    """SemDeDup with IVF-pruned assignment
+    (operators/similarity.py:semdedup_drop_pruned): fit a two-level
+    codebook (√k coarse cells → ⌈k/√k⌉ fine centroids per cell) on a
+    deterministic ≤32k sample with the exact-int driver Lloyd, then
+    assign every vector in ONE zero-shuffle JVM pass costing
+    O(2√k) comparisons per vector instead of O(k), and drop
+    within-fine-cluster cosine ≥ 0.999 pairs. This is the k ∝ N
+    regime's answer to semdedup_drop's O(N·k) assignment wall
+    (PERF.md round 8: exact variant ×38 at ×30 data with scaled k;
+    this one stays near-linear). Approximation is blocking-only:
+    reported drops always pass the exact cosine test."""
+    from .operators.similarity import semdedup_drop_pruned
+
+    return semdedup_drop_pruned(
+        load_table(spark, sf_dir, "embeddings"), k=16, coarse=4, max_sweeps=3
+    )
+
+
+@register(
     "bm25_top_docs",
     oracle=f"""
 with toks as (

@@ -216,3 +216,48 @@ def test_hard_negatives_pick_closest_other_label(spark, tmp_path):
     assert out[1]["neg_vec_id"] == 2
     # anchors of label 1 must pick a label-0 vector
     assert out[2]["neg_label"] == 0 and out[3]["neg_label"] == 0
+
+
+def test_semdedup_pruned_finds_planted_dups_and_conserves(spark):
+    """semdedup_drop_pruned: planted identical vectors always co-locate
+    (same deterministic argmin at both codebook levels), so every
+    planted group loses size-1 vectors; counts conserve; far-apart
+    vectors are never dropped (precision is exact — every reported
+    pair passes the cosine test); and the whole operator is
+    deterministic across runs."""
+    import math
+
+    from etl_challenge_localiza_spark.operators.similarity import (
+        semdedup_drop_pruned,
+    )
+
+    # 4 well-separated direction groups in 3-d; group g has g+1
+    # identical members → exactly g dups dropped per group, 4 total
+    rows = []
+    vid = 0
+    dirs = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0], [0.6, 0.64, 0.48]]
+    for g, d in enumerate(dirs):
+        for _ in range(g + 1):
+            rows.append((vid, d, g))
+            vid += 1
+    emb = spark.createDataFrame(rows, EMB_COLS)
+    run1 = semdedup_drop_pruned(emb, k=4, coarse=2, max_sweeps=3).collect()
+    run2 = semdedup_drop_pruned(emb, k=4, coarse=2, max_sweeps=3).collect()
+    assert [tuple(r) for r in run1] == [tuple(r) for r in run2]  # deterministic
+    n_dropped = sum(r["n_dropped"] for r in run1)
+    n_kept = sum(r["n_kept"] for r in run1)
+    assert n_kept + n_dropped == len(rows)  # conservation
+    assert n_dropped == sum(g for g in range(len(dirs)))  # 0+1+2+3
+    # no group dropped below one keeper: total kept = number of groups
+    # plus any sub-threshold singletons (none here)
+    assert n_kept == len(dirs)
+
+    # precision: pairwise-distinct directions (cos < 0.999 everywhere)
+    # must drop nothing even when forced into few clusters
+    spread = [
+        (i, [math.cos(0.25 * i), math.sin(0.25 * i), 0.0], 0) for i in range(8)
+    ]
+    emb2 = spark.createDataFrame(spread, EMB_COLS)
+    out2 = semdedup_drop_pruned(emb2, k=2, coarse=2, max_sweeps=2).collect()
+    assert sum(r["n_dropped"] for r in out2) == 0
+    assert sum(r["n_kept"] for r in out2) == 8

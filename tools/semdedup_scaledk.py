@@ -1,0 +1,58 @@
+"""SemDeDup growth measurement under the operator's OWN scale contract
+(k ∝ N — Abbas et al. use k ≈ N/100, and semdedup_drop's docstring
+states cluster size must stay bounded). The registry query pins k=8
+for oracle determinism; scaling DATA ×30 while HOLDING k=8 grows each
+cluster ×30 and the within-cluster pair count ×900 — the quadratic
+regime the contract exists to forbid (measured: the ×30 fixed-k run
+was killed after 15+ min in a single coalesced-partition cosine
+stage). This tool measures the honest pairing: ×K data with ×K
+clusters, so expected cluster size — and the per-vector pair work —
+stays constant.
+
+Usage: python -m tools.semdedup_scaledk [--factors 1,10,30]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+
+def main() -> int:
+    factors = [1, 10, 30]
+    if "--factors" in sys.argv:
+        factors = [int(x) for x in sys.argv[sys.argv.index("--factors") + 1].split(",")]
+
+    from etl_challenge_localiza_spark.operators.similarity import semdedup_drop
+    from etl_challenge_localiza_spark.session import get_spark
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from tools.sf1_bench import build_sf1
+
+    spark = get_spark(app_name="semdedup_scaledk")
+    print("| factor | k | wall (full, best-of-2) | per-×1 ratio |")
+    print("|---|---|---|---|")
+    base = None
+    for kf in factors:
+        if kf == 1:
+            sf_dir = "/root/testdata/sf0.1"
+        else:
+            sf_dir = build_sf1(spark, kf, out_name="sf1" if kf == 10 else f"allx{kf}")
+        emb = load_table(spark, sf_dir, "embeddings")
+        k = 8 * kf
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            semdedup_drop(emb, k=k, max_sweeps=3).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        if base is None:
+            base = best
+        print(f"| x{kf} | {k} | {best:.2f} s | x{best / base:.1f} |")
+        print(f"x{kf} k={k}: {best:.2f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
