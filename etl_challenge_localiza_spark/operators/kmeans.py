@@ -45,15 +45,24 @@ def scaled_vectors(emb: DataFrame) -> DataFrame:
     )
 
 
-def _centroid_literal(cents: list[tuple[int, list[int]]]) -> Column:
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(cid)).alias("cid"),
-                F.array(*[F.lit(int(c)).cast("long") for c in vec]).alias("c"),
-            )
-            for cid, vec in cents
-        ]
+def _centroid_scalar(spark, cents: list[tuple[int, list[int]]]):
+    """ONE-ROW DataFrame holding the whole codebook as
+    ``cents_arr: array<struct<cid int, c array<long>>>`` — the
+    scalar-broadcast alternative to a centroid literal expression.
+    A k×d literal costs O(k·d) py4j round-trips to BUILD (measured
+    ~15 s per sweep at k=80, d=64 — it dominated kmeans full-call);
+    createDataFrame ships the same ints in one batch and the
+    expression tree stays O(1) nodes. Join it with
+    ``df.crossJoin(F.broadcast(...))`` and assign with
+    ``_best(F.col("cents_arr"))`` — the argmin math is unchanged
+    (exact int64 dist2, array_min first-min ties), so results are
+    bit-identical to the literal path."""
+    df = spark.createDataFrame(
+        [(int(cid), [int(x) for x in vec]) for cid, vec in cents],
+        "cid int, c array<long>",
+    )
+    return df.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c"))).alias("cents_arr")
     )
 
 
@@ -86,8 +95,11 @@ def kmeans_fit(
     seeds = vecs.filter(F.col("vec_id") < k).collect()
     cents = sorted((int(r["vec_id"]), list(r["v"])) for r in seeds)
     sweeps_run = 0
+    spark = emb.sparkSession
     for _ in range(max_sweeps):
-        assigned = vecs.select("v", _best(_centroid_literal(cents)).alias("b"))
+        assigned = vecs.crossJoin(
+            F.broadcast(_centroid_scalar(spark, cents))
+        ).select("v", _best(F.col("cents_arr")).alias("b"))
         rows = (
             assigned.select(F.col("b.cid").alias("cid"), F.posexplode("v").alias("d", "x"))
             .groupBy("cid", "d")
@@ -120,7 +132,9 @@ def kmeans_summary(emb: DataFrame, k: int = 8, max_sweeps: int = 3) -> DataFrame
     spark = emb.sparkSession
     cents, _ = kmeans_fit(emb, k, max_sweeps)
     vecs = scaled_vectors(emb)
-    assigned = vecs.select(_best(_centroid_literal(cents)).alias("b"))
+    assigned = vecs.crossJoin(
+        F.broadcast(_centroid_scalar(spark, cents))
+    ).select(_best(F.col("cents_arr")).alias("b"))
     counts = assigned.groupBy(F.col("b.cid").alias("centroid_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.sum(F.col("b.dist2").cast("decimal(38,0)")).cast("double").alias("inertia"),

@@ -289,7 +289,7 @@ def semdedup_drop(
     via map-side partial aggregation. Cosine is the element-order
     double fold (functions/vectors.py) — bit-identical to DuckDB's
     list_dot_product, so the threshold cut is engine-stable."""
-    from .kmeans import SCALE, _best, _centroid_literal, kmeans_fit
+    from .kmeans import SCALE, _best, _centroid_scalar, kmeans_fit
 
     spark = emb.sparkSession
     cents, _ = kmeans_fit(emb, k, max_sweeps)
@@ -300,11 +300,22 @@ def semdedup_drop(
             F.col("embedding"),
             lambda x: F.round(x.cast("double") * F.lit(float(SCALE))).cast("long"),
         ).alias("v"),
-    )
+    ).crossJoin(F.broadcast(_centroid_scalar(spark, cents)))
     asg = vecs.select(
         "vec_id",
         "embedding",
-        _best(_centroid_literal(cents))["cid"].alias("cid"),
+        _best(F.col("cents_arr"))["cid"].alias("cid"),
+    )
+    # Pin the pair-join shuffle width: the within-cluster cosine filter
+    # is CPU-bound, not byte-bound, and AQE's byte-based coalescing
+    # packs the small shuffle (60k rows ≈ a few MB compressed at ×30
+    # test scale) into ONE post-shuffle partition, serializing ~N²/2k
+    # cosine evaluations on a single task (measured: 205 s → 23 s at
+    # ×30 by pinning; an explicit-width repartition is exempt from AQE
+    # coalescing). Both join branches and the sizes aggregate hang off
+    # the same exchange, so assignment is computed once (ReusedExchange).
+    asg = asg.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "cid"
     )
     a = asg.select(F.col("cid"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = asg.select(F.col("cid"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
@@ -357,10 +368,16 @@ def semdedup_drop_pruned(
        argmin — deterministic for a given sample order). Fit cost is
        O(sample·k), INDEPENDENT of N.
     2. TWO-LEVEL CODEBOOK — √k coarse cells, then ⌈k/√k⌉ fine
-       centroids per cell (trained on the cell's sample members).
-    3. PRUNED ASSIGNMENT — one zero-shuffle JVM pass per vector:
-       argmin over the coarse literal, then argmin over only that
-       cell's fine array (map-literal lookup): O(N·2√k) comparisons
+       centroids per cell (trained on the cell's sample members),
+       shipped to executors as a ONE-ROW broadcast scalar (coarse
+       array + cell→fine-array map built by createDataFrame +
+       collect_list, one Arrow batch): O(1) py4j calls and an O(1)
+       expression tree where a k×d literal costs O(k·d) driver
+       round-trips to build (measured 14–46 s at k=240, d=64).
+    3. PRUNED ASSIGNMENT — one shuffle-free JVM pass per vector
+       (the broadcast join moves the codebook, never the vectors):
+       argmin over the coarse array, then argmin over only that
+       cell's fine array (map lookup): O(N·2√k) comparisons
        instead of O(N·k).
     4. the same within-fine-cluster cosine-pair drop as
        ``semdedup_drop`` — one shuffle keyed on (fine) cid, cluster
@@ -373,13 +390,13 @@ def semdedup_drop_pruned(
     cosine test. Identical vectors always co-locate (same argmin).
     Returns (centroid_id, n_kept, n_dropped) per fine centroid.
 
-    Beyond literal-sized codebooks (k ≳ 10⁴ — at which point the k×d
-    literal itself is the bottleneck) the same two-level structure
-    runs with the codebook as a broadcast DataFrame and an
-    Arrow-batched matmul assignment; the plan shape is unchanged."""
+    Beyond broadcast-sized codebooks (k·d ≳ 10⁸ entries — past the
+    executor broadcast budget) the same two-level structure splits
+    the fine map across a keyed broadcast-join on the coarse cell and
+    an Arrow-batched matmul assignment; the plan shape is unchanged."""
     import math
 
-    from .kmeans import SCALE, _best, _centroid_literal, scaled_vectors
+    from .kmeans import SCALE, _best, scaled_vectors
 
     spark = emb.sparkSession
     if coarse is None:
@@ -443,11 +460,31 @@ def semdedup_drop_pruned(
         next_cid += len(rows)
     coarse_cents = [(i, [int(x) for x in c]) for i, c in enumerate(coarse_cents)]
 
-    coarse_lit = _centroid_literal(coarse_cents)
-    fine_map = F.map_from_arrays(
-        F.array(*[F.lit(ci) for ci in fine]),
-        F.array(*[_centroid_literal(fine[ci]) for ci in fine]),
+    # Ship the codebook as a ONE-ROW broadcast scalar (the repo's
+    # scalar-broadcast pattern), not a literal expression tree: a
+    # k×d literal costs O(k·d) py4j round-trips to BUILD (measured:
+    # 46 s per-element / 14 s lit-per-centroid at k=240, d=64 — the
+    # whole driver-side wall for k ∝ N) while createDataFrame ships
+    # the same ints in one Arrow batch and the expression tree stays
+    # O(1) nodes (two column references). Assignment math is
+    # unchanged: exact int64 dist2, array_min first-min ties.
+    fine_rows = [
+        (int(ci), int(cid), [int(x) for x in vec])
+        for ci in fine
+        for cid, vec in fine[ci]
+    ]
+    cb = spark.createDataFrame(fine_rows, "cell int, cid int, c array<long>")
+    fine_scal = cb.groupBy("cell").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c"))).alias("cell_arr")
+    ).agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("cell", "cell_arr")))
+        ).alias("fine_map")
     )
+    coarse_scal = spark.createDataFrame(
+        [(int(cid), vec) for cid, vec in coarse_cents], "cid int, c array<long>"
+    ).agg(F.sort_array(F.collect_list(F.struct("cid", "c"))).alias("coarse_arr"))
+
     vecs = emb.select(
         "vec_id",
         "embedding",
@@ -455,8 +492,8 @@ def semdedup_drop_pruned(
             F.col("embedding"),
             lambda x: F.round(x.cast("double") * F.lit(float(SCALE))).cast("long"),
         ).alias("v"),
-    )
-    cell_arr = F.element_at(fine_map, _best(coarse_lit)["cid"])
+    ).crossJoin(F.broadcast(fine_scal.crossJoin(coarse_scal)))
+    cell_arr = F.element_at(F.col("fine_map"), _best(F.col("coarse_arr"))["cid"])
     asg = vecs.select(
         "vec_id",
         "embedding",
@@ -473,6 +510,12 @@ def semdedup_drop_pruned(
                 ),
             )
         )["cid"].alias("cid"),
+    )
+    # Same AQE-coalescing guard as semdedup_drop: pin the CPU-bound
+    # pair join's width so byte-based coalescing can't serialize it
+    # (measured at ×30/k=240: 205 s single-task → 23 s pinned).
+    asg = asg.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")), "cid"
     )
     a = asg.select(F.col("cid"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = asg.select(F.col("cid"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))

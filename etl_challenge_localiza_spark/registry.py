@@ -6515,7 +6515,8 @@ def q_ivf_search_trained_vec0(spark, sf_dir):
     """IVF-ANN search over a TRAINED index — the production
     composition `ivf_search_vec0` approximates with seed centroids:
     kmeans_fit (3 exact Lloyd sweeps) trains the coarse quantizer,
-    the corpus is assigned via the centroid-literal argmin (zero
+    the corpus is assigned via the broadcast-codebook argmin (the
+    broadcast moves the k model rows, never the vectors — no
     shuffle), the query probes its 2 nearest trained buckets, and the
     exact top-10 runs only inside the candidate buckets. Every
     distance is scaled-int64 — the whole train+index+search path is
@@ -6523,13 +6524,13 @@ def q_ivf_search_trained_vec0(spark, sf_dir):
     all. Candidate filtering is a broadcast-of-2-ids semi join; at
     100 TB the assignment table would be written bucketed by
     centroid_id so a probe touches only its buckets' files."""
-    from .operators.kmeans import _best, _centroid_literal, kmeans_fit, scaled_vectors
+    from .operators.kmeans import _best, _centroid_scalar, kmeans_fit, scaled_vectors
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_fit(emb, k=8, max_sweeps=3)
     vecs = scaled_vectors(emb)
-    assign = vecs.select(
-        "vec_id", "v", _best(_centroid_literal(cents))["cid"].alias("centroid_id")
+    assign = vecs.crossJoin(F.broadcast(_centroid_scalar(spark, cents))).select(
+        "vec_id", "v", _best(F.col("cents_arr"))["cid"].alias("centroid_id")
     )
     qrow = vecs.filter(F.col("vec_id") == 0).collect()[0]
     qv = [int(x) for x in qrow["v"]]

@@ -88,8 +88,9 @@ def test_dsir_scoring_pass_has_no_keyed_shuffle(spark):
 
 def test_kmeans_final_pass_no_python_no_cartesian(spark):
     plan = _plan(spark, "kmeans_fit_embeddings")
-    # assignment rides a centroid literal: never a vectors x centroids
-    # join in the Spark plan (that shape is oracle-only)
+    # assignment rides a one-row broadcast codebook scalar: never a
+    # vectors x centroids row join in the Spark plan (that shape is
+    # oracle-only; the only join is the scalar-broadcast crossJoin)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
