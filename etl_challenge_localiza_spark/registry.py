@@ -6695,8 +6695,9 @@ def q_semdedup_pruned_drop(spark, sf_dir):
     O(2√k) comparisons per vector instead of O(k), and drop
     within-fine-cluster cosine ≥ 0.999 pairs. This is the k ∝ N
     regime's answer to semdedup_drop's O(N·k) assignment wall
-    (PERF.md round 8: exact variant ×38 at ×30 data with scaled k;
-    this one stays near-linear). Approximation is blocking-only:
+    (PERF.md round 8: exact variant's first cut measured ×38 at ×30
+    data with scaled k; this one measures ×5.9 full-call at ×30 —
+    sublinear per unit data). Approximation is blocking-only:
     reported drops always pass the exact cosine test."""
     from .operators.similarity import semdedup_drop_pruned
 
