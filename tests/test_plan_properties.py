@@ -197,3 +197,29 @@ def test_attribution_cap_bounds_enumeration(spark):
     assert "bucket" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_pair_join_pinned_width_and_scalar_codebook(spark):
+    """The two round-8 SemDeDup serialization fixes, plan-guarded:
+
+    1. AQE pin — the within-cluster pair join is CPU-bound but tiny in
+       bytes, so AQE's byte-based coalescing would pack it into ONE
+       task (measured 204.8 s -> 23.0 s at x30 when pinned). The pin
+       is an explicit-width repartition, exempt from coalescing, and
+       shows as REPARTITION_BY_NUM on the Exchange.
+    2. Broadcast codebook — centroids ship as a one-row broadcast
+       scalar (a BroadcastNestedLoopJoin over an Arrow-built frame),
+       never as a k x d literal tree costing O(k*d) py4j calls per
+       plan build.
+
+    Both variants must keep both properties; no Python eval or
+    cartesian anywhere in either tree.
+    """
+    for name in ("semdedup_drop", "semdedup_pruned_drop"):
+        plan = _plan(spark, name)
+        assert "REPARTITION_BY_NUM" in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name  # scalar codebook
+        assert "Scan ExistingRDD" in plan, name  # Arrow-built, not literals
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
