@@ -411,6 +411,13 @@ def semdedup_drop_pruned(
         .limit(sample_cap)
         .collect()
     )
+    if not sample:
+        # no vectors → no codebook to fit; mirror semdedup_drop's
+        # empty-input result (0 rows, same schema) instead of letting
+        # the 1-D empty ndarray crash the sample fit with an AxisError
+        return spark.createDataFrame(
+            [], "centroid_id long, n_kept long, n_dropped long"
+        )
     pts = np.array([list(r["v"]) for r in sample], dtype=np.int64)
 
     def dist2(P: "np.ndarray", C: "np.ndarray") -> "np.ndarray":

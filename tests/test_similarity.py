@@ -261,3 +261,20 @@ def test_semdedup_pruned_finds_planted_dups_and_conserves(spark):
     out2 = semdedup_drop_pruned(emb2, k=2, coarse=2, max_sweeps=2).collect()
     assert sum(r["n_dropped"] for r in out2) == 0
     assert sum(r["n_kept"] for r in out2) == 8
+
+
+def test_semdedup_variants_empty_input(spark):
+    """Both SemDeDup variants return an empty (centroid_id, n_kept,
+    n_dropped) frame on an empty embeddings table — the pruned
+    variant's driver-side sample fit must not crash on the 1-D empty
+    ndarray (regression: numpy AxisError)."""
+    from etl_challenge_localiza_spark.operators.similarity import (
+        semdedup_drop,
+        semdedup_drop_pruned,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, label string, embedding array<float>")
+    for fn in (semdedup_drop, semdedup_drop_pruned):
+        out = fn(emb, k=4)
+        assert out.columns == ["centroid_id", "n_kept", "n_dropped"]
+        assert out.count() == 0
