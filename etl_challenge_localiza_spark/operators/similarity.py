@@ -197,6 +197,14 @@ def brp_lsh_ann_pairs(
     vecs = emb.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
+    if not vecs.head(1):
+        # Spark ML's LSH fit infers the vector dim from the first row
+        # and dies on an empty frame with an opaque NoSuchElementException;
+        # return the empty pair frame instead (one first-row probe is
+        # marginal next to the fit scan that follows on the live path)
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id_a long, vec_id_b long, euclidean_dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",

@@ -278,3 +278,8 @@ def test_semdedup_variants_empty_input(spark):
         out = fn(emb, k=4)
         assert out.columns == ["centroid_id", "n_kept", "n_dropped"]
         assert out.count() == 0
+    from etl_challenge_localiza_spark.operators.similarity import brp_lsh_ann_pairs
+
+    pairs = brp_lsh_ann_pairs(emb)
+    assert pairs.columns == ["vec_id_a", "vec_id_b", "euclidean_dist"]
+    assert pairs.count() == 0  # ML LSH fit would NoSuchElementException
