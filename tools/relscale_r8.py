@@ -101,6 +101,10 @@ def main() -> int:
         summary[name] = round(g, 2)
         print(f"| {name} | {cells} | {judge} | x{g:.1f} |")
     print(json.dumps({"metric": "relscale_r8_growth", "scales": scales, "growth": summary}))
+    # tear the JVM down explicitly: with the x10/x30 tiers cached the
+    # gateway can keep the process alive for minutes after the table
+    # prints (observed twice in round 8 — the run had to be killed)
+    spark.stop()
     return 0
 
 
