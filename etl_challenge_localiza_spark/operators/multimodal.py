@@ -33,6 +33,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..sources.readers import spread_small_scan
+
 #: declared output schema of the feature extractor (DDL form).
 FEATURE_SCHEMA = (
     "asset_id long, kind string, n_bytes long, content_sha string, "
@@ -206,7 +208,7 @@ def synthetic_ppm_assets(docs: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(
         run, schema="asset_id long, payload binary"
     )
 
@@ -429,7 +431,7 @@ def synthetic_wav_assets(docs: DataFrame) -> DataFrame:
                 payloads.append(make_wav(1, 8000, [amp] * n))
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(
         run, schema="asset_id long, payload binary"
     )
 
@@ -614,7 +616,7 @@ def synthetic_image_header_assets(docs: DataFrame) -> DataFrame:
                 payloads.append(maker(w, h))
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(
         run, schema="asset_id long, payload binary"
     )
 
@@ -706,7 +708,7 @@ def synthetic_ppm_stream_assets(docs: DataFrame) -> DataFrame:
                 payloads.append(buf)
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(
         run, schema="asset_id long, payload binary"
     )
 
@@ -843,6 +845,6 @@ def synthetic_pattern_ppm_assets(docs: DataFrame) -> DataFrame:
                 payloads.append(bytes(buf))
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_small_scan(docs.select("doc_id")).mapInPandas(
         run, schema="asset_id long, payload binary"
     )
