@@ -47,7 +47,7 @@ def assets_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
     bytes of ``text`` stand in for an encoded media payload. At
     production scale this column would come from ``spark.read.format(
     'binaryFile')`` or a parquet/iceberg table with a binary column."""
-    return docs.select(
+    return spread_small_scan(docs).select(
         F.col("doc_id").alias("asset_id"),
         F.lit(kind).alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
