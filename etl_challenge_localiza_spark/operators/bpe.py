@@ -195,7 +195,9 @@ def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFram
                 )
             yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "text").mapInPandas(
+    from ..sources.readers import spread_small_scan
+
+    return spread_small_scan(docs.select("doc_id", "text")).mapInPandas(
         run,
         schema="doc_id long, n_words long, n_chars long, n_bpe_tokens long, "
         "compression double",

@@ -223,9 +223,11 @@ def compression_signals(docs: DataFrame, level: int = 6) -> DataFrame:
             else None
         )
 
+    from ..sources.readers import spread_small_scan
+
     raw_bytes = F.octet_length("text").cast("long")
     return (
-        docs.select(
+        spread_small_scan(docs).select(
             "doc_id",
             raw_bytes.alias("n_bytes"),
             deflate_bytes(F.col("text")).alias("deflate_bytes"),
