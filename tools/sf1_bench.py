@@ -138,7 +138,11 @@ def main() -> int:
 
     spark = get_spark(app_name="sf1_bench")
     t0 = time.time()
-    sf_dir = build_sf1(spark, factor)
+    # distinct tier dir per factor — reusing "sf1" for factor != 10
+    # would silently hit the cached x10 tier's _DONE marker
+    sf_dir = build_sf1(
+        spark, factor, out_name="sf1" if factor == 10 else f"allx{factor}"
+    )
     print(f"sf1 tier ready at {sf_dir} ({time.time() - t0:.0f}s)", file=sys.stderr)
 
     # Spark writes each table as a DIRECTORY of part files; DuckDB
