@@ -203,6 +203,10 @@ def main() -> int:
             }
         )
     )
+    # explicit teardown — with the big tier cached the gateway can
+    # keep the process alive after the table prints (same fix as
+    # tools/relscale_r8.py)
+    spark.stop()
     return 0
 
 
