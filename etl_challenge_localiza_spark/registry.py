@@ -7040,9 +7040,18 @@ def q_model_quality_auc(spark, sf_dir):
     trick (2·avgrank = 2·rank + ties − 1), so the statistic is two
     exact int64 totals and ONE double division — no float reduction
     anywhere, bit-identical cross-engine with no rounding (all values
-    < 2^53). The rank pass is one global-order window (swap in
-    percentile-bucket approximate ranks at 100 TB); positives and
-    negatives never pair-join (the naive AUC is an n⁺×n⁻ join)."""
+    < 2^53). Positives and negatives never pair-join (the naive AUC
+    is an n⁺×n⁻ join), and — round 8 — the rank pass never puts the
+    CORPUS through a global window: rows aggregate per distinct logit
+    first (map-side combined, fully parallel — the only pass that
+    sees the data), and the rank prefix runs over that (value, n, p)
+    histogram, so the single ordered partition holds NDV(logit)
+    24-byte rows, not documents. min-rank(v) = 1 + Σ_{u<v} n(u) and
+    2·avgrank(v) = 2·min-rank(v) + n(v) − 1 make the per-value form
+    exactly the per-row window it replaces (oracle unchanged). At
+    100 TB the histogram prefix itself can range-partition (per-range
+    partial sums + broadcast offsets) — but what crosses into one
+    task here is the score histogram, never the corpus."""
     from pyspark.sql import Window
 
     from .operators.curation import hashed_feature_logit, quality_gate
@@ -7050,18 +7059,29 @@ def q_model_quality_auc(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     heur = quality_gate(docs).select("doc_id", F.col("keep").alias("label"))
     model = hashed_feature_logit(docs).select("doc_id", "logit")
-    ranked = heur.join(model, "doc_id").select(
-        "label",
-        (
-            2 * F.rank().over(Window.orderBy("logit"))
-            + F.count(F.lit(1)).over(Window.partitionBy("logit"))
-            - 1
-        ).alias("r2"),
+    byv = (
+        heur.join(model, "doc_id")
+        .groupBy("logit")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("p"),
+        )
+    )
+    cum_before = F.coalesce(
+        F.sum("n").over(
+            Window.orderBy("logit").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    ranked = byv.select(
+        "n",
+        "p",
+        (2 * (cum_before + 1) + F.col("n") - 1).alias("r2"),
     )
     agg = ranked.agg(
-        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("n_pos"),
-        F.sum(F.when(F.col("label"), 0).otherwise(1)).cast("long").alias("n_neg"),
-        F.sum(F.when(F.col("label"), F.col("r2")).otherwise(0)).cast("long").alias("s2"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("p")).cast("long").alias("n_neg"),
+        F.sum(F.col("p") * F.col("r2")).cast("long").alias("s2"),
     )
     return agg.select(
         "n_pos",

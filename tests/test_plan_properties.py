@@ -223,3 +223,16 @@ def test_semdedup_pair_join_pinned_width_and_scalar_codebook(spark):
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_auc_rank_window_rides_the_histogram(spark):
+    """model_quality_auc (round 8): the Mann-Whitney rank prefix must
+    run over the per-logit (value, n, p) aggregate — never a per-row
+    rank() window over the joined corpus (that was the one raw-data
+    'No Partition Defined for Window' site among the headliner-adjacent
+    queries). One Window node, no rank()/count() window functions, and
+    a partial aggregate upstream of it."""
+    plan = _plan(spark, "model_quality_auc")
+    assert plan.count("Window") == 1
+    assert "rank(" not in plan
+    assert "HashAggregate" in plan
