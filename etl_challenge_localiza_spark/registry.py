@@ -6891,13 +6891,15 @@ def q_spearman_value_risk(spark, sf_dir):
     engine-exact); the final cast/sqrt/divide step is rounded to 9dp
     because DuckDB's int128→double cast is not correctly rounded
     beyond 2^53 (the n·Σxx product exceeds it) — the sums stay
-    exact, only the last step rounds. Distribution shape: two
-    global-order window
-    passes for the ranks (sort-based, the unavoidable cost of exact
-    ranks — at 100 TB swap in approx ranks via percentile buckets),
-    then ONE scalar aggregate; Pearson-on-ranks never materializes a
-    pair join. Native corr() is float-accumulation-order-dependent and
-    would not hash-match — this formulation is why it does."""
+    exact, only the last step rounds. Distribution shape (round 8):
+    one map-side-combined aggregate by the JOINT (x, y) value is the
+    only pass over the events; the two exact marginal rank tables come
+    from running counts over NDV-sized value histograms (the inline
+    comment derives the equivalence), so no raw row ever crosses into
+    an unpartitioned window; then ONE scalar cnt-weighted aggregate.
+    Pearson-on-ranks never materializes a pair join. Native corr() is
+    float-accumulation-order-dependent and would not hash-match —
+    this formulation is why it does."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -6905,20 +6907,39 @@ def q_spearman_value_risk(spark, sf_dir):
         F.col("value").alias("x"),
         F.get_json_object("props", "$.k").cast("double").alias("y"),
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-    wx, wy = Window.orderBy("x"), Window.orderBy("y")
-    px, py = Window.partitionBy("x"), Window.partitionBy("y")
-    ranked = base.select(
-        (2 * F.rank().over(wx) + F.count(F.lit(1)).over(px) - 1).alias("rx"),
-        (2 * F.rank().over(wy) + F.count(F.lit(1)).over(py) - 1).alias("ry"),
+    # Round 8: the rank passes ride per-value HISTOGRAMS, not rows —
+    # aggregate the corpus once by the (x, y) JOINT value (map-side
+    # combined, the only pass over the data), derive each marginal's
+    # ×2-scaled average rank from a running count over its distinct
+    # values (2·avgrank(v) = 2·(cum_before(v)+1) + n(v) − 1, identical
+    # to the rank()+count() window it replaces), and join the two
+    # marginal rank tables back onto the joint histogram. The
+    # unpartitioned windows now order NDV-sized (value, count) frames;
+    # no raw event row ever enters a single-partition window. All
+    # moment sums become cnt-weighted — same integers, same oracle.
+    joint = base.groupBy("x", "y").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+    def marginal_ranks(col: str, rname: str):
+        m = joint.groupBy(col).agg(F.sum("cnt").cast("long").alias("nv"))
+        cum_before = F.coalesce(
+            F.sum("nv").over(
+                Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        )
+        return m.select(col, (2 * (cum_before + 1) + F.col("nv") - 1).alias(rname))
+
+    weighted = joint.join(marginal_ranks("x", "rx"), "x").join(
+        marginal_ranks("y", "ry"), "y"
     )
     d = lambda c: F.col(c).cast("decimal(38,0)")
-    s = ranked.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum(d("rx")).alias("sx"),
-        F.sum(d("ry")).alias("sy"),
-        F.sum(d("rx") * d("rx")).alias("sxx"),
-        F.sum(d("ry") * d("ry")).alias("syy"),
-        F.sum(d("rx") * d("ry")).alias("sxy"),
+    s = weighted.agg(
+        F.sum(d("cnt")).alias("n"),
+        F.sum(d("cnt") * d("rx")).alias("sx"),
+        F.sum(d("cnt") * d("ry")).alias("sy"),
+        F.sum(d("cnt") * d("rx") * d("rx")).alias("sxx"),
+        F.sum(d("cnt") * d("ry") * d("ry")).alias("syy"),
+        F.sum(d("cnt") * d("rx") * d("ry")).alias("sxy"),
     )
     return s.select(
         F.col("n").cast("long").alias("n_obs"),

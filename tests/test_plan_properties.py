@@ -236,3 +236,14 @@ def test_auc_rank_window_rides_the_histogram(spark):
     assert plan.count("Window") == 1
     assert "rank(" not in plan
     assert "HashAggregate" in plan
+
+
+def test_spearman_windows_ride_histograms(spark):
+    """spearman_value_risk (round 8): both marginal rank passes must
+    order NDV-sized value histograms — never a per-row rank() window
+    over the raw events. No rank() window function anywhere; the two
+    running-count windows sit above aggregates."""
+    plan = _plan(spark, "spearman_value_risk")
+    assert "rank(" not in plan
+    assert plan.count("Window") == 2
+    assert "HashAggregate" in plan
