@@ -8886,6 +8886,51 @@ def q_hard_negatives_ann(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _chars_before_curriculum(d):
+    """Exact prefix sum of ``n_chars`` over the (logit desc, doc_id)
+    total order WITHOUT a raw-row global window (round 8): split the
+    prefix at the tie boundary. The cross-value component is a running
+    total over the per-logit histogram (the unpartitioned window
+    orders NDV(logit) two-column rows, not documents); the
+    within-value component is a doc_id-ordered running sum
+    PARTITIONED by logit — fully parallel. Their sum is identical to
+    ``sum(n_chars) over (order by logit desc, doc_id rows unbounded
+    preceding to 1 preceding)`` because the total order sorts first by
+    logit then doc_id. At 100 TB the histogram prefix range-partitions
+    like any other; documents never serialize."""
+    from pyspark.sql import Window
+
+    hist = (
+        d.groupBy("logit")
+        .agg(F.sum("n_chars").cast("long").alias("grp_chars"))
+        .select(
+            "logit",
+            F.coalesce(
+                F.sum("grp_chars").over(
+                    Window.orderBy(F.col("logit").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("chars_above"),
+        )
+    )
+    within = F.coalesce(
+        F.sum("n_chars").over(
+            Window.partitionBy("logit")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return d.join(hist, "logit").select(
+        "doc_id",
+        "logit",
+        "n_chars",
+        (F.col("chars_above") + within).alias("chars_before"),
+    )
+
+
 @register(
     "curriculum_packing",
     oracle=f"""
@@ -8914,26 +8959,15 @@ def q_curriculum_packing(spark, sf_dir):
     highest-quality data (the anti-curriculum flips one sort key).
     Composes model_quality_scores with seq_packing's exact-integer
     prefix-sum bin assignment; mean pack quality is the one rounded
-    float reduction. The global-order window is the curriculum
-    contract; at 100 TB, range-bucket by score decile first and pack
-    within buckets (same trick the AUC rank documents)."""
-    from pyspark.sql import Window
-
+    float reduction. The curriculum total order is the contract; its
+    prefix sum is computed tie-split (:func:`_chars_before_curriculum`)
+    so no document row enters an unpartitioned window."""
     from .operators.curation import hashed_feature_logit
 
     docs = load_table(spark, sf_dir, "documents")
     scored = hashed_feature_logit(docs).select("doc_id", "logit")
     d = docs.select("doc_id", "n_chars").join(scored, "doc_id")
-    w = (
-        Window.orderBy(F.col("logit").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ordered = d.select(
-        "doc_id",
-        "logit",
-        "n_chars",
-        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("chars_before"),
-    )
+    ordered = _chars_before_curriculum(d)
     return (
         ordered.groupBy(
             F.floor(F.col("chars_before") / 4096.0).cast("long").alias("pack_id")
@@ -9374,25 +9408,15 @@ def q_token_budget_subset(spark, sf_dir):
     by exact prefix sum over the (quality desc, doc_id) total order
     (the doc that crosses the boundary is kept — deterministic, same
     rule both engines); the reported quality_cutoff is the marginal
-    document's score. Same global-order window as curriculum_packing
-    with the same 100 TB range-bucket note."""
-    from pyspark.sql import Window
-
+    document's score. The prefix sum is tie-split
+    (:func:`_chars_before_curriculum`) so no document row enters an
+    unpartitioned window."""
     from .operators.curation import hashed_feature_logit
 
     docs = load_table(spark, sf_dir, "documents")
     scored = hashed_feature_logit(docs).select("doc_id", "logit")
     d = docs.select("doc_id", "n_chars").join(scored, "doc_id")
-    w = (
-        Window.orderBy(F.col("logit").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    kept = d.select(
-        "doc_id",
-        "logit",
-        "n_chars",
-        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("before"),
-    ).filter(F.col("before") < 100_000)
+    kept = _chars_before_curriculum(d).filter(F.col("chars_before") < 100_000)
     tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs_total"))
     return (
         kept.agg(

@@ -247,3 +247,16 @@ def test_spearman_windows_ride_histograms(spark):
     assert "rank(" not in plan
     assert plan.count("Window") == 2
     assert "HashAggregate" in plan
+
+
+def test_curriculum_prefix_sums_are_tie_split(spark):
+    """curriculum_packing / token_budget_subset (round 8): the
+    (logit desc, doc_id) prefix sum must be the tie-split form — the
+    only unpartitioned window orders the per-logit histogram; the
+    per-document running sum is partitioned by logit."""
+    for name in ("curriculum_packing", "token_budget_subset"):
+        plan = _plan(spark, name)
+        # one histogram window + one partitioned within-tie window
+        assert plan.count("Window") == 2, name
+        assert "windowspecdefinition(logit" in plan, name  # partitioned pass
+        assert "HashAggregate" in plan, name
