@@ -7807,9 +7807,14 @@ def q_model_reliability_bins(spark, sf_dir):
     ranking discriminates, the bins say WHERE the score is trustworthy.
     Per-bin min/max logits are exact order statistics; the mean is the
     one rounded float reduction; the positive rate is an exact integer
-    division. The global-order window is the same single-pass rank
-    shape as the AUC query (swap in percentile-bucket binning at
-    100 TB)."""
+    division. Round 8: the decile assignment never puts a document row
+    through an unpartitioned window — the 1-based position in the
+    (logit, doc_id) total order is cum_before(logit) (a running count
+    over the NDV-sized logit histogram) plus a logit-PARTITIONED
+    doc_id row_number, and ntile's SQL-standard bucket arithmetic
+    (first n%10 buckets one row larger) is a closed form over
+    (position, n): ceil division in integers, bit-identical to the
+    window-function ntile both engines define."""
     from pyspark.sql import Window
 
     from .operators.curation import hashed_feature_logit, quality_gate
@@ -7817,10 +7822,47 @@ def q_model_reliability_bins(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     heur = quality_gate(docs).select("doc_id", F.col("keep").alias("label"))
     model = hashed_feature_logit(docs).select("doc_id", "logit")
-    binned = heur.join(model, "doc_id").select(
-        "label",
-        "logit",
-        F.ntile(10).over(Window.orderBy("logit", "doc_id")).alias("bin"),
+    joined = heur.join(model, "doc_id")
+    hist = (
+        joined.groupBy("logit")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+        .select(
+            "logit",
+            F.coalesce(
+                F.sum("nv").over(
+                    Window.orderBy("logit").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_before"),
+        )
+    )
+    tot = joined.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    binned = (
+        joined.join(hist, "logit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            "logit",
+            (
+                F.col("n_before")
+                + F.row_number().over(
+                    Window.partitionBy("logit").orderBy("doc_id")
+                )
+            ).alias("pos"),
+            "n_tot",
+        )
+        .select(
+            "label",
+            "logit",
+            F.expr(
+                "CASE WHEN pos <= (n_tot % 10) * (n_tot DIV 10 + 1) "
+                "THEN (pos + (n_tot DIV 10)) DIV ((n_tot DIV 10) + 1) "
+                "ELSE (n_tot % 10) + ((pos - (n_tot % 10) * ((n_tot DIV 10) + 1) "
+                "+ (n_tot DIV 10) - 1) DIV (n_tot DIV 10)) END"
+            ).alias("bin"),
+        )
     )
     return (
         binned.groupBy("bin")

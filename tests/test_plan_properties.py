@@ -260,3 +260,44 @@ def test_curriculum_prefix_sums_are_tie_split(spark):
         assert plan.count("Window") == 2, name
         assert "windowspecdefinition(logit" in plan, name  # partitioned pass
         assert "HashAggregate" in plan, name
+
+
+def test_reliability_bins_closed_form_matches_ntile(spark):
+    """model_reliability_bins (round 8) replaces the global ntile(10)
+    window with closed-form bucket arithmetic over (position, n). The
+    formula must reproduce ntile EXACTLY — including the n %% 10
+    uneven-bucket split and the n < 10 degenerate case (base = 0,
+    where the guarded else-branch would divide by zero if evaluated).
+    Checked exhaustively against F.ntile for several n."""
+    from pyspark.sql import Window
+
+    formula = (
+        "CASE WHEN pos <= (n_tot % 10) * (n_tot DIV 10 + 1) "
+        "THEN (pos + (n_tot DIV 10)) DIV ((n_tot DIV 10) + 1) "
+        "ELSE (n_tot % 10) + ((pos - (n_tot % 10) * ((n_tot DIV 10) + 1) "
+        "+ (n_tot DIV 10) - 1) DIV (n_tot DIV 10)) END"
+    )
+    from pyspark.sql import functions as F
+
+    for n in (1, 7, 10, 23, 100, 101):
+        df = (
+            spark.range(1, n + 1)
+            .select(F.col("id").alias("pos"), F.lit(n).cast("long").alias("n_tot"))
+            .select(
+                "pos",
+                F.expr(formula).cast("int").alias("closed"),
+                F.ntile(10).over(Window.orderBy("pos")).alias("win"),
+            )
+        )
+        bad = df.filter(F.col("closed") != F.col("win")).count()
+        assert bad == 0, f"n={n}: closed form diverges from ntile"
+
+
+def test_reliability_bins_no_global_row_window(spark):
+    """The reliability-bin plan itself: no ntile window function; the
+    only unpartitioned window orders the logit histogram and the
+    row_number pass is partitioned by logit."""
+    plan = _plan(spark, "model_reliability_bins")
+    assert "ntile" not in plan
+    assert "windowspecdefinition(logit" in plan  # partitioned pass present
+    assert "HashAggregate" in plan
