@@ -7814,56 +7814,17 @@ def q_model_reliability_bins(spark, sf_dir):
     doc_id row_number, and ntile's SQL-standard bucket arithmetic
     (first n%10 buckets one row larger) is a closed form over
     (position, n): ceil division in integers, bit-identical to the
-    window-function ntile both engines define."""
-    from pyspark.sql import Window
-
+    window-function ntile both engines define (operators/ranks.py:
+    exact_ntile; equivalence pinned by tests/test_ranks.py)."""
     from .operators.curation import hashed_feature_logit, quality_gate
+    from .operators.ranks import exact_ntile
 
     docs = load_table(spark, sf_dir, "documents")
     heur = quality_gate(docs).select("doc_id", F.col("keep").alias("label"))
     model = hashed_feature_logit(docs).select("doc_id", "logit")
-    joined = heur.join(model, "doc_id")
-    hist = (
-        joined.groupBy("logit")
-        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
-        .select(
-            "logit",
-            F.coalesce(
-                F.sum("nv").over(
-                    Window.orderBy("logit").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0).cast("long"),
-            ).alias("n_before"),
-        )
-    )
-    tot = joined.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
-    binned = (
-        joined.join(hist, "logit")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "label",
-            "logit",
-            (
-                F.col("n_before")
-                + F.row_number().over(
-                    Window.partitionBy("logit").orderBy("doc_id")
-                )
-            ).alias("pos"),
-            "n_tot",
-        )
-        .select(
-            "label",
-            "logit",
-            F.expr(
-                "CASE WHEN pos <= (n_tot % 10) * (n_tot DIV 10 + 1) "
-                "THEN (pos + (n_tot DIV 10)) DIV ((n_tot DIV 10) + 1) "
-                "ELSE (n_tot % 10) + ((pos - (n_tot % 10) * ((n_tot DIV 10) + 1) "
-                "+ (n_tot DIV 10) - 1) DIV (n_tot DIV 10)) END"
-            ).alias("bin"),
-        )
-    )
+    binned = exact_ntile(
+        heur.join(model, "doc_id"), 10, "logit", "doc_id", out_col="bin"
+    ).select("label", "logit", "bin")
     return (
         binned.groupBy("bin")
         .agg(
@@ -8930,47 +8891,18 @@ def q_hard_negatives_ann(spark, sf_dir):
 
 def _chars_before_curriculum(d):
     """Exact prefix sum of ``n_chars`` over the (logit desc, doc_id)
-    total order WITHOUT a raw-row global window (round 8): split the
-    prefix at the tie boundary. The cross-value component is a running
-    total over the per-logit histogram (the unpartitioned window
-    orders NDV(logit) two-column rows, not documents); the
-    within-value component is a doc_id-ordered running sum
-    PARTITIONED by logit — fully parallel. Their sum is identical to
-    ``sum(n_chars) over (order by logit desc, doc_id rows unbounded
-    preceding to 1 preceding)`` because the total order sorts first by
-    logit then doc_id. At 100 TB the histogram prefix range-partitions
-    like any other; documents never serialize."""
-    from pyspark.sql import Window
+    total order WITHOUT a raw-row global window — the library's
+    tie-split decomposition (:func:`operators.ranks.
+    tie_split_prefix_sum`): histogram running total for the
+    cross-value component, a logit-PARTITIONED running sum within
+    ties. Identical to ``sum(n_chars) over (order by logit desc,
+    doc_id rows unbounded preceding to 1 preceding)``; documents never
+    serialize (equivalence pinned by tests/test_ranks.py)."""
+    from .operators.ranks import tie_split_prefix_sum
 
-    hist = (
-        d.groupBy("logit")
-        .agg(F.sum("n_chars").cast("long").alias("grp_chars"))
-        .select(
-            "logit",
-            F.coalesce(
-                F.sum("grp_chars").over(
-                    Window.orderBy(F.col("logit").desc()).rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0).cast("long"),
-            ).alias("chars_above"),
-        )
-    )
-    within = F.coalesce(
-        F.sum("n_chars").over(
-            Window.partitionBy("logit")
-            .orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0).cast("long"),
-    )
-    return d.join(hist, "logit").select(
-        "doc_id",
-        "logit",
-        "n_chars",
-        (F.col("chars_above") + within).alias("chars_before"),
-    )
+    return tie_split_prefix_sum(
+        d, "logit", "n_chars", "doc_id", desc=True, out_col="chars_before"
+    ).select("doc_id", "logit", "n_chars", "chars_before")
 
 
 @register(
