@@ -125,17 +125,21 @@ def exact_ntile(
     order_col: str,
     tiebreak_col: str,
     out_col: str = "bucket",
+    desc: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = the SQL-standard ``ntile(n_buckets)`` bucket
-    over the ascending (``order_col``, ``tiebreak_col``) total order,
-    computed WITHOUT a global row window: position = histogram running
-    count + value-partitioned row_number, and ntile's uneven split
-    (the first ``n %% k`` buckets get one extra row) is closed-form
-    integer ceil-division over (position, n) — bit-identical to the
-    window function (exhaustively tested in
-    ``tests/test_plan_properties.py`` including the n < k degenerate
+    over the (``order_col``, ``tiebreak_col``) total order, computed
+    WITHOUT a global row window: position = histogram running count +
+    value-partitioned row_number, and ntile's uneven split (the first
+    ``n %% k`` buckets get one extra row) is closed-form integer
+    ceil-division over (position, n) — bit-identical to the window
+    function (exhaustively tested in ``tests/test_plan_properties.py``
+    and ``tests/test_ranks.py``, including the n < k degenerate
     branch, where the guarded else never evaluates its zero divisor).
-    ``tiebreak_col`` must be unique per value."""
+    ``desc=True`` orders ``order_col`` descending (the "quintile 1 is
+    best" RFM shape); ``tiebreak_col`` stays ascending and must be
+    unique per value."""
+    okey = F.col(order_col).desc() if desc else F.col(order_col).asc()
     hist = (
         df.groupBy(order_col)
         .agg(F.count(F.lit(1)).cast("long").alias("__nv"))
@@ -143,7 +147,7 @@ def exact_ntile(
             order_col,
             F.coalesce(
                 F.sum("__nv").over(
-                    Window.orderBy(order_col).rowsBetween(
+                    Window.orderBy(okey).rowsBetween(
                         Window.unboundedPreceding, -1
                     )
                 ),

@@ -9842,10 +9842,12 @@ def q_rfm_segments(spark, sf_dir):
     quintiles (ntile over total orders — desc with user_id tiebreak,
     so quintile 1 is always the BEST on each axis) folded into the
     classic segment labels (champion / at-risk-loyal / lapsed). One
-    user-keyed aggregate then three rank passes over the small user
-    table (at 100 TB: range-bucket each axis like the other global
-    ntiles); monetary stays exact decimal until the displayed cast."""
-    from pyspark.sql import Window
+    user-keyed aggregate, then three quintile axes via
+    operators/ranks.py:exact_ntile (desc, user_id tiebreak) — each axis
+    is a value-histogram pass plus a value-partitioned row_number, so
+    the user table never serializes into a global window at any scale;
+    monetary stays exact decimal until the displayed cast."""
+    from .operators.ranks import exact_ntile
 
     ev = load_table(spark, sf_dir, "events")
     u = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
@@ -9853,15 +9855,16 @@ def q_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("freq"),
         F.sum(F.col("value").cast("decimal(18,2)")).alias("monetary"),
     )
-    def quint(col_desc):
-        return F.ntile(5).over(Window.orderBy(col_desc, F.col("user_id"))).cast("long")
-    q = u.select(
+    q = u
+    for col, out in (("last_t", "r_q"), ("freq", "f_q"), ("monetary", "m_q")):
+        q = exact_ntile(q, 5, col, "user_id", out_col=out, desc=True)
+    q = q.select(
         "user_id",
         "freq",
         F.col("monetary").cast("double").alias("monetary"),
-        quint(F.col("last_t").desc()).alias("r_q"),
-        quint(F.col("freq").desc()).alias("f_q"),
-        quint(F.col("monetary").desc()).alias("m_q"),
+        F.col("r_q").cast("long").alias("r_q"),
+        F.col("f_q").cast("long").alias("f_q"),
+        F.col("m_q").cast("long").alias("m_q"),
     )
     segment = (
         F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2) & (F.col("m_q") <= 2), "champion")

@@ -293,6 +293,13 @@ def test_reliability_bins_closed_form_matches_ntile(spark):
         assert bad == 0, f"n={n}: closed form diverges from ntile"
 
 
+def test_rfm_quintiles_no_global_row_window(spark):
+    """rfm_segments (round 8): all three quintile axes via
+    exact_ntile — no ntile window function in the plan."""
+    plan = _plan(spark, "rfm_segments")
+    assert "ntile" not in plan
+
+
 def test_reliability_bins_no_global_row_window(spark):
     """The reliability-bin plan itself: no ntile window function; the
     only unpartitioned window orders the logit histogram and the

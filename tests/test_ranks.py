@@ -58,12 +58,14 @@ def test_tie_split_prefix_sum_matches_window_form(spark):
 
 def test_exact_ntile_matches_window_form(spark):
     for n, k in ((97, 10), (7, 10), (40, 4), (1, 3)):
-        df = _tied_frame(spark, n)
-        expected = df.select(
-            "rid", F.ntile(k).over(Window.orderBy("v", "rid")).alias("b")
-        )
-        got = exact_ntile(df, k, "v", "rid").select(
-            "rid", F.col("bucket").cast("int").alias("b")
-        )
-        assert got.subtract(expected).count() == 0, f"n={n} k={k}"
-        assert expected.subtract(got).count() == 0, f"n={n} k={k}"
+        for desc in (False, True):
+            okey = F.col("v").desc() if desc else F.col("v").asc()
+            df = _tied_frame(spark, n)
+            expected = df.select(
+                "rid", F.ntile(k).over(Window.orderBy(okey, "rid")).alias("b")
+            )
+            got = exact_ntile(df, k, "v", "rid", desc=desc).select(
+                "rid", F.col("bucket").cast("int").alias("b")
+            )
+            assert got.subtract(expected).count() == 0, f"n={n} k={k} desc={desc}"
+            assert expected.subtract(got).count() == 0, f"n={n} k={k} desc={desc}"
