@@ -170,3 +170,56 @@ def exact_ntile(
         .withColumn(out_col, bucket)
         .drop("__n_before", "__n_tot", "__pos")
     )
+
+
+def ordered_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "pos",
+    parts: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = the 1-based row index over the total order
+    given by ``order_cols`` — ``row_number() over (order by ...)``
+    without the all-rows-to-one-task window, for orders keyed by a
+    UNIQUE composite (where the histogram decomposition above has
+    nothing to reduce). Range-partition on the order key (each
+    partition holds a contiguous key range, partition ids ascending in
+    key order), number rows inside each partition with a PARTITIONED
+    window, and add per-partition row-count offsets (a width-sized
+    broadcast). Spark's range-exchange boundary sampling is seeded
+    deterministically per input partition, so the two consumers of the
+    exchange (the numbering pass and the count pass) see identical
+    partition ids; with unique keys the result is also independent of
+    where the boundaries land. Equivalence + re-roll stability pinned
+    by tests/test_ranks.py."""
+    spark = df.sparkSession
+    if parts is None:
+        try:
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            parts = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    within = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*order_cols)
+    )
+    offs = (
+        with_pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        .select(
+            "__pid",
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("long"),
+            ).alias("__off"),
+        )
+    )
+    return (
+        with_pid.join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, (F.col("__off") + within).cast("long"))
+        .drop("__pid", "__off")
+    )

@@ -4484,18 +4484,25 @@ def q_corpus_shuffle_order(spark, sf_dir):
     """Deterministic corpus shuffle for training-order assignment:
     position = rank under md5(doc_id || seed) — reproducible across
     runs/engines (md5 is portable; xxhash64 is not), re-shuffled by
-    changing the seed. The global row_number is a single range
-    exchange over (hash, doc_id); at 100 TB the same hash becomes the
-    sort key of a partitioned write (sortWithinPartitions) so no
-    global total order is ever materialized — the rank form here is
-    the oracle-checkable equivalent."""
-    docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    changing the seed. Round 8: the global row index is computed by
+    operators/ranks.py:ordered_row_number — range-partition on
+    (hash, doc_id), a PARTITIONED row_number inside each contiguous
+    range, broadcast per-range count offsets — so the corpus never
+    serializes into one window task at any scale (equivalence and
+    re-roll stability pinned by tests/test_ranks.py); on a 100 TB
+    write the same hash simply becomes the sort key of
+    sortWithinPartitions."""
+    from .operators.ranks import ordered_row_number
 
+    docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
-    w = Window.orderBy(h, "doc_id")
-    return docs.select(
-        "doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos")
+    return (
+        ordered_row_number(
+            docs.select("doc_id", h.alias("__h")),
+            ["__h", "doc_id"],
+            out_col="shuffle_pos",
+        )
+        .select("doc_id", F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
     )
 
 

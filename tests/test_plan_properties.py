@@ -308,3 +308,14 @@ def test_reliability_bins_no_global_row_window(spark):
     assert "ntile" not in plan
     assert "windowspecdefinition(logit" in plan  # partitioned pass present
     assert "HashAggregate" in plan
+
+
+def test_corpus_shuffle_order_uses_range_partitioned_index(spark):
+    """corpus_shuffle_order (round 8): the row index must come from
+    ordered_row_number — a range exchange + __pid-partitioned
+    numbering + width-sized offset window — never row_number() over a
+    bare global order (which would show an order-only windowspec and
+    no range exchange)."""
+    plan = _plan(spark, "corpus_shuffle_order")
+    assert "rangepartitioning" in plan
+    assert "windowspecdefinition(__pid" in plan

@@ -69,3 +69,28 @@ def test_exact_ntile_matches_window_form(spark):
             )
             assert got.subtract(expected).count() == 0, f"n={n} k={k} desc={desc}"
             assert expected.subtract(got).count() == 0, f"n={n} k={k} desc={desc}"
+
+
+def test_ordered_row_number_matches_window_form(spark):
+    """ordered_row_number: identical to row_number() over a global
+    order for unique composite keys, across widths, and stable across
+    two same-session evaluations (the range-exchange boundary sampling
+    must be deterministic for the two internal consumers to agree)."""
+    from etl_challenge_localiza_spark.operators.ranks import ordered_row_number
+
+    df = spark.range(500).select(
+        (F.col("id") * 2654435761 % 1000).alias("h"),  # collisions on h
+        F.col("id").alias("rid"),
+    )
+    expected = df.select(
+        "rid", F.row_number().over(Window.orderBy("h", "rid")).alias("p")
+    )
+    for parts in (1, 7, 32):
+        got = ordered_row_number(df, ["h", "rid"], out_col="p", parts=parts).select(
+            "rid", "p"
+        )
+        assert got.subtract(expected).count() == 0, f"parts={parts}"
+        assert expected.subtract(got).count() == 0, f"parts={parts}"
+    # re-roll: two evaluations of the same plan agree row-for-row
+    a = ordered_row_number(df, ["h", "rid"], out_col="p")
+    assert a.subtract(a).count() == 0 and a.count() == 500
