@@ -3131,10 +3131,14 @@ def q_seq_packing(spark, sf_dir):
     pack id is integer floor-division of an EXACT integer prefix sum
     (rows-frame window over a total order), so assignment is
     deterministic and engine-portable. One shuffle on lang; the window
-    and the pack rollup reuse the same partitioning. This is the
-    standard 'greedy fill' approximation — a doc can straddle a
-    boundary, which real packers split; assignment-by-prefix-sum is
-    the distributed-friendly core."""
+    and the pack rollup reuse the same partitioning. Scale note: each
+    language stream is ONE window task, so the dominant language
+    bounds parallelism — at corpus scale, compose the ranks.py
+    range-partition pattern (ordered_row_number's contiguous-range
+    offsets, reset per lang) the way corpus_shuffle_order does
+    globally. This is the standard 'greedy fill' approximation — a doc
+    can straddle a boundary, which real packers split;
+    assignment-by-prefix-sum is the distributed-friendly core."""
     docs = load_table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
