@@ -223,3 +223,63 @@ def ordered_row_number(
         .withColumn(out_col, (F.col("__off") + within).cast("long"))
         .drop("__pid", "__off")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "prefix_before",
+    parts: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exclusive running sum of ``weight_col`` over
+    ``order_col`` — ``sum(w) over (partition by g order by o rows
+    unbounded preceding to 1 preceding)`` without the
+    one-task-per-group bound (a dominant group, e.g. the majority
+    language of a corpus, otherwise serializes its whole stream into
+    a single window task). Range-partition on (group, order) so each
+    group occupies a contiguous RUN of partitions, compute the
+    running sum inside each (partition, group) cell with a partitioned
+    window, and add per-cell totals cumulated along each group's run
+    (a width×groups-bounded frame). Exact for unique ``order_col``
+    within a group; like :func:`ordered_row_number`, cross-branch
+    partition-id consistency rests on Spark's deterministic
+    range-boundary sampling and is pinned by tests/test_ranks.py."""
+    spark = df.sparkSession
+    if parts is None:
+        try:
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            parts = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, F.col(group_col), F.col(order_col))
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    within = F.coalesce(
+        F.sum(weight_col).over(
+            Window.partitionBy("__pid", group_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    offs = (
+        with_pid.groupBy("__pid", group_col)
+        .agg(F.sum(weight_col).cast("long").alias("__w"))
+        .select(
+            "__pid",
+            group_col,
+            F.coalesce(
+                F.sum("__w").over(
+                    Window.partitionBy(group_col)
+                    .orderBy("__pid")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("__off"),
+        )
+    )
+    return (
+        with_pid.join(F.broadcast(offs), ["__pid", group_col])
+        .withColumn(out_col, F.col("__off") + within)
+        .drop("__pid", "__off")
+    )

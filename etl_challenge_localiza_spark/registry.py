@@ -3130,28 +3130,25 @@ def q_seq_packing(spark, sf_dir):
     total of everything packed before them, per language stream. The
     pack id is integer floor-division of an EXACT integer prefix sum
     (rows-frame window over a total order), so assignment is
-    deterministic and engine-portable. One shuffle on lang; the window
-    and the pack rollup reuse the same partitioning. Scale note: each
-    language stream is ONE window task, so the dominant language
-    bounds parallelism — at corpus scale, compose the ranks.py
-    range-partition pattern (ordered_row_number's contiguous-range
-    offsets, reset per lang) the way corpus_shuffle_order does
-    globally. This is the standard 'greedy fill' approximation — a doc
-    can straddle a boundary, which real packers split;
-    assignment-by-prefix-sum is the distributed-friendly core."""
+    deterministic and engine-portable. Round 8: the per-language
+    prefix sum runs through operators/ranks.py:grouped_prefix_sum —
+    range-partition on (lang, doc_id), per-(partition, lang) running
+    sums, per-cell offsets cumulated along each language's contiguous
+    partition run — so the dominant language no longer serializes its
+    whole stream into one window task (equivalence across widths
+    pinned by tests/test_ranks.py). This is the standard 'greedy fill'
+    approximation — a doc can straddle a boundary, which real packers
+    split; assignment-by-prefix-sum is the distributed-friendly
+    core."""
     docs = load_table(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from .operators.ranks import grouped_prefix_sum
 
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ordered = docs.select(
-        "doc_id",
+    ordered = grouped_prefix_sum(
+        docs.select("doc_id", "lang", "n_chars"),
         "lang",
+        "doc_id",
         "n_chars",
-        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("chars_before"),
+        out_col="chars_before",
     )
     return (
         # explicit floor on both sides: DuckDB's double→bigint cast

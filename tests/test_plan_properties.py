@@ -319,3 +319,12 @@ def test_corpus_shuffle_order_uses_range_partitioned_index(spark):
     plan = _plan(spark, "corpus_shuffle_order")
     assert "rangepartitioning" in plan
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_seq_packing_prefix_not_bound_by_language(spark):
+    """seq_packing (round 8): the per-language prefix sum must ride
+    grouped_prefix_sum — a range exchange + (__pid, lang)-partitioned
+    running sums — so the dominant language is not one window task."""
+    plan = _plan(spark, "seq_packing")
+    assert "rangepartitioning" in plan
+    assert "windowspecdefinition(__pid" in plan

@@ -94,3 +94,31 @@ def test_ordered_row_number_matches_window_form(spark):
     # re-roll: two evaluations of the same plan agree row-for-row
     a = ordered_row_number(df, ["h", "rid"], out_col="p")
     assert a.subtract(a).count() == 0 and a.count() == 500
+
+
+def test_grouped_prefix_sum_matches_window_form(spark):
+    """grouped_prefix_sum: identical to the per-group global-window
+    running sum, across widths — including widths that split one
+    group's stream over several range partitions (the case the
+    per-cell offsets exist for)."""
+    from etl_challenge_localiza_spark.operators.ranks import grouped_prefix_sum
+
+    df = spark.range(600).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("o"),
+        (F.col("id") % 11 + 1).cast("long").alias("w"),
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("o")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    expected = df.select(
+        "g", "o", F.coalesce(F.sum("w").over(w), F.lit(0)).alias("p")
+    )
+    for parts in (1, 2, 7, 32):
+        got = grouped_prefix_sum(df, "g", "o", "w", out_col="p", parts=parts).select(
+            "g", "o", "p"
+        )
+        assert got.subtract(expected).count() == 0, f"parts={parts}"
+        assert expected.subtract(got).count() == 0, f"parts={parts}"
