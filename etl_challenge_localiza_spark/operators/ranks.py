@@ -34,6 +34,31 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _join_nullsafe(
+    df: DataFrame, other: DataFrame, keys: list[str], broadcast: bool = False
+) -> DataFrame:
+    """Inner join on ``keys`` with NULL-SAFE equality (``<=>``), keeping
+    only ``df``'s copy of the key columns. A plain equi-join silently
+    drops rows whose key is NULL — the window forms these helpers are
+    value-identical to instead rank NULLs first (ASC) / last (DESC),
+    which the histogram side already reproduces (its groupBy keeps a
+    NULL group and the histogram window orders it with Spark's default
+    null placement); the join back must not lose those rows (ADVICE r8).
+    Null-safe equality still plans as a hash join (one shuffle, or a
+    broadcast when ``other`` is marked)."""
+    renames = {k: f"__rhs_{k}" for k in keys}
+    rhs = other
+    for k, rk in renames.items():
+        rhs = rhs.withColumnRenamed(k, rk)
+    if broadcast:
+        rhs = F.broadcast(rhs)
+    cond = None
+    for k, rk in renames.items():
+        c = F.col(k).eqNullSafe(F.col(rk))
+        cond = c if cond is None else cond & c
+    return df.join(rhs, cond).drop(*renames.values())
+
+
 def scaled_avg_rank_by_value(df: DataFrame, value_col: str) -> DataFrame:
     """Per-DISTINCT-value rank table: (value_col, n, r2) where ``n``
     is the value's multiplicity and ``r2`` its ×2-scaled average rank
@@ -79,18 +104,27 @@ def tie_split_prefix_sum(
     running sum a value-partitioned window. ``desc=True`` orders
     ``order_col`` descending (the curriculum "best first" shape);
     ``tiebreak_col`` stays ascending and must be unique per value for
-    the total order to be total."""
+    the total order to be total.
+
+    The weight's type is PRESERVED (integral sums stay integral,
+    fractional stay fractional — ADVICE r8 fixed a silent
+    cast-to-long of the cross-value component); for floating-point
+    weights the decomposition reassociates the summation, so results
+    match the window form up to float addition order (exact for
+    integral and decimal types). NULL ``order_col`` rows are kept and
+    ranked with Spark's window null placement (nulls first ASC / last
+    DESC) via the null-safe join back."""
     okey = F.col(order_col).desc() if desc else F.col(order_col).asc()
     hist = (
         df.groupBy(order_col)
-        .agg(F.sum(weight_col).cast("long").alias("__grp_w"))
+        .agg(F.sum(weight_col).alias("__grp_w"))
         .select(
             order_col,
             F.coalesce(
                 F.sum("__grp_w").over(
                     Window.orderBy(okey).rowsBetween(Window.unboundedPreceding, -1)
                 ),
-                F.lit(0).cast("long"),
+                F.lit(0),
             ).alias("__w_above"),
         )
     )
@@ -100,10 +134,10 @@ def tie_split_prefix_sum(
             .orderBy(tiebreak_col)
             .rowsBetween(Window.unboundedPreceding, -1)
         ),
-        F.lit(0).cast("long"),
+        F.lit(0),
     )
     return (
-        df.join(hist, order_col)
+        _join_nullsafe(df, hist, [order_col])
         .withColumn(out_col, F.col("__w_above") + within)
         .drop("__w_above")
     )
@@ -138,7 +172,8 @@ def exact_ntile(
     branch, where the guarded else never evaluates its zero divisor).
     ``desc=True`` orders ``order_col`` descending (the "quintile 1 is
     best" RFM shape); ``tiebreak_col`` stays ascending and must be
-    unique per value."""
+    unique per value. NULL ``order_col`` rows are kept (null-safe join
+    back) and bucketed per Spark's window null placement."""
     okey = F.col(order_col).desc() if desc else F.col(order_col).asc()
     hist = (
         df.groupBy(order_col)
@@ -164,7 +199,7 @@ def exact_ntile(
         f"+ (__n_tot DIV {k}) - 1) DIV (__n_tot DIV {k})) END"
     )
     return (
-        df.join(hist, order_col)
+        _join_nullsafe(df, hist, [order_col])
         .crossJoin(F.broadcast(tot))
         .withColumn("__pos", _position(df, order_col, tiebreak_col))
         .withColumn(out_col, bucket)
@@ -186,12 +221,20 @@ def ordered_row_number(
     partition holds a contiguous key range, partition ids ascending in
     key order), number rows inside each partition with a PARTITIONED
     window, and add per-partition row-count offsets (a width-sized
-    broadcast). Spark's range-exchange boundary sampling is seeded
-    deterministically per input partition, so the two consumers of the
-    exchange (the numbering pass and the count pass) see identical
-    partition ids; with unique keys the result is also independent of
-    where the boundaries land. Equivalence + re-roll stability pinned
-    by tests/test_ranks.py."""
+    broadcast).
+
+    The numbering pass and the count pass are two consumers of the
+    same pid assignment, so they MUST observe identical partition
+    boundaries. The pid-tagged frame is persisted before the fork:
+    Spark's CacheManager substitutes one InMemoryRelation for both
+    logical occurrences, and the cached RDD's range partitioner is
+    built exactly once — cross-consumer pid identity is by
+    construction, not a bet on physical exchange reuse or on the
+    boundary sampler's seeding (ADVICE r8; the reuse-disabled case is
+    pinned by tests/test_ranks.py). With unique keys the result is
+    also independent of where the boundaries land. The persisted
+    frame (MEMORY_AND_DISK) is reclaimed by Spark's ContextCleaner
+    once the returned plan is garbage-collected."""
     spark = df.sparkSession
     if parts is None:
         try:
@@ -199,7 +242,7 @@ def ordered_row_number(
         except Exception:
             parts = spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
     within = F.row_number().over(
         Window.partitionBy("__pid").orderBy(*order_cols)
     )
@@ -243,9 +286,12 @@ def grouped_prefix_sum(
     running sum inside each (partition, group) cell with a partitioned
     window, and add per-cell totals cumulated along each group's run
     (a width×groups-bounded frame). Exact for unique ``order_col``
-    within a group; like :func:`ordered_row_number`, cross-branch
-    partition-id consistency rests on Spark's deterministic
-    range-boundary sampling and is pinned by tests/test_ranks.py."""
+    within a group; the weight's type is preserved (fractional
+    weights match the window form up to float addition order — ADVICE
+    r8), NULL groups are kept via the null-safe offset join, and like
+    :func:`ordered_row_number` the pid-tagged frame is persisted
+    before the fork so both consumers read one cached partitioner —
+    by-construction pid identity, not physical-plan reuse."""
     spark = df.sparkSession
     if parts is None:
         try:
@@ -253,18 +299,18 @@ def grouped_prefix_sum(
         except Exception:
             parts = spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(parts, F.col(group_col), F.col(order_col))
-    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
     within = F.coalesce(
         F.sum(weight_col).over(
             Window.partitionBy("__pid", group_col)
             .orderBy(order_col)
             .rowsBetween(Window.unboundedPreceding, -1)
         ),
-        F.lit(0).cast("long"),
+        F.lit(0),
     )
     offs = (
         with_pid.groupBy("__pid", group_col)
-        .agg(F.sum(weight_col).cast("long").alias("__w"))
+        .agg(F.sum(weight_col).alias("__w"))
         .select(
             "__pid",
             group_col,
@@ -274,12 +320,12 @@ def grouped_prefix_sum(
                     .orderBy("__pid")
                     .rowsBetween(Window.unboundedPreceding, -1)
                 ),
-                F.lit(0).cast("long"),
+                F.lit(0),
             ).alias("__off"),
         )
     )
     return (
-        with_pid.join(F.broadcast(offs), ["__pid", group_col])
+        _join_nullsafe(with_pid, offs, ["__pid", group_col], broadcast=True)
         .withColumn(out_col, F.col("__off") + within)
         .drop("__pid", "__off")
     )

@@ -40,30 +40,52 @@ TESTDATA_TABLES = (
 # pytest tmp dir — invalidates naturally).
 _TABLE_CACHE: dict[tuple, DataFrame] = {}
 _TABLE_CACHE_MAX = 64
+# Max stat() calls spent building one cache key (dir entries + one
+# level of subdirectory files). A table wider than this skips the
+# plan cache entirely — correctness over cache hits.
+_TABLE_CACHE_STAT_CAP = 512
 
 
 def _table_cache_key(spark: SparkSession, path: str) -> tuple | None:
     # For a directory table the top-level mtime only changes when an
-    # ENTRY is added/removed/renamed — rewriting a part file in place,
-    # or rewriting files inside a partition subdirectory, does not bump
-    # it (ADVICE r7). Folding each immediate entry's (name, mtime, size)
-    # into the key catches both: an in-place part rewrite changes that
-    # entry's mtime; a partitioned layout's subdirectory mtime changes
-    # when ITS files are added/replaced (the whole-dir-rewrite pattern
-    # every writer in this repo uses). Deeper nesting would need a full
-    # walk — not worth the per-call stat storm; partitioned tables here
-    # are at most one level deep.
+    # ENTRY is added/removed/renamed — rewriting a part file in place
+    # does not bump it (ADVICE r7). Folding each immediate entry's
+    # (name, mtime, size) into the key catches in-place part rewrites;
+    # for one-level partitioned layouts (dir of subdirectories) the
+    # subdirectory's OWN mtime also misses a same-named in-place
+    # rewrite of a file inside it (ADVICE r8), so for entries that are
+    # directories we additionally fold THEIR immediate files into the
+    # key. Partitioned tables in this repo are at most one level deep;
+    # the stat count is bounded by _TABLE_CACHE_STAT_CAP — beyond it
+    # we return None (no caching) rather than risk staleness.
     try:
         st = os.stat(path)
         entries: tuple = ()
         if os.path.isdir(path):
+            stat_budget = _TABLE_CACHE_STAT_CAP
+            collected = []
             with os.scandir(path) as it:
-                entries = tuple(
-                    sorted(
-                        (e.name, e.stat().st_mtime_ns, e.stat().st_size)
-                        for e in it
-                    )
-                )
+                for e in it:
+                    est = e.stat()
+                    collected.append((e.name, est.st_mtime_ns, est.st_size))
+                    stat_budget -= 1
+                    if e.is_dir():
+                        with os.scandir(e.path) as sub:
+                            for s in sub:
+                                sst = s.stat()
+                                collected.append(
+                                    (
+                                        f"{e.name}/{s.name}",
+                                        sst.st_mtime_ns,
+                                        sst.st_size,
+                                    )
+                                )
+                                stat_budget -= 1
+                                if stat_budget <= 0:
+                                    return None
+                    if stat_budget <= 0:
+                        return None
+            entries = tuple(sorted(collected))
         return (
             spark.sparkContext.applicationId,
             os.path.abspath(path),

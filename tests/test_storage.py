@@ -469,3 +469,42 @@ def test_load_table_memo_hits_and_invalidates(spark, tmp_path):
     df3 = load_table(spark, sf, "t")
     assert df3 is not df1  # entry-level stat folded into the key
     assert df3.count() == 2
+
+
+def test_load_table_memo_invalidates_partition_subdir_rewrite(spark, tmp_path):
+    """ADVICE r9: a same-named IN-PLACE rewrite of a part file inside a
+    partition SUBDIRECTORY bumps neither the parent's nor the
+    subdirectory's mtime/size — the cache key must fold one level of
+    subdirectory files to catch it."""
+    import os
+    import shutil
+    import time
+
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    sf = str(tmp_path)
+    tdir = os.path.join(sf, "t.parquet")
+    spark.createDataFrame([(1, "a"), (2, "a")], ["k", "part"]).coalesce(
+        1
+    ).write.partitionBy("part").parquet(tdir)
+
+    df1 = load_table(spark, sf, "t")
+    assert load_table(spark, sf, "t") is df1  # memo hit
+
+    sub = os.path.join(tdir, "part=a")
+    part = next(p for p in os.listdir(sub) if p.endswith(".parquet"))
+    stage = os.path.join(sf, "stage.parquet")
+    spark.createDataFrame([(7,), (8,), (9,)], ["k"]).coalesce(1).write.parquet(stage)
+    spart = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    time.sleep(0.01)
+    # same-name in-place rewrite inside the subdirectory: parent AND
+    # subdirectory mtimes unchanged (copyfile writes into the existing
+    # dir entry), only the file's own mtime/size move
+    shutil.copyfile(os.path.join(stage, spart), os.path.join(sub, part))
+    shutil.copyfile(
+        os.path.join(stage, f".{spart}.crc"), os.path.join(sub, f".{part}.crc")
+    )
+
+    df3 = load_table(spark, sf, "t")
+    assert df3 is not df1  # subdir-file stat folded into the key
+    assert df3.count() == 3
