@@ -8245,7 +8245,19 @@ select * from (
 def q_attribution_multi_touch(spark, sf_dir):
     """Multi-touch LINEAR attribution: every click/view/signup in the
     3 days before a purchase shares the purchase value equally — the
-    fractional-credit counterpart of attribution_last_touch. The
+    fractional-credit counterpart of attribution_last_touch.
+
+    .. warning:: **density² scale profile.** This UNCAPPED variant
+       enumerates every (conversion, in-window touch) pair, so when
+       per-user event density grows with the corpus the pair count —
+       and the wall clock — grows quadratically (measured ×68 at ×30
+       data). It is kept as the exact-semantics form; for production
+       scale use :func:`q_attribution_multi_touch_capped`
+       (``attribution_multi_touch_capped``), whose plan bounds the
+       enumeration at cap×conversions by construction and is the
+       documented default (3.0× faster at ×30, linear between tiers).
+
+    The
     conversion×touch pairing uses the bucketized interval-join shape
     from operators/rangejoin.py (each conversion's lookback interval
     lands in ≤2 W-sized buckets, so the join runs on (user, bucket)
@@ -8322,6 +8334,7 @@ _MTA_CAP = 8
 
 @register(
     "attribution_multi_touch_capped",
+    headline=True,
     oracle=f"""
 with conv as (
   select event_id as conv_id, user_id, epoch_us(ts) as t_c,
