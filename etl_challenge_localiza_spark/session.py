@@ -39,6 +39,16 @@ RUNTIME_CONF = {
     # 10-20% faster on the bench queries (small shuffles collapse to
     # few partitions instead of 32 near-empty tasks).
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # 16 MB advisory post-shuffle partition size (default 64 MB).
+    # Byte-based coalescing under-parallelizes CPU-DENSE small-byte
+    # stages: at the ×30 tier, 64 MB collapsed user_sessions' window
+    # stage to one task and q9/q21/q5's join-agg stages to 2-7 tasks
+    # (round-9 gap attribution; 2-6× wall on that class at 16 MB,
+    # sf0.1 bench unchanged). At cluster scale this can only INCREASE
+    # small-stage parallelism: coalescing merges partitions up to the
+    # advisory size and never splits, so large shuffles — already at
+    # or above the initial partition count — are unaffected.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),

@@ -328,3 +328,16 @@ def test_seq_packing_prefix_not_bound_by_language(spark):
     plan = _plan(spark, "seq_packing")
     assert "rangepartitioning" in plan
     assert "windowspecdefinition(__pid" in plan
+
+
+def test_user_sessions_window_width_pinned(spark):
+    """sessionize (round 9 gap attribution): the user_id window stage
+    is CPU-dense per shuffle byte, so AQE's byte-based coalescing
+    collapsed it to ONE task at the x30 tier (8.3 s single-task wall).
+    The explicit-width repartition pin (REPARTITION_BY_NUM, exempt
+    from coalescing) must stay in the plan, and the two window passes
+    plus the session aggregate must reuse it — exactly one user_id
+    exchange in the whole tree."""
+    plan = _plan(spark, "user_sessions")
+    assert "REPARTITION_BY_NUM" in plan
+    assert plan.count("hashpartitioning(user_id") == 1

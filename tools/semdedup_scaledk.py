@@ -9,7 +9,19 @@ stage). This tool measures the honest pairing: ×K data with ×K
 clusters, so expected cluster size — and the per-vector pair work —
 stays constant.
 
-Usage: python -m tools.semdedup_scaledk [--factors 1,10,30]
+Usage: python -m tools.semdedup_scaledk [--factors 1,10,30] [--op semdedup|kmeans]
+
+``--op kmeans`` times the BARE ``kmeans_fit`` in the same k ∝ N regime
+(VERDICT r8 directive #3: the fit's fixed-k growth row measured ×0.8 at
+×10 — fixed-cost-dominated — so its data-bound behavior needed its own
+measurement). Note the expected asymptote differs from SemDeDup's: the
+Lloyd assignment step is N·k distance evaluations with a broadcast
+codebook, so at k ∝ N the per-sweep WORK is O(N²/c) by definition —
+the measurement tells us where the crossover from fixed-cost to
+compute-bound sits and whether the wall tracks the work (parallel) or
+exceeds it (a serialization to fix). Production k-means at huge N·k
+uses assignment pruning (triangle-inequality / IVF-style shortlists) —
+the same pruning `semdedup_drop_pruned` applies to its scoring pass.
 """
 
 from __future__ import annotations
@@ -21,15 +33,20 @@ import time
 
 def main() -> int:
     factors = [1, 10, 30]
+    op = "semdedup"
     if "--factors" in sys.argv:
         factors = [int(x) for x in sys.argv[sys.argv.index("--factors") + 1].split(",")]
+    if "--op" in sys.argv:
+        op = sys.argv[sys.argv.index("--op") + 1]
 
+    from etl_challenge_localiza_spark.operators.kmeans import kmeans_fit
     from etl_challenge_localiza_spark.operators.similarity import semdedup_drop
     from etl_challenge_localiza_spark.session import get_spark
     from etl_challenge_localiza_spark.sources.readers import load_table
     from tools.sf1_bench import build_sf1
 
     spark = get_spark(app_name="semdedup_scaledk")
+    print(f"op={op}")
     print("| factor | k | wall (full, best-of-2) | per-×1 ratio |")
     print("|---|---|---|---|")
     base = None
@@ -43,9 +60,13 @@ def main() -> int:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            semdedup_drop(emb, k=k, max_sweeps=3).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            if op == "kmeans":
+                cents, sweeps = kmeans_fit(emb, k=k, max_sweeps=3)
+                assert len(cents) == k and sweeps >= 1
+            else:
+                semdedup_drop(emb, k=k, max_sweeps=3).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             best = min(best, time.perf_counter() - t0)
         if base is None:
             base = best
