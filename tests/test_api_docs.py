@@ -14,12 +14,14 @@ import re
 
 import pytest
 
-DOC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "API.md")
+_DOCS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs")
+DOC = os.path.join(_DOCS, "API.md")
+DEPLOY = os.path.join(_DOCS, "DEPLOY.md")
 PKG = "etl_challenge_localiza_spark"
 
 
-def _doc_text() -> str:
-    with open(DOC, encoding="utf-8") as fh:
+def _doc_text(path: str = DOC) -> str:
+    with open(path, encoding="utf-8") as fh:
         return fh.read()
 
 
@@ -32,7 +34,7 @@ def _all_modules() -> list[str]:
 
 
 def test_every_documented_symbol_imports():
-    text = _doc_text()
+    text = _doc_text() + "\n" + _doc_text(DEPLOY)
     full = set(re.findall(rf"`({PKG}(?:\.\w+)+)`", text))
     assert len(full) >= 60, "doc lost its symbol inventory?"
     modules = _all_modules()
@@ -78,3 +80,19 @@ def test_every_example_block_runs(spark):
             exec(compile(block, f"docs/API.md#block{i}", "exec"), ns)  # noqa: S102
         except Exception as e:  # noqa: BLE001
             pytest.fail(f"docs/API.md example block {i} failed: {type(e).__name__}: {e}\n{block}")
+
+
+def test_deploy_doc_python_blocks_run(spark):
+    """DEPLOY.md's python blocks run against sf0.001 (its bash blocks
+    are packaging recipes, checked for existence only)."""
+    blocks = re.findall(r"```python\n(.*?)```", _doc_text(DEPLOY), flags=re.DOTALL)
+    assert blocks, "DEPLOY.md lost its verification example?"
+    ns: dict = {"spark": spark, "SF": "/root/testdata/sf0.001"}
+    for i, block in enumerate(blocks):
+        try:
+            exec(compile(block, f"docs/DEPLOY.md#block{i}", "exec"), ns)  # noqa: S102
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(
+                f"docs/DEPLOY.md example block {i} failed: {type(e).__name__}: {e}\n{block}"
+            )
+    assert "```bash" in _doc_text(DEPLOY)

@@ -40,6 +40,8 @@ TARGETS: list[tuple[str, str]] = [
     ("image_ahash_dedup", "exec"),
     ("attribution_multi_touch", "exec"),
     ("attribution_multi_touch_capped", "exec"),
+    # round-9 ×100 decade check (VERDICT r8 directive #8)
+    ("user_rolling_hour_stats", "exec"),
 ]
 
 SRC = "/root/testdata/sf0.1"

@@ -9,7 +9,10 @@ stage). This tool measures the honest pairing: ×K data with ×K
 clusters, so expected cluster size — and the per-vector pair work —
 stays constant.
 
-Usage: python -m tools.semdedup_scaledk [--factors 1,10,30] [--op semdedup|kmeans]
+Usage: python -m tools.semdedup_scaledk [--factors 1,10,30] [--op semdedup|kmeans|pruned]
+
+``--op pruned`` times ``semdedup_drop_pruned`` (the IVF-pruned k ∝ N
+lane) — used for the ×100 decade check (VERDICT r8 directive #8).
 
 ``--op kmeans`` times the BARE ``kmeans_fit`` in the same k ∝ N regime
 (VERDICT r8 directive #3: the fit's fixed-k growth row measured ×0.8 at
@@ -40,7 +43,10 @@ def main() -> int:
         op = sys.argv[sys.argv.index("--op") + 1]
 
     from etl_challenge_localiza_spark.operators.kmeans import kmeans_fit
-    from etl_challenge_localiza_spark.operators.similarity import semdedup_drop
+    from etl_challenge_localiza_spark.operators.similarity import (
+        semdedup_drop,
+        semdedup_drop_pruned,
+    )
     from etl_challenge_localiza_spark.session import get_spark
     from etl_challenge_localiza_spark.sources.readers import load_table
     from tools.sf1_bench import build_sf1
@@ -63,6 +69,10 @@ def main() -> int:
             if op == "kmeans":
                 cents, sweeps = kmeans_fit(emb, k=k, max_sweeps=3)
                 assert len(cents) == k and sweeps >= 1
+            elif op == "pruned":
+                semdedup_drop_pruned(emb, k=k, max_sweeps=3).write.format(
+                    "noop"
+                ).mode("overwrite").save()
             else:
                 semdedup_drop(emb, k=k, max_sweeps=3).write.format("noop").mode(
                     "overwrite"
