@@ -107,8 +107,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cannot represent; we read it as a raw int64
     (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
     timestamps — the same truncation DuckDB applies when reading the
-    file, so oracle comparisons agree. The decimal division keeps the
-    ns→µs conversion exact (a double would lose precision above 2^53).
+    file, so oracle comparisons agree. Integer `div` keeps the ns→µs
+    conversion exact (a double would lose precision above 2^53).
     """
     from pyspark.sql import functions as F
 
@@ -124,7 +124,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         pass
     df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        # integer `div` truncates toward zero — bit-identical to the
+        # previous decimal(38,0) divide-then-cast across the full
+        # int64 domain (fuzz-checked round 9) and to DuckDB's
+        # read-time ns→µs truncation, without the per-row 128-bit
+        # decimal temporary
+        micros = F.call_function("div", F.col("ts"), F.lit(1000))
         # NTZ so events timestamps carry the same (timezone-free)
         # semantics as every other table and as DuckDB's read of the
         # file — collected values are naive either way.
