@@ -80,8 +80,13 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
 
     tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed);
     exact integer counts + a fixed-form double expression → engine-
-    portable. One explode pass feeds both tf (groupBy doc,token) and
-    df (distinct doc per token); N is a broadcast scalar subquery.
+    portable. ONE explode pass, ONE full-stream shuffle: tf (groupBy
+    doc,token) already materializes each distinct (doc, token) once,
+    so df = count of tf rows per token — derived from tf's output
+    (NDV-sized, map-side combined) instead of a second
+    dedup-the-token-stream shuffle over the corpus (round-9 stage
+    audit: the old shape re-shuffled the full exploded stream a
+    second time just to dedup it). N is a broadcast scalar subquery.
 
     At 100 TB this is the exact (verification) path; the approximate
     production path is HashingTF+IDF from pyspark.ml over the same
@@ -89,11 +94,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
-    df_ = (
-        tok.dropDuplicates(["doc_id", "token"])
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # N rides along as a broadcast 1-row aggregate (cross join) instead
     # of a driver-side .first() — keeps the whole query ONE job.
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
