@@ -41,17 +41,30 @@ def _event_stream(
         pass
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # FileStreamSource needs a directory basePath; select the one file
-    # via pathGlobFilter so the stream watches the table's directory.
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
-    stream = reader.parquet(sf_dir)
+    if os.path.isdir(path):
+        # directory-of-part-files layout (any real table, and the
+        # clone tiers): stream the table directory itself — every
+        # part file becomes streamable input
+        reader = spark.readStream.schema(schema)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(path)
+    else:
+        # single-file testdata layout: FileStreamSource needs a
+        # directory basePath; select the one file via pathGlobFilter
+        # so the stream watches the table's directory.
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "events.parquet"
+        )
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        stream = reader.parquet(sf_dir)
     ts_type = schema["ts"].dataType.simpleString()
     if ts_type == "bigint":
         # TIMESTAMP(NANOS) storage read as raw int64 (nanosAsLong):
-        # truncate ns→µs exactly, as the batch reader does.
-        micros = (F.col("ts").cast("decimal(38,0)") / F.lit(1000)).cast("long")
+        # truncate ns→µs exactly, as the batch reader does (integer
+        # div — bit-identical to the former decimal path, round 9).
+        micros = F.call_function("div", F.col("ts"), F.lit(1000))
         stream = stream.withColumn(
             "ts", F.timestamp_micros(micros).cast("timestamp_ntz")
         )

@@ -341,3 +341,24 @@ def test_user_sessions_window_width_pinned(spark):
     plan = _plan(spark, "user_sessions")
     assert "REPARTITION_BY_NUM" in plan
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_runtime_conf_pins_survive(spark):
+    """The session pins that carry measured scale rationale must not
+    silently drop: AQE on, coalescing to advisory size with the 16 MB
+    advisory (round-9 gap attribution — 64 MB serialized CPU-dense
+    small-byte stages at x30), skew join on, UTC, nanos-as-long."""
+    from etl_challenge_localiza_spark.session import RUNTIME_CONF, tune
+
+    assert RUNTIME_CONF["spark.sql.adaptive.advisoryPartitionSizeInBytes"] == "16m"
+    assert RUNTIME_CONF["spark.sql.adaptive.enabled"] == "true"
+    assert (
+        RUNTIME_CONF["spark.sql.adaptive.coalescePartitions.parallelismFirst"]
+        == "false"
+    )
+    assert RUNTIME_CONF["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert RUNTIME_CONF["spark.sql.session.timeZone"] == "UTC"
+    assert RUNTIME_CONF["spark.sql.legacy.parquet.nanosAsLong"] == "true"
+    tune(spark)
+    got = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    assert got in ("16m", "16777216b", str(16 * 1024 * 1024))

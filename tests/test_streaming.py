@@ -489,3 +489,27 @@ def test_streaming_mv_refresh_slicing_independent(spark, tmp_path):
     assert one == four  # exact associativity: any slicing, same view
     total = sum(r[1] for r in one)
     assert total == 40
+
+
+def test_streaming_reads_directory_table_layout(spark, sf0001, tmp_path):
+    """Round 9: _event_stream must handle the directory-of-part-files
+    layout every real table (and the clone tiers) uses — the
+    single-file pathGlobFilter shape would silently stream NOTHING
+    from a directory. Result must equal the batch aggregate."""
+    import os
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from etl_challenge_localiza_spark.streaming.events_stream import (
+        run_streaming_hourly,
+    )
+
+    sf = str(tmp_path)
+    ev = load_table(spark, sf0001, "events")
+    ev.repartition(3).write.parquet(os.path.join(sf, "events.parquet"))
+    got = run_streaming_hourly(spark, sf)
+    expected = QUERIES["events_hourly"].fn(spark, sf0001)
+    g = got.select("hour_start", "event_type", "n_events")
+    e = expected.select("hour_start", "event_type", "n_events")
+    assert g.subtract(e).count() == 0
+    assert e.subtract(g).count() == 0
