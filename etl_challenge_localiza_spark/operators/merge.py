@@ -198,6 +198,28 @@ def snapshot_diff(
     documented as out of scope for the plain-parquet snapshot)."""
     from ..sources.sinks import snapshot_read
 
+    old = snapshot_read(spark, path, v_old)
+    new = snapshot_read(spark, path, v_new)
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema drift between v{v_old} and v{v_new}: "
+            f"{sorted(set(old.columns) ^ set(new.columns))}"
+        )
+    return diff_frames(old, new, key)
+
+
+def diff_frames(
+    old: DataFrame, new: DataFrame, key: str | list[str]
+) -> DataFrame:
+    """Row-level diff of two keyed DataFrames — the classification core
+    of :func:`snapshot_diff`, usable directly on ANY two versions of a
+    keyed frame (CDC extraction without the snapshot directory
+    layout). Returns one row per differing key: (change, <key cols>,
+    old_fp, new_fp) with change ∈ {'added', 'deleted', 'changed'};
+    unchanged keys are dropped. See :func:`snapshot_diff` for the
+    injective per-cell sha256 fingerprint construction, the map-type
+    rejection rationale, and the scale argument (the one keyed shuffle
+    carries (key, 64-hex) tuples, never the payload)."""
     keys = [key] if isinstance(key, str) else list(key)
 
     def contains_map(dt) -> bool:
@@ -235,11 +257,9 @@ def snapshot_diff(
         joined = F.concat(*[cell(c) for c in others]) if others else F.lit("")
         return df.select(*keys, F.sha2(joined, 256).alias(alias))
 
-    old = snapshot_read(spark, path, v_old)
-    new = snapshot_read(spark, path, v_new)
     if set(old.columns) != set(new.columns):
         raise ValueError(
-            f"schema drift between v{v_old} and v{v_new}: "
+            f"schema drift between old and new frames: "
             f"{sorted(set(old.columns) ^ set(new.columns))}"
         )
     o = fingerprints(old, "old_fp")

@@ -108,6 +108,66 @@ def cosine_nn_within_label(emb: DataFrame, round_digits: int = 6) -> DataFrame:
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 10,
+    c: int = 60,
+    r: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    of N retrieval rankings: score(d) = Σ over lists 1/(c + rank) for
+    the lists that retrieved d within their top-``r`` — the standard
+    hybrid-retrieval combiner for a lexical (BM25) and a semantic
+    (embedding-cosine) list, score-scale-free by construction.
+
+    Each input frame is (``id_col``, score) with higher = better; the
+    score column is whatever single column isn't ``id_col``. Scale
+    shape: each list is first cut to its top-``r`` by
+    TakeOrderedAndProject (distributed — no global sort touches the
+    corpus), and only then numbered with a one-task row_number: the
+    unpartitioned window sees ≤ r rows by construction (the documented
+    k-row-probe exception to the no-global-window rule). The fusion
+    join carries ≤ N·r rows. Input-score ties and fused-score ties
+    both break on the id, and contributions are summed in list order
+    (1/(c+rank) terms are exact double quotients of small ints), so
+    the fused scores are engine- and run-stable.
+    """
+    from pyspark.sql.window import Window
+
+    contribs = []
+    for i, df in enumerate(rankings):
+        score = [col for col in df.columns if col != id_col]
+        if len(score) != 1:
+            raise ValueError(
+                f"ranking {i} must be exactly ({id_col}, <score>); got {df.columns}"
+            )
+        order = [F.col(score[0]).desc(), F.col(id_col).asc()]
+        top = df.orderBy(*order).limit(r)
+        ranked = top.select(
+            id_col, F.row_number().over(Window.orderBy(*order)).alias("rank")
+        )
+        contribs.append(
+            ranked.select(
+                id_col,
+                (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias(f"rrf_{i}"),
+            )
+        )
+    fused = contribs[0]
+    for nxt in contribs[1:]:
+        fused = fused.join(nxt, id_col, "full_outer")
+    total = None
+    for i in range(len(contribs)):
+        term = F.coalesce(F.col(f"rrf_{i}"), F.lit(0.0))
+        total = term if total is None else total + term
+    return (
+        fused.select(id_col, F.round(total, round_digits).alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def euclidean_sq(a, b) -> F.Column:
     """Σ (aᵢ−bᵢ)² with double accumulation in element order."""
     a = F.col(a) if isinstance(a, str) else a

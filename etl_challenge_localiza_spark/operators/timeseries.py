@@ -91,6 +91,40 @@ def rolling_daily_revenue(orders: DataFrame, days: int = 7) -> DataFrame:
     )
 
 
+def rolling_distinct_users(
+    events: DataFrame, days: int = 7, ts_col: str = "ts", user_col: str = "user_id"
+) -> DataFrame:
+    """Exact trailing-``days``-day DISTINCT-user count per observed day
+    (rolling DAU/WAU) — the rolling metric a RANGE window cannot
+    express (SUM distributes over frames; COUNT(DISTINCT) does not)
+    and a sketch only approximates.
+
+    Plan shape: dedup to (user, day) pairs, then a BOUNDED ×``days``
+    explode (each pair contributes to the ``days`` target days it
+    stays visible in) followed by a second dedup and a tiny per-day
+    count. Cost at any scale: two keyed shuffles on frames ≤ days ×
+    |user-days| — no global window, no per-user history rescan, no
+    quadratic self-join on days. The observed-day filter is a
+    broadcast semi-join (days are few even at 100 TB).
+    """
+    day = F.to_date(F.col(ts_col)).alias("day")
+    ud = events.select(day, F.col(user_col).alias("user_id")).distinct()
+    obs = ud.select("day").distinct()
+    tgt = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), days - 1))
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    win = (
+        tgt.join(F.broadcast(obs), "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias(f"users_{days}d"))
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    return dau.join(win, "day").select("day", "dau", f"users_{days}d")
+
+
 def rolling_interval_exact(
     events: DataFrame,
     key: str = "user_id",

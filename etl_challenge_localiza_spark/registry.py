@@ -10066,3 +10066,149 @@ def q_implicit_feedback_negatives(spark, sf_dir):
         )
         .orderBy("custkey", "cand_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions: hybrid retrieval fusion, rolling distinct users,
+# frame-level CDC diff (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+with toks as (select doc_id, {SQL_TOKS} as tk from documents),
+dl as (select doc_id, cast(len(tk) as bigint) as dl from toks),
+stats as (select cast(count(*) as bigint) as n_docs,
+                 cast(sum(dl) as double) / count(*) as avgdl from dl),
+wc as (select doc_id, w, cast(count(*) as bigint) as tf
+       from (select doc_id, unnest(tk) as w from toks)
+       where w in ('spark', 'hash', 'join') group by doc_id, w),
+dfreq as (select w, cast(count(*) as bigint) as df from wc group by w),
+bm as (select wc.doc_id,
+              round(sum(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+                        * (wc.tf * 2.2)
+                        / (wc.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))), 6) as bm25
+       from wc join dfreq f using (w) join dl d using (doc_id) cross join stats s
+       group by wc.doc_id),
+lex as (select doc_id, row_number() over (order by bm25 desc, doc_id) as rank
+        from (select * from bm order by bm25 desc, doc_id limit 100)),
+qv as (select embedding as qe from embeddings where vec_id = 0),
+cs as (select e.vec_id as doc_id,
+              round(list_dot_product(list_transform(e.embedding, x -> cast(x as double)),
+                                     list_transform(q.qe, x -> cast(x as double)))
+                    / sqrt(list_sum(list_transform(e.embedding,
+                                    x -> cast(x as double) * cast(x as double)))
+                         * list_sum(list_transform(q.qe,
+                                    x -> cast(x as double) * cast(x as double)))), 6) as cos_sim
+       from embeddings e, qv q where e.vec_id <> 0),
+sem as (select doc_id, row_number() over (order by cos_sim desc, doc_id) as rank
+        from (select * from cs order by cos_sim desc, doc_id limit 100)),
+j as (select coalesce(l.doc_id, s.doc_id) as doc_id,
+             coalesce(1.0 / (60 + l.rank), 0.0) + coalesce(1.0 / (60 + s.rank), 0.0) as sc
+      from lex l full outer join sem s on l.doc_id = s.doc_id)
+select doc_id, round(sc, 6) as rrf_score
+from j order by rrf_score desc, doc_id limit 15
+""",
+)
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    ranking for 'spark hash join' (operators/textops.py:bm25_topk)
+    with the semantic embedding-cosine ranking for vec_id=0
+    (operators/similarity.py:knn_cosine, doc_id ≡ vec_id) via
+    operators/similarity.py:rrf_fuse — score(d) = Σ 1/(60+rank) over
+    the two top-100 lists. The RAG-retrieval combiner at corpus
+    scale: each list is a distributed top-r cut (TakeOrderedAndProject)
+    before any global numbering, so the only one-task frames are
+    ≤ r rows; the fusion join carries ≤ 2r rows. The oracle replays
+    both rankings and the fused sum term-for-term (same double
+    quotient + addition order)."""
+    from .operators.similarity import rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .operators.textops import bm25_topk
+
+    lexical = bm25_topk(docs, ["spark", "hash", "join"], k=100)
+    semantic = knn_cosine(emb, query_vec_id=0, k=100).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    return rrf_fuse([lexical, semantic], "doc_id", k=15, c=60, r=100)
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+with ud as (select distinct cast(ts as date) as day, user_id from events),
+tgt as (select distinct ud.day + cast(t.i as int) as day, ud.user_id
+        from ud, range(0, 7) t(i)),
+obs as (select distinct day from ud),
+w as (select tgt.day, cast(count(*) as bigint) as users_7d
+      from tgt join obs using (day) group by tgt.day),
+dau as (select day, cast(count(*) as bigint) as dau from ud group by day)
+select strftime(dau.day, '%Y-%m-%d') as day, dau.dau as dau, w.users_7d as users_7d
+from dau join w using (day)
+""",
+)
+def q_rolling_7d_active_users(spark, sf_dir):
+    """Rolling 7-day DISTINCT active users per observed day (DAU +
+    trailing WAU) — exact, via the bounded-explode plan in
+    operators/timeseries.py:rolling_distinct_users: COUNT(DISTINCT)
+    does not distribute over RANGE frames, so each distinct
+    (user, day) pair is exploded to the 7 target days it stays
+    visible in and deduped again — two keyed shuffles on ≤ 7×|user-days|
+    rows at any scale, never a global window or per-user history
+    rescan. The oracle replays the identical explode in SQL."""
+    from .operators.timeseries import rolling_distinct_users
+
+    out = rolling_distinct_users(load_table(spark, sf_dir, "events"), days=7)
+    # DATE stays the library type; the cross-engine compare projects it
+    # as an ISO string (pandas round-trips DuckDB DATE as Timestamp)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "users_7d"
+    )
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle="""
+with old_v as (select * from orders where o_orderkey % 97 <> 3),
+new_v as (select o_orderkey, o_custkey,
+                 case when o_orderkey % 13 = 1 then 'R' else o_orderstatus end as o_orderstatus,
+                 o_totalprice, o_orderdate, o_orderpriority
+          from orders where o_orderkey % 101 <> 7),
+j as (select coalesce(o.o_orderkey, n.o_orderkey) as o_orderkey,
+             case when o.o_orderkey is null then 'added'
+                  when n.o_orderkey is null then 'deleted'
+                  when o.o_orderstatus <> n.o_orderstatus then 'changed'
+             end as change
+      from old_v o full outer join new_v n on o.o_orderkey = n.o_orderkey)
+select change, o_orderkey from j where change is not null
+""",
+)
+def q_orders_snapshot_diff(spark, sf_dir):
+    """CDC change extraction between two versions of a keyed table
+    via operators/merge.py:diff_frames (the classification core of
+    snapshot_diff, factored so it runs on any two keyed frames). The
+    versions are derived deterministically from orders: 'old' drops
+    o_orderkey%97=3 (those keys surface as added), 'new' drops
+    o_orderkey%101=7 (deleted) and flips o_orderstatus to 'R' where
+    o_orderkey%13=1 (changed — unless it was already 'R', in which
+    case the key is correctly silent). The injective per-cell sha256
+    row fingerprint decides 'changed' on the Spark side (pinned by
+    tests/test_merge.py); the oracle replays the CLASSIFICATION by
+    direct column comparison — value-checking the change labels
+    cross-engine while the fingerprint bytes stay engine-internal
+    (double→string forms differ between engines). One key-width
+    shuffle at any scale: the full-outer join carries (key, 64-hex)
+    tuples, never the payload."""
+    from .operators.merge import diff_frames
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 97 != 3)
+    new = o.filter(F.col("o_orderkey") % 101 != 7).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 13 == 1, F.lit("R")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return diff_frames(old, new, "o_orderkey").select("change", "o_orderkey")

@@ -526,3 +526,29 @@ def test_incremental_agg_merge_equals_full_recompute(spark):
         agg_state(hist, "k", "v"), agg_state(empty, "k", "v"), "k"
     )
     assert {r["k"]: r["n"] for r in alone.collect()} == {"a": 2, "b": 2, "c": 1}
+
+
+def test_diff_frames_classifies_added_deleted_changed(spark):
+    from etl_challenge_localiza_spark.operators.merge import diff_frames
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "CHANGED", 30.0), (4, "d", 40.0)],
+        "k int, s string, v double",
+    )
+    out = {r["k"]: r["change"] for r in diff_frames(old, new, "k").collect()}
+    # k=2 unchanged → absent; 1 deleted, 3 changed, 4 added
+    assert out == {1: "deleted", 3: "changed", 4: "added"}
+
+
+def test_diff_frames_schema_drift_raises(spark):
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.merge import diff_frames
+
+    old = spark.createDataFrame([(1, "a")], "k int, s string")
+    new = spark.createDataFrame([(1, "a", 2.0)], "k int, s string, extra double")
+    with _pytest.raises(ValueError, match="schema drift"):
+        diff_frames(old, new, "k")

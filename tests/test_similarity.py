@@ -283,3 +283,46 @@ def test_semdedup_variants_empty_input(spark):
     pairs = brp_lsh_ann_pairs(emb)
     assert pairs.columns == ["vec_id_a", "vec_id_b", "euclidean_dist"]
     assert pairs.count() == 0  # ML LSH fit would NoSuchElementException
+
+
+def test_rrf_fuse_known_rankings(spark):
+    from etl_challenge_localiza_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 3.0), (20, 2.0), (30, 1.0)], "doc_id int, s double"
+    )
+    sem = spark.createDataFrame(
+        [(20, 0.9), (40, 0.8), (10, 0.7)], "doc_id int, c double"
+    )
+    out = rrf_fuse([lex, sem], "doc_id", k=4, c=60, r=100).collect()
+    got = {r["doc_id"]: r["rrf_score"] for r in out}
+    exp = {
+        10: round(1 / 61 + 1 / 63, 6),
+        20: round(1 / 62 + 1 / 61, 6),
+        30: round(1 / 63, 6),
+        40: round(1 / 62, 6),
+    }
+    assert got == exp
+    # fused order: 20 (two high ranks) first, then 10, then 40, then 30
+    assert [r["doc_id"] for r in out] == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_respects_r_cut(spark):
+    from etl_challenge_localiza_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(1, 6)], "doc_id int, s double"
+    )
+    # r=2 → only doc 1 and 2 survive the lexical cut
+    out = rrf_fuse([lex], "doc_id", k=10, c=60, r=2).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]
+
+
+def test_rrf_fuse_rejects_wide_frame(spark):
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.similarity import rrf_fuse
+
+    bad = spark.createDataFrame([(1, 1.0, 2.0)], "doc_id int, a double, b double")
+    with _pytest.raises(ValueError, match="must be exactly"):
+        rrf_fuse([bad], "doc_id")

@@ -247,3 +247,30 @@ def test_interarrival_cv_separates_metronome_from_bursts(spark):
     assert u1["std_gap_s"] == 0.0 and u1["burstiness_cv"] == 0.0
     u2 = out[2]
     assert u2["burstiness_cv"] > 1.5  # heavy burst signature
+
+
+def test_rolling_distinct_users_hand_computed(spark):
+    from etl_challenge_localiza_spark.operators.timeseries import rolling_distinct_users
+
+    rows = [
+        # (ts, user): u1 active d1,d2; u2 active d1; u3 active d3 only
+        ("2024-01-01 01:00:00", 1),
+        ("2024-01-01 02:00:00", 1),  # same user+day → one pair
+        ("2024-01-01 03:00:00", 2),
+        ("2024-01-02 01:00:00", 1),
+        ("2024-01-03 01:00:00", 3),
+        ("2024-01-10 01:00:00", 1),  # outside any 7d window of d1-d3
+    ]
+    ev = spark.createDataFrame(rows, "ts string, user_id int").selectExpr(
+        "cast(ts as timestamp) as ts", "user_id"
+    )
+    got = {
+        str(r["day"]): (r["dau"], r["users_7d"])
+        for r in rolling_distinct_users(ev, days=7).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2),           # u1,u2
+        "2024-01-02": (1, 2),           # window d-6..d: u1,u2
+        "2024-01-03": (1, 3),           # u1,u2,u3
+        "2024-01-10": (1, 1),           # d4..d10: only u1's d10 visit
+    }
