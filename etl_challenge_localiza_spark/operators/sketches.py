@@ -88,3 +88,86 @@ def misra_gries_topk(df: DataFrame, col: str, k: int = 16) -> DataFrame:
         .filter((F.col("est_count") > 0) & (F.col("__rank") <= k))
         .select("item", F.col("est_count").cast("long").alias("est_count"))
     )
+
+
+def count_min_report(
+    df: DataFrame,
+    item_col: str,
+    half_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan) estimate report for
+    every distinct item of ``item_col``: (item, exact_n, cms_est,
+    cms_est_merged) — the OVER-counting member of the mergeable-
+    summaries family (Misra-Gries undercounts, HLL bounds distincts;
+    CMS upper-bounds frequencies: cms_est ≥ exact_n always, with the
+    classic (ε=e/width, δ=e^-depth) over-count bound).
+
+    The d×w counter table is built at ITEM altitude, not row altitude:
+    exact per-item counts first (one map-side-combined shuffle, output
+    NDV-sized), then each item's ``depth`` (row, bucket) coordinates —
+    bucket = md5("i:item") mod width, the repo's engine-portable hash,
+    so a SQL oracle replays every cell — and cells aggregate the item
+    counts. Identical numbers to hashing each raw row, at a fraction
+    of the shuffle. ``cms_est_merged`` proves the merge law in-band:
+    two sketches built on the ``half_col``-split halves of the data,
+    merged by cellwise sum, must estimate identically to the
+    whole-data sketch (CMS merge IS cellwise addition — exact integer
+    sums, so equality is exact, not approximate).
+
+    At 100 TB: everything after the first aggregate is NDV- or
+    (depth×width)-sized; the cells frame is broadcast-joined back.
+    """
+    half = (F.col(half_col) % 2 == 0).cast("int")
+    items = (
+        df.select(F.col(item_col).alias("item"), half.alias("h"))
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_n"),
+            F.sum("h").cast("long").alias("exact_n0"),
+        )
+        .withColumn("exact_n1", F.col("exact_n") - F.col("exact_n0"))
+    )
+
+    def bucket(i: int) -> F.Column:
+        hx = F.md5(F.concat(F.lit(f"{i}:"), F.col("item")))
+        return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % width
+
+    coords = items.select(
+        "item",
+        "exact_n",
+        "exact_n0",
+        "exact_n1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"), bucket(i).alias("bucket")
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        "item",
+        "exact_n",
+        "exact_n0",
+        "exact_n1",
+        F.col("c.row").alias("row"),
+        F.col("c.bucket").alias("bucket"),
+    )
+    cells = coords.groupBy("row", "bucket").agg(
+        F.sum("exact_n").alias("cell_n"),
+        F.sum("exact_n0").alias("cell_n0"),
+        F.sum("exact_n1").alias("cell_n1"),
+    )
+    return (
+        coords.join(F.broadcast(cells), ["row", "bucket"])
+        .groupBy("item", "exact_n")
+        .agg(
+            F.min("cell_n").cast("long").alias("cms_est"),
+            F.min(F.col("cell_n0") + F.col("cell_n1")).cast("long").alias("cms_est_merged"),
+        )
+        .select("item", "exact_n", "cms_est", "cms_est_merged")
+    )

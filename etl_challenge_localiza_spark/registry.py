@@ -10212,3 +10212,41 @@ def q_orders_snapshot_diff(spark, sf_dir):
         ),
     )
     return diff_frames(old, new, "o_orderkey").select("change", "o_orderkey")
+
+
+@register(
+    "cms_token_counts",
+    oracle=f"""
+with tok as (select doc_id, unnest({SQL_TOKS}) as item from documents),
+ex as (select item, cast(count(*) as bigint) as exact_n,
+              cast(sum(case when doc_id % 2 = 0 then 1 else 0 end) as bigint) as exact_n0
+       from tok group by item),
+ex2 as (select item, exact_n, exact_n0, exact_n - exact_n0 as exact_n1 from ex),
+co as (select item, exact_n, exact_n0, exact_n1, t.i as row,
+              cast(concat('0x', substr(md5(concat(t.i, ':', item)), 1, 15)) as bigint) % 64 as bucket
+       from ex2, range(0, 4) t(i)),
+cells as (select row, bucket, sum(exact_n) as cell_n, sum(exact_n0) as cell_n0,
+                 sum(exact_n1) as cell_n1
+          from co group by row, bucket),
+est as (select item, exact_n, cast(min(cell_n) as bigint) as cms_est,
+               cast(min(cell_n0 + cell_n1) as bigint) as cms_est_merged
+        from co join cells using (row, bucket) group by item, exact_n)
+select item, exact_n, cms_est, cms_est_merged from est
+""",
+)
+def q_cms_token_counts(spark, sf_dir):
+    """Count-Min sketch frequency estimates for every corpus token
+    (operators/sketches.py:count_min_report, depth=4 × width=64,
+    md5-portable buckets) — the over-counting member of the mergeable-
+    summaries family (MG undercounts, HLL bounds distincts), and the
+    first sketch whose EVERY CELL is value-checked cross-engine: the
+    oracle replays the bucket hash, the cell sums, the min-over-rows
+    estimate, and the merge proof (cms_est_merged — two half-data
+    sketches merged by cellwise sum — must equal the whole-data
+    estimate exactly, CMS's defining merge law). Everything after the
+    first map-side-combined token count is NDV- or (d×w)-sized."""
+    from .operators.sketches import count_min_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("item"))
+    return count_min_report(tok, "item", "doc_id", depth=4, width=64)

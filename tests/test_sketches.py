@@ -75,3 +75,40 @@ def test_mg_few_distinct_items_exact(spark):
     ).repartition(4)
     sk = {r["item"]: r["est_count"] for r in misra_gries_topk(df, "item", 16).collect()}
     assert sk == {"a": 5, "b": 3, "c": 1}
+
+
+def test_count_min_report_matches_pure_python_reference(spark):
+    """The Spark CMS must equal a from-scratch Python CMS built with
+    the same md5 buckets — estimate floor (>= exact), merge law
+    (merged == whole), and every estimate value."""
+    import hashlib
+    from collections import Counter
+
+    from etl_challenge_localiza_spark.operators.sketches import count_min_report
+
+    rows = [(i, w) for i, w in enumerate(
+        ["a", "b", "a", "c", "a", "b", "d", "e", "f", "a", "g", "h"] * 5
+    )]
+    df = spark.createDataFrame(rows, "doc_id int, item string")
+    depth, width = 4, 8  # narrow → collisions guaranteed
+    got = {
+        r["item"]: (r["exact_n"], r["cms_est"], r["cms_est_merged"])
+        for r in count_min_report(df, "item", "doc_id", depth=depth, width=width).collect()
+    }
+
+    exact = Counter(w for _, w in rows)
+    cells = [[0] * width for _ in range(depth)]
+    for w, n in exact.items():
+        for i in range(depth):
+            b = int(hashlib.md5(f"{i}:{w}".encode()).hexdigest()[:15], 16) % width
+            cells[i][b] += n
+    for w, n in exact.items():
+        est = min(
+            cells[i][int(hashlib.md5(f"{i}:{w}".encode()).hexdigest()[:15], 16) % width]
+            for i in range(depth)
+        )
+        assert got[w] == (n, est, est), w
+        assert est >= n
+    # with 8 items in 8 buckets × md5 spreading, at least one collision
+    # must over-count somewhere (otherwise the test is vacuous)
+    assert any(got[w][1] > got[w][0] for w in exact)
