@@ -619,3 +619,78 @@ def semdedup_drop_pruned(
         )
         .orderBy("centroid_id")
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    lam: float = 0.7,
+    r: int = 50,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein,
+    SIGIR'98): greedily pick ``k`` of the top-``r`` candidates by
+    score = λ·relevance − (1−λ)·max-similarity-to-already-selected —
+    the diversity-aware answer to "top-k cosine returns k near-copies"
+    (and the retrieval-time complement of SemDeDup, which removes the
+    copies corpus-side).
+
+    Scale shape: candidate generation is the distributed exact
+    cosine top-``r`` (TakeOrderedAndProject — the corpus is never
+    globally sorted); the greedy selection then runs driver-side over
+    the collected r×d candidate block, the same bounded-probe pattern
+    as the registry's 1-row query fetch and ≤20-row lineage cut (the
+    k-step argmax is inherently sequential — k tiny Spark jobs would
+    add k scheduling floors to rerank 50 rows). All similarities are
+    rounded to ``round_digits`` before any comparison and ties break
+    to the lowest vec_id, so the selection is engine- and run-stable.
+
+    Returns (mmr_rank 1..k, vec_id, relevance, mmr_score) as a
+    DataFrame built from the selection."""
+    cand_rows = (
+        knn_cosine(emb, query_vec_id=query_vec_id, k=r, round_digits=round_digits)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "cos_sim", "embedding")
+        .collect()
+    )
+    cands = [
+        (row["vec_id"], row["cos_sim"], [float(x) for x in row["embedding"]])
+        for row in cand_rows
+    ]
+    cands.sort(key=lambda c: (-c[1], c[0]))
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dp = na = nb = 0.0
+        for x, y in zip(a, b):
+            dp += x * y
+            na += x * x
+            nb += y * y
+        import math
+
+        return round(dp / math.sqrt(na * nb), round_digits)
+
+    selected: list[tuple[int, float, float]] = []  # (vec_id, rel, score)
+    chosen_embs: list[list[float]] = []
+    remaining = list(cands)
+    while remaining and len(selected) < k:
+        best = None
+        for vid, rel, e in remaining:
+            max_sim = max((cos(e, s) for s in chosen_embs), default=0.0)
+            score = round(lam * rel - (1.0 - lam) * max_sim, round_digits)
+            cand_key = (-score, vid)
+            if best is None or cand_key < best[0]:
+                best = (cand_key, vid, rel, score, e)
+        _, vid, rel, score, e = best
+        selected.append((vid, rel, score))
+        chosen_embs.append(e)
+        remaining = [c for c in remaining if c[0] != vid]
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [
+            (i + 1, int(vid), float(rel), float(score))
+            for i, (vid, rel, score) in enumerate(selected)
+        ],
+        "mmr_rank int, vec_id long, relevance double, mmr_score double",
+    )

@@ -10250,3 +10250,29 @@ def q_cms_token_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("item"))
     return count_min_report(tok, "item", "doc_id", depth=4, width=64)
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=None,  # the k-step greedy argmax is inherently sequential
+    # (each pick changes every remaining candidate's score) — not
+    # SQL-expressible without k unrolled CTE stages; correctness is
+    # pinned by tests/test_similarity.py::test_mmr_rerank_prefers_diverse
+    # (hand-computed geometry: the near-clone loses rank 2 to the
+    # diverse candidate) and a same-session determinism run.
+)
+def q_mmr_diverse_topk(spark, sf_dir):
+    """Maximal Marginal Relevance diversified top-10 for vec_id=0
+    (operators/similarity.py:mmr_rerank, λ=0.7 over the exact cosine
+    top-50): the retrieval-time diversity pass that keeps a RAG
+    context window from filling with near-copies — the query-side
+    complement of corpus-side SemDeDup. Candidate generation is the
+    distributed TakeOrderedAndProject top-r; the greedy selection is
+    a bounded r×d driver probe (sequential by nature; k Spark jobs
+    over 50 rows would just add k scheduling floors). All sims are
+    rounded before comparison, ties break to the lowest vec_id."""
+    from .operators.similarity import mmr_rerank
+
+    return mmr_rerank(
+        load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, lam=0.7, r=50
+    )

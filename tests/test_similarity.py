@@ -326,3 +326,42 @@ def test_rrf_fuse_rejects_wide_frame(spark):
     bad = spark.createDataFrame([(1, 1.0, 2.0)], "doc_id int, a double, b double")
     with _pytest.raises(ValueError, match="must be exactly"):
         rrf_fuse([bad], "doc_id")
+
+
+def test_mmr_rerank_prefers_diverse(spark):
+    """Hand-computed geometry: three candidates with EQUAL relevance
+    to the query, two of them clones. Plain kNN top-2 returns the
+    clone pair (tie → lowest vec_id); MMR must spend rank 2 on the
+    diverse candidate: clone score = λ·rel − (1−λ)·1.0 = 0.364 <
+    diverse score = λ·rel − (1−λ)·0.8 = 0.424 (λ=0.7, rel=3/√10)."""
+    from etl_challenge_localiza_spark.operators.similarity import knn_cosine, mmr_rerank
+
+    s10 = 10 ** 0.5
+    rows = [
+        (0, [1.0, 0.0], "q"),
+        (1, [3 / s10, 1 / s10], "a"),
+        (2, [3 / s10, 1 / s10], "a"),   # clone of 1
+        (3, [3 / s10, -1 / s10], "b"),  # same relevance, sim 0.8 to 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+
+    knn2 = [r["vec_id"] for r in knn_cosine(emb, query_vec_id=0, k=2).collect()]
+    assert knn2 == [1, 2]  # the clone pair
+
+    out = mmr_rerank(emb, query_vec_id=0, k=2, lam=0.7, r=10).collect()
+    assert [r["vec_id"] for r in out] == [1, 3]
+    assert [r["mmr_rank"] for r in out] == [1, 2]
+    # rank 1 pays no similarity penalty (score = λ·rel); rank 2 does
+    assert out[0]["mmr_score"] == round(0.7 * out[0]["relevance"], 6)
+    assert out[1]["mmr_score"] < round(0.7 * out[1]["relevance"], 6)
+
+
+def test_mmr_rerank_deterministic_on_real_data(spark, sf0001):
+    from etl_challenge_localiza_spark.operators.similarity import mmr_rerank
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf0001, "embeddings")
+    a = mmr_rerank(emb, query_vec_id=0, k=10, lam=0.7, r=50).collect()
+    b = mmr_rerank(emb, query_vec_id=0, k=10, lam=0.7, r=50).collect()
+    assert a == b
+    assert len(a) == 10 and [r["mmr_rank"] for r in a] == list(range(1, 11))
