@@ -171,3 +171,99 @@ def count_min_report(
         )
         .select("item", "exact_n", "cms_est", "cms_est_merged")
     )
+
+
+def _cms_bucket(i: int, item: F.Column, width: int) -> F.Column:
+    """Engine-portable CMS bucket: md5("i:item") leading 60 bits mod
+    width (same construction as count_min_report; a SQL engine replays
+    it as cast(concat('0x', substr(md5(...), 1, 15)) as bigint) % w)."""
+    hx = F.md5(F.concat(F.lit(f"{i}:"), item))
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long") % width
+
+
+def cms_cells(
+    items: DataFrame, item_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Build the d×w Count-Min cell table (row, bucket, cell_n) for a
+    stream of item occurrences — the BOUNDED state a streaming sketch
+    maintains (d×w longs regardless of NDV or data size). Counts
+    aggregate at item altitude first (map-side combine, NDV-sized)
+    before fanning out ×depth to cells; identical numbers to hashing
+    every raw row."""
+    counts = (
+        items.select(F.col(item_col).alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    coords = counts.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(i, F.col("item"), width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"), "n")
+    return coords.groupBy("row", "bucket").agg(
+        F.sum("n").cast("long").alias("cell_n")
+    )
+
+
+def merge_cms_cells(a: DataFrame, b: DataFrame) -> DataFrame:
+    """CMS merge law: cellwise integer sum (full-outer on the cell
+    coordinates; absent cell = 0). Exactly associative, so any
+    micro-batch slicing yields the identical merged table."""
+    bb = b.select("row", "bucket", F.col("cell_n").alias("cell_nb"))
+    return (
+        a.join(bb, ["row", "bucket"], "full_outer")
+        .select(
+            "row",
+            "bucket",
+            (
+                F.coalesce(F.col("cell_n"), F.lit(0))
+                + F.coalesce(F.col("cell_nb"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cell_n"),
+        )
+    )
+
+
+def cms_point_query(
+    cells: DataFrame, terms: list[str], depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Point-query the sketch: (item, cms_est) for each queried term,
+    cms_est = min over rows of the term's cell (0 when a bucket is
+    empty). The classic bounded-memory frequency upper bound: ≥ the
+    true count always, even for never-seen terms (they read whatever
+    their buckets accumulated)."""
+    spark = cells.sparkSession
+    q = spark.createDataFrame([(t,) for t in terms], "item string")
+    qc = q.select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_bucket(i, F.col("item"), width).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("item", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        qc.join(F.broadcast(cells), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(
+            F.min(F.coalesce(F.col("cell_n"), F.lit(0)))
+            .cast("long")
+            .alias("cms_est")
+        )
+    )

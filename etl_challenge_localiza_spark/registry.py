@@ -10276,3 +10276,39 @@ def q_mmr_diverse_topk(spark, sf_dir):
     return mmr_rerank(
         load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, lam=0.7, r=50
     )
+
+
+@register(
+    "streaming_cms_refresh",
+    oracle=f"""
+with tok as (select unnest({SQL_TOKS}) as item from documents),
+ex as (select item, cast(count(*) as bigint) as n from tok group by item),
+co as (select item, t.i as row,
+              cast(concat('0x', substr(md5(concat(t.i, ':', item)), 1, 15)) as bigint) % 64 as bucket,
+              n
+       from ex, range(0, 4) t(i)),
+cells as (select row, bucket, sum(n) as cell_n from co group by row, bucket),
+q as (select * from (values ('spark'), ('hash'), ('join'), ('quantum')) t(item)),
+qc as (select q.item, t.i as row,
+              cast(concat('0x', substr(md5(concat(t.i, ':', q.item)), 1, 15)) as bigint) % 64 as bucket
+       from q, range(0, 4) t(i))
+select qc.item, cast(min(coalesce(cells.cell_n, 0)) as bigint) as cms_est
+from qc left join cells using (row, bucket)
+group by qc.item
+""",
+)
+def q_streaming_cms_refresh(spark, sf_dir):
+    """Streaming Count-Min sketch maintenance
+    (streaming/upsert.py:run_streaming_cms_refresh): the documents
+    corpus arrives in 4 micro-batches; each batch's d×w cell table
+    merges into the accumulating sketch by cellwise integer sum, so
+    state is 4×64 longs regardless of corpus size or vocabulary. The
+    final point-query answers for ('spark', 'hash', 'join') plus the
+    never-seen probe 'quantum' must equal the batch-built sketch
+    EXACTLY under any slicing (associative integer merge) — the
+    oracle replays the full-corpus cells and the same point query in
+    SQL. Streaming sibling of `cms_token_counts` the way
+    `streaming_mv_refresh` is of `incremental_mv_update`."""
+    from .streaming.upsert import run_streaming_cms_refresh
+
+    return run_streaming_cms_refresh(spark, sf_dir)

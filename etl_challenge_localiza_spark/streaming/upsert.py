@@ -231,3 +231,73 @@ def run_streaming_mv_refresh(
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def _staged_document_stream(spark: SparkSession, sf_dir: str, n_input_files: int):
+    """documents-table twin of _staged_event_stream: stage (doc_id,
+    text) as ``n_input_files`` parquet files, stream one per trigger."""
+    base = tempfile.mkdtemp(prefix=f"stream_stage_{uuid.uuid4().hex[:8]}_")
+    src = os.path.join(base, "src")
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        n_input_files
+    ).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    return stream, base
+
+
+def run_streaming_cms_refresh(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = ("spark", "hash", "join", "quantum"),
+    timeout_sec: int = 300,
+    n_input_files: int = 4,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Continuously-maintained STREAMING Count-Min sketch: each
+    micro-batch tokenizes its documents, builds its own d×w cell
+    table (operators.sketches.cms_cells) and merges it into the
+    accumulating sketch by cellwise integer sum
+    (merge_cms_cells) — so the refresh state is d×w longs REGARDLESS
+    of corpus size or vocabulary, the defining property that makes
+    CMS the streaming frequency sketch. Because the cellwise sum is
+    exactly associative, the final sketch equals the batch-built
+    sketch under ANY micro-batch slicing — the oracle point-queries
+    the full-corpus SQL replica and must match exactly, including the
+    never-seen probe term (which honestly reads whatever its buckets
+    accumulated). Versioned-parquet state, same plain-parquet
+    stand-in as the CDC/MV sinks."""
+    from ..functions.text import tokens as _tokens
+    from ..operators.sketches import cms_cells, cms_point_query, merge_cms_cells
+
+    stream, base = _staged_document_stream(spark, sf_dir, n_input_files)
+    state = {"version": 0}
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        items = batch_df.select(F.explode(_tokens(F.col("text"))).alias("item"))
+        delta = cms_cells(items, "item", depth=depth, width=width)
+        v = state["version"]
+        if v > 0:
+            cur = sess.read.parquet(os.path.join(base, f"cms{v}"))
+            merged = merge_cms_cells(cur, delta)
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(os.path.join(base, f"cms{v + 1}"))
+        state["version"] = v + 1
+        if v > 1:
+            shutil.rmtree(os.path.join(base, f"cms{v - 1}"), ignore_errors=True)
+
+    try:
+        _run_foreach_batch(stream, base, _apply, timeout_sec, "streaming CMS refresh")
+        if state["version"] == 0:
+            raise RuntimeError("streaming CMS refresh processed no micro-batches")
+        cells = spark.read.parquet(os.path.join(base, f"cms{state['version']}"))
+        return cms_point_query(
+            cells, list(terms), depth=depth, width=width
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

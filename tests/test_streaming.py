@@ -513,3 +513,25 @@ def test_streaming_reads_directory_table_layout(spark, sf0001, tmp_path):
     e = expected.select("hour_start", "event_type", "n_events")
     assert g.subtract(e).count() == 0
     assert e.subtract(g).count() == 0
+
+
+def test_streaming_cms_slicing_invariance(spark, sf0001):
+    """The CMS merge law in practice: 1-batch and 5-batch streaming
+    builds must produce identical point-query answers (cellwise
+    integer sums are exactly associative), and the never-seen probe
+    term still upper-bounds 0."""
+    from etl_challenge_localiza_spark.streaming.upsert import run_streaming_cms_refresh
+
+    one = {
+        r["item"]: r["cms_est"]
+        for r in run_streaming_cms_refresh(spark, sf0001, n_input_files=1).collect()
+    }
+    five = {
+        r["item"]: r["cms_est"]
+        for r in run_streaming_cms_refresh(spark, sf0001, n_input_files=5).collect()
+    }
+    assert one == five
+    assert set(one) == {"spark", "hash", "join", "quantum"}
+    assert all(v >= 0 for v in one.values())
+    # the real terms are frequent in the generator vocabulary
+    assert one["spark"] > 0 and one["hash"] > 0 and one["join"] > 0
