@@ -267,3 +267,55 @@ def cms_point_query(
             .alias("cms_est")
         )
     )
+
+
+def bloom_membership_report(
+    items: DataFrame,
+    item_col: str,
+    terms: list[str],
+    n_bits: int = 256,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter membership report — the MEMBERSHIP member of the
+    sketch family (CMS bounds frequencies, MG finds heavy hitters,
+    HLL bounds distincts): build the ``n_bits``-bit filter over the
+    distinct items (bit positions = md5("i:item") mod n_bits, the
+    repo's engine-portable hash, i < k), then probe each query term.
+    Returns (item, in_filter, actually_present): the defining
+    guarantee is NO FALSE NEGATIVES (present ⇒ in_filter, pinned by
+    pytest); absent probes may honestly collide to true.
+
+    Scale shape: one map-side-combined distinct to NDV, a ×k fan-out
+    to ≤ n_bits distinct set positions (the whole filter state — the
+    broadcast side of the probe join), and a k-row-per-term probe.
+    The filter is a SET of positions, so merging filters is distinct
+    union (bitwise OR) — associative by construction."""
+    spark = items.sparkSession
+    vocab = items.select(F.col(item_col).alias("item")).distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "item",
+            F.explode(
+                F.array(*[_cms_bucket(i, F.col("item"), n_bits) for i in range(k)])
+            ).alias("pos"),
+        )
+
+    set_bits = positions(vocab).select("pos").distinct()
+    q = spark.createDataFrame([(t,) for t in terms], "item string")
+    hits = (
+        positions(q)
+        .join(F.broadcast(set_bits.withColumn("__hit", F.lit(1))), "pos", "left")
+        .groupBy("item")
+        .agg((F.count("__hit") == k).alias("in_filter"))
+    )
+    present = vocab.withColumn("__present", F.lit(True))
+    return (
+        q.join(hits, "item")
+        .join(F.broadcast(present), "item", "left")
+        .select(
+            "item",
+            "in_filter",
+            F.coalesce("__present", F.lit(False)).alias("actually_present"),
+        )
+    )

@@ -10312,3 +10312,43 @@ def q_streaming_cms_refresh(spark, sf_dir):
     from .streaming.upsert import run_streaming_cms_refresh
 
     return run_streaming_cms_refresh(spark, sf_dir)
+
+
+@register(
+    "bloom_token_membership",
+    oracle=f"""
+with tok as (select unnest({SQL_TOKS}) as item from documents),
+vocab as (select distinct item from tok),
+pos as (select distinct
+               cast(concat('0x', substr(md5(concat(t.i, ':', item)), 1, 15)) as bigint) % 256 as pos
+        from vocab, range(0, 4) t(i)),
+q as (select * from (values ('spark'), ('hash'), ('join'), ('table'),
+                            ('quantum'), ('flux')) t(item)),
+qp as (select q.item,
+              cast(concat('0x', substr(md5(concat(t.i, ':', q.item)), 1, 15)) as bigint) % 256 as pos
+       from q, range(0, 4) t(i)),
+hits as (select qp.item, count(p.pos) as nhit
+         from qp left join pos p using (pos) group by qp.item)
+select q.item, (hits.nhit = 4) as in_filter,
+       (q.item in (select item from vocab)) as actually_present
+from q join hits using (item)
+""",
+)
+def q_bloom_token_membership(spark, sf_dir):
+    """Bloom-filter membership for six probe terms (four from the
+    corpus vocabulary, two never-seen) against a 256-bit filter built
+    over the distinct corpus tokens
+    (operators/sketches.py:bloom_membership_report, k=4 md5-portable
+    bit positions) — completing the mergeable-sketch family: CMS
+    bounds frequencies (`cms_token_counts`), MG finds heavy hitters,
+    HLL bounds distincts, Bloom answers membership in n_bits of state.
+    The oracle replays every bit position and probe in SQL, so the
+    no-false-negative guarantee AND any honest false positives of the
+    absent probes are value-checked cross-engine, not asserted."""
+    from .operators.sketches import bloom_membership_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("item"))
+    return bloom_membership_report(
+        tok, "item", ["spark", "hash", "join", "table", "quantum", "flux"]
+    )

@@ -112,3 +112,34 @@ def test_count_min_report_matches_pure_python_reference(spark):
     # with 8 items in 8 buckets × md5 spreading, at least one collision
     # must over-count somewhere (otherwise the test is vacuous)
     assert any(got[w][1] > got[w][0] for w in exact)
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    """Every present item must be in the filter (THE Bloom guarantee),
+    and a pure-Python replica of the bit positions must agree on
+    every probe — including any false positives."""
+    import hashlib
+
+    from etl_challenge_localiza_spark.operators.sketches import bloom_membership_report
+
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(w,) for w in vocab for _ in range(2)]
+    df = spark.createDataFrame(rows, "item string")
+    probes = vocab[:5] + ["absent_one", "absent_two", "absent_three"]
+    got = {
+        r["item"]: (r["in_filter"], r["actually_present"])
+        for r in bloom_membership_report(df, "item", probes, n_bits=64, k=4).collect()
+    }
+
+    def bits(w):
+        return {
+            int(hashlib.md5(f"{i}:{w}".encode()).hexdigest()[:15], 16) % 64
+            for i in range(4)
+        }
+
+    set_bits = set().union(*[bits(w) for w in vocab])
+    for p in probes:
+        expect_in = bits(p) <= set_bits
+        assert got[p] == (expect_in, p in vocab), p
+    # no false negatives, ever
+    assert all(got[p][0] for p in vocab[:5])
