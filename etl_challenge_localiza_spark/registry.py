@@ -10352,3 +10352,56 @@ def q_bloom_token_membership(spark, sf_dir):
     return bloom_membership_report(
         tok, "item", ["spark", "hash", "join", "table", "quantum", "flux"]
     )
+
+
+@register(
+    "orc_roundtrip_rollup",
+    oracle="""
+select event_type,
+       cast(count(*) as bigint) as n_events,
+       cast(round(sum(cast(value as decimal(18,2))), 2) as double) as total_value,
+       cast(sum(cast(concat('0x', substr(md5(cast(event_id as varchar)), 1, 15)) as bigint)
+                % 1000000007) as bigint) as id_checksum,
+       cast(sum(cast(concat('0x', substr(md5(props), 1, 15)) as bigint)
+                % 1000000007) as bigint) as props_checksum
+from events group by event_type
+""",
+)
+def q_orc_roundtrip_rollup(spark, sf_dir):
+    """ORC source/sink round trip with value-fidelity proof (the
+    xml_roundtrip_rollup treatment for the OTHER Spark-native columnar
+    format): stage the events table as ORC (sources/sinks.py:write_orc
+    — types preserved natively, no inference on read), read it back,
+    and roll up per event_type with an exact decimal value sum plus
+    md5-derived mod-prime checksums over the id and the raw props
+    JSON string. The oracle computes the identical rollup from the
+    PARQUET source, so equality proves the ORC writer+reader preserved
+    every typed value and every byte of the string payload — across
+    the timestamp/double/string type surface, not just row counts.
+    Staged copy deleted before return (eager localCheckpoint)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.sinks import write_orc
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="orcrt_")
+    try:
+        write_orc(ev, os.path.join(d, "events"))
+        back = spark.read.orc(os.path.join(d, "events"))
+        chk = lambda c: (  # noqa: E731 — md5 leading 60 bits mod prime
+            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+            % F.lit(1000000007)
+        )
+        agg = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.sum(chk(F.col("event_id").cast("string"))).cast("long").alias("id_checksum"),
+            F.sum(chk(F.col("props"))).cast("long").alias("props_checksum"),
+        )
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -508,3 +508,17 @@ def test_load_table_memo_invalidates_partition_subdir_rewrite(spark, tmp_path):
     df3 = load_table(spark, sf, "t")
     assert df3 is not df1  # subdir-file stat folded into the key
     assert df3.count() == 3
+
+
+def test_orc_roundtrip_preserves_types_and_rows(spark, tmp_path):
+    from etl_challenge_localiza_spark.sources.sinks import write_orc
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.25, "2024-01-01 00:00:01"), (2, "b", -0.5, "2024-06-30 23:59:59")],
+        "k long, s string, v double, ts string",
+    ).selectExpr("k", "s", "v", "cast(ts as timestamp) as ts")
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = spark.read.orc(path)
+    assert back.schema == df.schema  # types preserved, no inference
+    assert sorted(back.collect()) == sorted(df.collect())
