@@ -660,6 +660,17 @@ def mmr_rerank(
     ]
     cands.sort(key=lambda c: (-c[1], c[0]))
 
+    # engine-exact rounding: Spark's round() on double is BigDecimal
+    # HALF_UP on the exact binary value — Decimal(float) replicates it
+    # bit-for-bit (python's round() is half-even and would diverge on
+    # exact .5 ties), which is what lets a SQL oracle replay the greedy
+    from decimal import ROUND_HALF_UP, Decimal
+
+    quant = Decimal(1).scaleb(-round_digits)
+
+    def _rnd(x: float) -> float:
+        return float(Decimal(x).quantize(quant, rounding=ROUND_HALF_UP))
+
     def cos(a: list[float], b: list[float]) -> float:
         dp = na = nb = 0.0
         for x, y in zip(a, b):
@@ -668,7 +679,7 @@ def mmr_rerank(
             nb += y * y
         import math
 
-        return round(dp / math.sqrt(na * nb), round_digits)
+        return _rnd(dp / math.sqrt(na * nb))
 
     selected: list[tuple[int, float, float]] = []  # (vec_id, rel, score)
     chosen_embs: list[list[float]] = []
@@ -677,7 +688,12 @@ def mmr_rerank(
         best = None
         for vid, rel, e in remaining:
             max_sim = max((cos(e, s) for s in chosen_embs), default=0.0)
-            score = round(lam * rel - (1.0 - lam) * max_sim, round_digits)
+            # the score is NOT rounded: rel and max_sim sit on the 1e-6
+            # grid, so lam·rel − (1−lam)·max_sim is an exact 7-decimal
+            # value — rounding it to 6 digits would hit .5 ties
+            # systematically (where engines' rounding modes differ),
+            # while the raw double is bit-identical across engines
+            score = lam * rel - (1.0 - lam) * max_sim
             cand_key = (-score, vid)
             if best is None or cand_key < best[0]:
                 best = (cand_key, vid, rel, score, e)

@@ -10252,15 +10252,62 @@ def q_cms_token_counts(spark, sf_dir):
     return count_min_report(tok, "item", "doc_id", depth=4, width=64)
 
 
-@register(
-    "mmr_diverse_topk",
-    oracle=None,  # the k-step greedy argmax is inherently sequential
-    # (each pick changes every remaining candidate's score) — not
-    # SQL-expressible without k unrolled CTE stages; correctness is
-    # pinned by tests/test_similarity.py::test_mmr_rerank_prefers_diverse
-    # (hand-computed geometry: the near-clone loses rank 2 to the
-    # diverse candidate) and a same-session determinism run.
-)
+def _mmr_oracle_sql(k: int = 10, lam: float = 0.7, r: int = 50) -> str:
+    """Unroll the k-step MMR greedy into k chained CTE stages (the
+    semdedup-oracle treatment: an inherently iterative driver loop
+    replayed as generated SQL). Float discipline that makes the replay
+    exact: every similarity/score is rounded IN-ENGINE before any
+    comparison (mmr_rerank's python rounding is Decimal HALF_UP — the
+    same BigDecimal semantics as Spark's round()), the (1-λ) literal
+    is emitted via repr() so the SQL double equals python's
+    1.0 - 0.7 = 0.30000000000000004 bit for bit, and all dot/norm
+    folds are sequential double adds in element order in all three
+    runtimes (proven cross-engine by the knn_cosine_vec0 oracle)."""
+    om = 1.0 - lam
+
+    def cosd(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"sqrt(list_sum(list_transform({a}, x -> x * x)) * "
+            f"list_sum(list_transform({b}, x -> x * x))), 6)"
+        )
+
+    parts = [
+        f"""
+with cand as materialized (
+  select e.vec_id, {cosd('e.ed', 'q.qd')} as rel, e.ed as e
+  from (select vec_id, list_transform(embedding, x -> cast(x as double)) as ed
+        from embeddings where vec_id <> 0) e,
+       (select list_transform(embedding, x -> cast(x as double)) as qd
+        from embeddings where vec_id = 0) q
+  order by rel desc, vec_id limit {r}
+),
+s1 as materialized (select vec_id, rel, e, {lam!r} * rel as score
+       from cand order by rel desc, vec_id limit 1),
+sel1 as materialized (select vec_id, rel, e from s1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""",
+s{i} as materialized (
+  select c.vec_id, c.rel, c.e,
+         {lam!r} * c.rel - {om!r} * (
+           select max({cosd('c.e', 's.e')}) from sel{i - 1} s) as score
+  from cand c
+  where c.vec_id not in (select vec_id from sel{i - 1})
+  order by score desc, c.vec_id limit 1
+),
+sel{i} as materialized (select vec_id, rel, e from sel{i - 1}
+           union all select vec_id, rel, e from s{i})"""
+        )
+    selects = "\nunion all ".join(
+        f"select {i} as mmr_rank, vec_id, rel as relevance, score as mmr_score from s{i}"
+        for i in range(1, k + 1)
+    )
+    return "".join(parts) + f"\n{selects}"
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle_sql(k=10, lam=0.7, r=50))
 def q_mmr_diverse_topk(spark, sf_dir):
     """Maximal Marginal Relevance diversified top-10 for vec_id=0
     (operators/similarity.py:mmr_rerank, λ=0.7 over the exact cosine
@@ -10270,7 +10317,10 @@ def q_mmr_diverse_topk(spark, sf_dir):
     distributed TakeOrderedAndProject top-r; the greedy selection is
     a bounded r×d driver probe (sequential by nature; k Spark jobs
     over 50 rows would just add k scheduling floors). All sims are
-    rounded before comparison, ties break to the lowest vec_id."""
+    rounded engine-exactly before comparison, ties break to the
+    lowest vec_id — and the whole greedy is VALUE-CHECKED against a
+    k-stage unrolled SQL replay (_mmr_oracle_sql), not just pinned by
+    pytest."""
     from .operators.similarity import mmr_rerank
 
     return mmr_rerank(

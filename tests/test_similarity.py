@@ -351,9 +351,10 @@ def test_mmr_rerank_prefers_diverse(spark):
     out = mmr_rerank(emb, query_vec_id=0, k=2, lam=0.7, r=10).collect()
     assert [r["vec_id"] for r in out] == [1, 3]
     assert [r["mmr_rank"] for r in out] == [1, 2]
-    # rank 1 pays no similarity penalty (score = λ·rel); rank 2 does
-    assert out[0]["mmr_score"] == round(0.7 * out[0]["relevance"], 6)
-    assert out[1]["mmr_score"] < round(0.7 * out[1]["relevance"], 6)
+    # rank 1 pays no similarity penalty (score = λ·rel, unrounded —
+    # scores are exact 7-decimal doubles by construction); rank 2 does
+    assert out[0]["mmr_score"] == 0.7 * out[0]["relevance"]
+    assert out[1]["mmr_score"] < 0.7 * out[1]["relevance"]
 
 
 def test_mmr_rerank_deterministic_on_real_data(spark, sf0001):
