@@ -362,3 +362,26 @@ def test_runtime_conf_pins_survive(spark):
     tune(spark)
     got = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     assert got in ("16m", "16777216b", str(16 * 1024 * 1024))
+
+
+def test_bloom_probe_broadcast_is_term_filtered(spark):
+    """bloom_token_membership (VERDICT r9 #1): the actually_present
+    diagnostic must never broadcast the corpus vocabulary — at 100 TB
+    the token NDV is billions of rows and a forced broadcast of that
+    side OOMs the driver. The plan must carry exactly two broadcasts,
+    both bounded: the <=n_bits distinct bit-position set, and the
+    vocabulary FILTERED to the probe-term list (the IN filter sits
+    inside the broadcast subtree, below the distinct)."""
+    plan = _plan(spark, "bloom_token_membership")
+    segs = plan.split("BroadcastExchange")
+    assert len(segs) == 3, f"expected exactly 2 broadcasts, got {len(segs) - 1}"
+    # order-independent: one broadcast builds on the bigint bit
+    # positions, the other on the term-filtered string vocab
+    heads = [seg.splitlines()[0] for seg in segs[1:]]
+    assert any("input[0, bigint" in h for h in heads), heads
+    probe = next(seg for seg, h in zip(segs[1:], heads) if "input[0, bigint" not in h)
+    assert "__present" in probe
+    assert "IN (spark,hash,join,table,quantum,flux)" in probe, (
+        "probe-side broadcast is not filtered to the bounded term list — "
+        "it would broadcast the full corpus vocabulary at scale"
+    )
