@@ -133,6 +133,14 @@ def rrf_fuse(
     both break on the id, and contributions are summed in list order
     (1/(c+rank) terms are exact double quotients of small ints), so
     the fused scores are engine- and run-stable.
+
+    Precondition: each ranking frame should carry ONE row per id (the
+    natural shape of a retrieval list). Duplicated ids are tolerated
+    defensively (ADVICE r9) — after ranking, only the BEST (minimum)
+    rank per id survives, so a duplicate can neither contribute two
+    reciprocal-rank terms to one list's sum nor fan out the fusion
+    full-outer join; the dedup runs on the ≤ r-row ranked frame, so
+    the guard costs one tiny exchange, never a corpus shuffle.
     """
     from pyspark.sql.window import Window
 
@@ -145,8 +153,12 @@ def rrf_fuse(
             )
         order = [F.col(score[0]).desc(), F.col(id_col).asc()]
         top = df.orderBy(*order).limit(r)
-        ranked = top.select(
-            id_col, F.row_number().over(Window.orderBy(*order)).alias("rank")
+        ranked = (
+            top.select(
+                id_col, F.row_number().over(Window.orderBy(*order)).alias("rank")
+            )
+            .groupBy(id_col)
+            .agg(F.min("rank").alias("rank"))
         )
         contribs.append(
             ranked.select(
@@ -682,25 +694,40 @@ def mmr_rerank(
         return _rnd(dp / math.sqrt(na * nb))
 
     selected: list[tuple[int, float, float]] = []  # (vec_id, rel, score)
-    chosen_embs: list[list[float]] = []
+    # running max-similarity-to-selected per remaining candidate
+    # (ADVICE r9): each greedy step only needs cos(candidate, the
+    # NEWLY selected embedding) folded into the cached max — O(k·r)
+    # cosine evaluations instead of recomputing against every chosen
+    # embedding at every step (O(k²·r)). max over a set is
+    # insertion-order-free, so the cached value is EXACTLY the old
+    # max(cos(e, s) for s in chosen) — same selection, bit for bit.
+    # No entry = nothing selected yet → 0.0, the empty-set default;
+    # once anything is selected every remaining id has a true-max
+    # entry (which may be NEGATIVE — cosines live in [-1, 1], so a
+    # 0.0 floor would silently inflate diversity penalties of
+    # anti-correlated candidates).
+    max_sim: dict[int, float] = {}
     remaining = list(cands)
     while remaining and len(selected) < k:
         best = None
         for vid, rel, e in remaining:
-            max_sim = max((cos(e, s) for s in chosen_embs), default=0.0)
             # the score is NOT rounded: rel and max_sim sit on the 1e-6
             # grid, so lam·rel − (1−lam)·max_sim is an exact 7-decimal
             # value — rounding it to 6 digits would hit .5 ties
             # systematically (where engines' rounding modes differ),
             # while the raw double is bit-identical across engines
-            score = lam * rel - (1.0 - lam) * max_sim
+            score = lam * rel - (1.0 - lam) * max_sim.get(vid, 0.0)
             cand_key = (-score, vid)
             if best is None or cand_key < best[0]:
                 best = (cand_key, vid, rel, score, e)
         _, vid, rel, score, e = best
         selected.append((vid, rel, score))
-        chosen_embs.append(e)
         remaining = [c for c in remaining if c[0] != vid]
+        for cvid, _, ce in remaining:
+            s = cos(ce, e)
+            prev = max_sim.get(cvid)
+            if prev is None or s > prev:
+                max_sim[cvid] = s
 
     spark = emb.sparkSession
     return spark.createDataFrame(

@@ -18,6 +18,7 @@ key so the join is exchange-free (sources.sinks.write_bucketed).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -57,6 +58,66 @@ def _staged_event_stream(spark: SparkSession, sf_dir: str, n_input_files: int):
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
     return stream, base
+
+
+def _read_applied(base: str) -> dict | None:
+    """Last committed (batch_id, version) marker, or None before the
+    first commit."""
+    p = os.path.join(base, "_applied.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _commit_applied(base: str, batch_id: int, version: int) -> None:
+    """Atomically (write-temp + os.replace) record that ``batch_id``
+    has been fully applied, producing state ``version``."""
+    p = os.path.join(base, "_applied.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": int(batch_id), "version": int(version)}, f)
+    os.replace(tmp, p)
+
+
+def apply_versioned_batch(sess, base: str, prefix: str, batch_id: int, compute) -> None:
+    """EXACTLY-ONCE foreachBatch apply over versioned-parquet state
+    (ADVICE r9): Structured Streaming's foreachBatch is at-least-once —
+    a failure after the sink write but before the checkpoint commit
+    replays the micro-batch with the SAME batch_id, and a naive apply
+    would merge the delta twice (cellwise sums double-count, argmax
+    upserts bump the version history). The standard recipe (Spark's
+    own foreachBatch docs) is to make the apply idempotent on
+    batch_id:
+
+    1. replayed batch (batch_id <= last committed) → no-op;
+    2. otherwise read state version v, compute, OVERWRITE v+1 (a retry
+       of a half-written v+1 rewrites the whole directory from the
+       same immutable predecessor — deterministic), and only then
+       atomically advance the ``_applied.json`` marker.
+
+    The marker commits AFTER the data write, so every crash point
+    replays into the same final state. ``compute(prev)`` receives the
+    previous state DataFrame (None on the first batch) and returns the
+    next state."""
+    m = _read_applied(base)
+    if m is not None and batch_id <= m["batch_id"]:
+        return  # replayed micro-batch: already fully applied
+    v = m["version"] if m is not None else 0
+    prev = sess.read.parquet(os.path.join(base, f"{prefix}{v}")) if v > 0 else None
+    out = compute(prev)
+    out.write.mode("overwrite").parquet(os.path.join(base, f"{prefix}{v + 1}"))
+    _commit_applied(base, batch_id, v + 1)
+    if v > 1:
+        # only the last two versions are ever needed; prune older
+        shutil.rmtree(os.path.join(base, f"{prefix}{v - 1}"), ignore_errors=True)
+
+
+def _final_version(spark: SparkSession, base: str, prefix: str, label: str) -> DataFrame:
+    m = _read_applied(base)
+    if m is None:
+        raise RuntimeError(f"{label} processed no micro-batches")
+    return spark.read.parquet(os.path.join(base, f"{prefix}{m['version']}"))
 
 
 def _run_foreach_batch(stream, base: str, apply_fn, timeout_sec: int, label: str) -> None:
@@ -102,26 +163,21 @@ def run_streaming_upsert_latest(
     parquet stand-in for a Delta/Iceberg MERGE INTO target.
     """
     stream, base = _staged_event_stream(spark, sf_dir, n_input_files)
-    state = {"version": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        v = state["version"]
-        target = sess.read.parquet(os.path.join(base, f"v{v}")) if v > 0 else None
-        merged = apply_latest_batch(target, batch_df)
-        merged.write.mode("overwrite").parquet(os.path.join(base, f"v{v + 1}"))
-        state["version"] = v + 1
-        if v > 1:
-            # only the last two versions are ever needed; prune older
-            shutil.rmtree(os.path.join(base, f"v{v - 1}"), ignore_errors=True)
+        apply_versioned_batch(
+            batch_df.sparkSession,
+            base,
+            "v",
+            batch_id,
+            lambda prev: apply_latest_batch(prev, batch_df),
+        )
 
     try:
         _run_foreach_batch(stream, base, _apply, timeout_sec, "foreachBatch upsert")
-        if state["version"] == 0:
-            raise RuntimeError("streaming upsert processed no micro-batches")
         # materialize before the staging dir disappears
         return (
-            spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+            _final_version(spark, base, "v", "streaming upsert")
             .select(*_COLS)
             .localCheckpoint(eager=True)
         )
@@ -146,9 +202,12 @@ def run_streaming_snapshot_cdc(
 
     Replay scope: the stream checkpoint lives with the ephemeral
     staging dir, so "resume from where it stopped" covers query
-    restarts WITHIN one invocation only. A whole NEW invocation
-    restages the source under fresh paths and replays every batch into
-    the still-existing snapshot table — the per-key argmax apply is
+    restarts WITHIN one invocation only — and within a run, replayed
+    micro-batches are skipped on batch_id (the ``_applied.json``
+    marker, ADVICE r9), so a foreachBatch retry cannot commit a
+    duplicate snapshot version. A whole NEW invocation restages the
+    source under fresh paths and replays every batch into the
+    still-existing snapshot table — the per-key argmax apply is
     idempotent, so the final state stays correct, but version history
     inflates by one version per replayed batch (bound it with
     ``sources.sinks.snapshot_vacuum``). A production deployment would
@@ -164,6 +223,14 @@ def run_streaming_snapshot_cdc(
     stream, base = _staged_event_stream(spark, sf_dir, n_input_files)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # within-run replay guard (ADVICE r9): a retried micro-batch
+        # would otherwise commit a duplicate snapshot version (final
+        # state stays correct — the argmax apply is idempotent — but
+        # version history inflates). Marker commits AFTER the merge,
+        # so a crash mid-merge replays into at most one extra version.
+        m = _read_applied(base)
+        if m is not None and batch_id <= m["batch_id"]:
+            return
         snapshot_merge(
             batch_df.sparkSession,
             table_path,
@@ -171,6 +238,7 @@ def run_streaming_snapshot_cdc(
             key="user_id",
             order_cols=["ts", "event_id"],
         )
+        _commit_applied(base, batch_id, m["version"] + 1 if m else 1)
 
     try:
         _run_foreach_batch(stream, base, _apply, timeout_sec, "snapshot-CDC stream")
@@ -201,27 +269,21 @@ def run_streaming_mv_refresh(
     from ..operators.merge import agg_state, merge_agg_states
 
     stream, base = _staged_event_stream(spark, sf_dir, n_input_files)
-    state = {"version": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        delta = agg_state(batch_df, "event_type", "value")
-        v = state["version"]
-        if v > 0:
-            cur = sess.read.parquet(os.path.join(base, f"mv{v}"))
-            merged = merge_agg_states(cur, delta, "event_type")
-        else:
-            merged = delta
-        merged.write.mode("overwrite").parquet(os.path.join(base, f"mv{v + 1}"))
-        state["version"] = v + 1
-        if v > 1:
-            shutil.rmtree(os.path.join(base, f"mv{v - 1}"), ignore_errors=True)
+        def compute(prev: DataFrame | None) -> DataFrame:
+            delta = agg_state(batch_df, "event_type", "value")
+            return (
+                merge_agg_states(prev, delta, "event_type")
+                if prev is not None
+                else delta
+            )
+
+        apply_versioned_batch(batch_df.sparkSession, base, "mv", batch_id, compute)
 
     try:
         _run_foreach_batch(stream, base, _apply, timeout_sec, "streaming MV refresh")
-        if state["version"] == 0:
-            raise RuntimeError("streaming MV refresh processed no micro-batches")
-        final = spark.read.parquet(os.path.join(base, f"mv{state['version']}"))
+        final = _final_version(spark, base, "mv", "streaming MV refresh")
         return final.select(
             "event_type",
             F.col("n").cast("long").alias("n"),
@@ -269,33 +331,24 @@ def run_streaming_cms_refresh(
     the full-corpus SQL replica and must match exactly, including the
     never-seen probe term (which honestly reads whatever its buckets
     accumulated). Versioned-parquet state, same plain-parquet
-    stand-in as the CDC/MV sinks."""
+    stand-in as the CDC/MV sinks — exactly-once under foreachBatch
+    retry via the batch_id marker (apply_versioned_batch)."""
     from ..functions.text import tokens as _tokens
     from ..operators.sketches import cms_cells, cms_point_query, merge_cms_cells
 
     stream, base = _staged_document_stream(spark, sf_dir, n_input_files)
-    state = {"version": 0}
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        items = batch_df.select(F.explode(_tokens(F.col("text"))).alias("item"))
-        delta = cms_cells(items, "item", depth=depth, width=width)
-        v = state["version"]
-        if v > 0:
-            cur = sess.read.parquet(os.path.join(base, f"cms{v}"))
-            merged = merge_cms_cells(cur, delta)
-        else:
-            merged = delta
-        merged.write.mode("overwrite").parquet(os.path.join(base, f"cms{v + 1}"))
-        state["version"] = v + 1
-        if v > 1:
-            shutil.rmtree(os.path.join(base, f"cms{v - 1}"), ignore_errors=True)
+        def compute(prev: DataFrame | None) -> DataFrame:
+            items = batch_df.select(F.explode(_tokens(F.col("text"))).alias("item"))
+            delta = cms_cells(items, "item", depth=depth, width=width)
+            return merge_cms_cells(prev, delta) if prev is not None else delta
+
+        apply_versioned_batch(batch_df.sparkSession, base, "cms", batch_id, compute)
 
     try:
         _run_foreach_batch(stream, base, _apply, timeout_sec, "streaming CMS refresh")
-        if state["version"] == 0:
-            raise RuntimeError("streaming CMS refresh processed no micro-batches")
-        cells = spark.read.parquet(os.path.join(base, f"cms{state['version']}"))
+        cells = _final_version(spark, base, "cms", "streaming CMS refresh")
         return cms_point_query(
             cells, list(terms), depth=depth, width=width
         ).localCheckpoint(eager=True)

@@ -366,3 +366,29 @@ def test_mmr_rerank_deterministic_on_real_data(spark, sf0001):
     b = mmr_rerank(emb, query_vec_id=0, k=10, lam=0.7, r=50).collect()
     assert a == b
     assert len(a) == 10 and [r["mmr_rank"] for r in a] == list(range(1, 11))
+
+
+def test_rrf_fuse_tolerates_duplicate_ids(spark):
+    """ADVICE r9: a duplicated id within one ranking frame must
+    contribute exactly ONE reciprocal-rank term (its best rank) and
+    must not fan out the fusion join — the fused frame still has one
+    row per id and the duplicate-free list is unaffected."""
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.operators.similarity import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (2, 0.7)], ["id", "s"]
+    )
+    clean = spark.createDataFrame([(2, 0.5), (1, 0.4)], ["id", "s"])
+    out = rrf_fuse([dup, clean], "id", k=10, c=60, r=100).collect()
+    assert [r["id"] for r in out] == sorted(
+        [r["id"] for r in out], key=lambda i: -[x["rrf_score"] for x in out][[y["id"] for y in out].index(i)]
+    )
+    got = {r["id"]: r["rrf_score"] for r in out}
+    # id 1: best rank 1 in dup list (the rank-2 duplicate is dropped),
+    # rank 2 in clean; id 2: rank 3 in dup (after the two id-1 rows),
+    # rank 1 in clean
+    assert len(out) == 2
+    assert got[1] == round(1 / 61 + 1 / 62, 6)
+    assert got[2] == round(1 / 63 + 1 / 61, 6)
