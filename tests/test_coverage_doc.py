@@ -45,3 +45,30 @@ def test_readme_counts_match_registry():
     n_oracle = sum(1 for q in queries.values() if q.oracle is not None)
     assert int(m.group(1)) == len(queries)
     assert int(m.group(2)) == n_oracle
+
+
+def test_rows_only_closed_list():
+    """VERDICT r9 #8: the rows-only set must be surfaced in COVERAGE.md
+    as a CLOSED list — set-equal to the registry's oracle-less queries,
+    with every named pytest anchor actually existing."""
+    text = open(COVERAGE).read()
+    m = re.search(
+        r"## Rows-only queries — the closed list.*?\n\n(\|.*?)\n\n",
+        text + "\n\n",
+        re.DOTALL,
+    )
+    assert m, "rows-only closed-list section missing from COVERAGE.md"
+    table = m.group(1)
+    doc_names = set(re.findall(r"^\| `([a-z0-9_]+)` \|", table, re.MULTILINE))
+    registry_names = {
+        name for name, q in _registry().items() if q.oracle is None
+    }
+    assert doc_names == registry_names, (
+        f"COVERAGE.md rows-only list drifted: doc-only={doc_names - registry_names}, "
+        f"registry-only={registry_names - doc_names}"
+    )
+    anchors = re.findall(r"`(tests/test_\w+\.py)::(test_\w+)`", table)
+    assert len(anchors) >= len(doc_names)
+    for path, fn in anchors:
+        src = open(f"/root/repo/{path}").read()
+        assert f"def {fn}(" in src, f"{path}::{fn} does not exist"
