@@ -58,6 +58,10 @@ def main() -> int:
         else:
             names.append(a)
     targets = [(n, j) for n, j in TARGETS if not names or n in names]
+    # names not in the curated list run too, judged on exec (the default
+    # for non-iterative operators) — lets new directives reuse the tool
+    known = {n for n, _ in TARGETS}
+    targets += [(n, "exec") for n in names if n not in known]
 
     from etl_challenge_localiza_spark.registry import QUERIES
     from etl_challenge_localiza_spark.session import get_spark
