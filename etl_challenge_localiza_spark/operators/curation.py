@@ -370,3 +370,51 @@ def dsir_log_weights(
         (wsum.cast("double") / F.lit(1e6)).alias("log_weight"),
         (wsum >= 0).alias("target_leaning"),
     )
+
+
+def nucleus_subset_by_group(
+    df: DataFrame,
+    group_col: str,
+    weight_col: str,
+    id_col: str,
+    p_half: bool = True,
+) -> DataFrame:
+    """Per-group NUCLEUS (top-p) selection — the grouped sibling of the
+    global token-budget subset: within each group, rank rows by
+    ``weight_col`` desc (``id_col`` asc tiebreak) and keep the prefix
+    whose cumulative weight stays within half the group's total
+    (2·cumsum ≤ total, EXACT integer arithmetic — no float threshold),
+    always keeping at least the top row. The data-mixing move behind
+    "cap every source at the best half of its mass".
+
+    Returns one row per input row: group, id, weight, cum_weight,
+    rank_in_group, kept. Scale shape: ONE keyed window per group
+    (cumsum + total ride the same partitionBy(group) exchange); group
+    skew beyond a single task is the documented hand-off point to
+    operators/ranks.py:grouped_prefix_sum (pid-tagged two-level
+    prefix sums), same trade as seq_packing."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(weight_col).desc(), F.col(id_col).asc()
+    )
+    cum = (
+        F.sum(weight_col)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    total = F.sum(weight_col).over(Window.partitionBy(group_col)).cast("long")
+    rn = F.row_number().over(w)
+    out = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias(weight_col),
+        cum.alias("cum_weight"),
+        rn.alias("rank_in_group"),
+        total.alias("__total"),
+    )
+    keep = (F.lit(2) * F.col("cum_weight") <= F.col("__total")) | (
+        F.col("rank_in_group") == 1
+    )
+    assert p_half  # the exact-integer contract is the point; p!=1/2 → scale by 2p
+    return out.withColumn("kept", keep).drop("__total")

@@ -72,3 +72,67 @@ def sessionize(
             ).alias("duration_s"),
         )
     )
+
+
+def interval_coactivity_pairs(
+    events: DataFrame,
+    event_type: str = "purchase",
+    min_events: int = 2,
+) -> DataFrame:
+    """BUCKETED interval-overlap self-join (the bin-based range-join
+    technique): build per-(user, day) activity intervals
+    [first, last] of the given event type (users with ≥ ``min_events``
+    that day), then count, per day, the unordered user pairs whose
+    intervals OVERLAP — co-activity detection.
+
+    The scale move is the equi-join surrogate for the range predicate:
+    each interval explodes into the HOUR BINS it spans (≤ 24 rows,
+    bounded), candidate pairs form by (day, hour) equi-join — never a
+    per-day cross join — and the exact overlap predicate
+    (s₁ ≤ e₂ ∧ s₂ ≤ e₁) then verifies candidates. Completeness:
+    overlapping intervals share the hour of max(s₁,s₂), so every true
+    pair appears in ≥1 shared bin; pairs meeting in several bins are
+    deduped by DISTINCT. Candidate volume is Σ_bin n_bin² instead of
+    Σ_day n_day² — the bin width is the knob (hours here; minutes at
+    higher density), exactly how production range joins are tuned.
+
+    Exact integer microsecond endpoints; returns (day, n_pairs)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = (
+        events.filter(F.col("event_type") == event_type)
+        .select(F.to_date("ts").alias("day"), "user_id", us.alias("t"))
+        .groupBy("day", "user_id")
+        .agg(
+            F.min("t").alias("s"),
+            F.max("t").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= min_events)
+        .drop("n")
+    )
+    binned = iv.withColumn(
+        "hour",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / F.lit(3_600_000_000)),
+                F.floor(F.col("e") / F.lit(3_600_000_000)),
+            )
+        ),
+    )
+    a = binned.select("day", "hour", F.col("user_id").alias("u1"),
+                      F.col("s").alias("s1"), F.col("e").alias("e1"))
+    b = binned.select("day", "hour", F.col("user_id").alias("u2"),
+                      F.col("s").alias("s2"), F.col("e").alias("e2"))
+    pairs = (
+        a.join(b, ["day", "hour"])
+        .filter(
+            (F.col("u1") < F.col("u2"))
+            & (F.col("s1") <= F.col("e2"))
+            & (F.col("s2") <= F.col("e1"))
+        )
+        .select("day", "u1", "u2")
+        .distinct()
+    )
+    return pairs.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

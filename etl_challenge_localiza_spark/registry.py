@@ -8415,9 +8415,48 @@ def q_attribution_multi_touch_capped(spark, sf_dir):
     in-window touches at all (the latest touch is the most recent),
     so left-anti on the capped rows is exact and credit is
     conserved."""
+    ev = load_table(spark, sf_dir, "events")
+    conv, capped = _capped_touch_slots(ev)
+    capped = capped.select("conv_id", "value", "channel")
+    n = capped.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches")
+    )
+    credit = capped.join(n, "conv_id").select(
+        "channel",
+        "conv_id",
+        (F.col("value") / F.col("n_touches").cast("double")).alias("credit"),
+    )
+    by_channel = credit.groupBy("channel").agg(
+        F.count_distinct("conv_id").cast("long").alias("n_conversions"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(F.sum("credit"), 6).alias("credit_total"),
+    )
+    direct = (
+        conv.join(capped.select("conv_id").distinct(), "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.round(F.sum("value"), 6).alias("credit_total"),
+        )
+        .select(
+            F.lit("(direct)").alias("channel"),
+            "n_conversions",
+            F.lit(0).cast("long").alias("n_touches"),
+            "credit_total",
+        )
+    )
+    return by_channel.unionByName(direct).orderBy("channel")
+
+
+def _capped_touch_slots(ev, cap: int = _MTA_CAP):
+    """The slot-enumeration core shared by the capped attribution
+    family (see q_attribution_multi_touch_capped's docstring for the
+    full plan rationale): returns (conv, capped) where ``conv`` is the
+    conversion frame (conv_id, key, t_c, value) and ``capped`` holds
+    the ≤``cap`` most-recent in-window touches per conversion as
+    (conv_id, value, channel, t_c, t_t) — ≤ cap × conversions rows BY
+    CONSTRUCTION, never density²."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = F.lit(_MTA_W_US)
     conv = ev.filter(F.col("event_type") == "purchase").select(
@@ -8476,7 +8515,7 @@ def q_attribution_multi_touch_capped(spark, sf_dir):
         F.explode(
             F.transform(
                 F.sequence(
-                    F.lit(0), F.least(F.lit(_MTA_CAP - 1), F.col("end") - 1)
+                    F.lit(0), F.least(F.lit(cap - 1), F.col("end") - 1)
                 ),
                 lambda off: F.col("end") - off,
             )
@@ -8485,35 +8524,9 @@ def q_attribution_multi_touch_capped(spark, sf_dir):
     capped = (
         slots.join(touch, ["key", "seq"])
         .filter(F.col("t_t") >= F.col("t_c") - w)
-        .select("conv_id", "value", "channel")
+        .select("conv_id", "value", "channel", "t_c", "t_t")
     )
-    n = capped.groupBy("conv_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_touches")
-    )
-    credit = capped.join(n, "conv_id").select(
-        "channel",
-        "conv_id",
-        (F.col("value") / F.col("n_touches").cast("double")).alias("credit"),
-    )
-    by_channel = credit.groupBy("channel").agg(
-        F.count_distinct("conv_id").cast("long").alias("n_conversions"),
-        F.count(F.lit(1)).cast("long").alias("n_touches"),
-        F.round(F.sum("credit"), 6).alias("credit_total"),
-    )
-    direct = (
-        conv.join(capped.select("conv_id").distinct(), "conv_id", "left_anti")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_conversions"),
-            F.round(F.sum("value"), 6).alias("credit_total"),
-        )
-        .select(
-            F.lit("(direct)").alias("channel"),
-            "n_conversions",
-            F.lit(0).cast("long").alias("n_touches"),
-            "credit_total",
-        )
-    )
-    return by_channel.unionByName(direct).orderBy("channel")
+    return conv, capped
 
 
 @register(
@@ -10455,3 +10468,420 @@ def q_orc_roundtrip_rollup(spark, sf_dir):
         return agg.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "asof_nearest_order",
+    oracle="""
+with o as (
+  select o_custkey, o_orderdate, o_orderkey
+  from orders
+  qualify row_number() over (
+    partition by o_custkey, o_orderdate order by o_orderkey desc) = 1
+),
+b as (
+  select e.event_id, o.o_orderkey as bk,
+         epoch_us(e.ts) - epoch_us(o.o_orderdate) as gb
+  from events e asof join o
+    on e.user_id = o.o_custkey and e.ts >= o.o_orderdate
+),
+f as (
+  select e.event_id, o.o_orderkey as fk,
+         epoch_us(o.o_orderdate) - epoch_us(e.ts) as gf
+  from events e asof join o
+    on e.user_id = o.o_custkey and e.ts <= o.o_orderdate
+)
+select e.event_id, e.user_id,
+       case when b.bk is not null and (f.fk is null or b.gb <= f.gf)
+            then b.bk else f.fk end as o_orderkey,
+       case when b.bk is not null and (f.fk is null or b.gb <= f.gf)
+            then 'backward' else 'forward' end as direction,
+       cast(case when b.bk is not null and (f.fk is null or b.gb <= f.gf)
+            then b.gb else f.gf end as bigint) as gap_us
+from events e
+left join b using (event_id)
+left join f using (event_id)
+where b.bk is not null or f.fk is not null
+""",
+)
+def q_asof_nearest_order(spark, sf_dir):
+    """NEAREST-direction as-of join (operators/asof.py:
+    asof_nearest_join): each event picks the customer's order CLOSEST
+    in time in either direction — kdb nearest-aj / pandas
+    merge_asof(direction='nearest'), which Spark lacks as a built-in.
+    Ties resolve backward (state at t is known at t). Orders are
+    pre-deduped per (custkey, date) keeping max orderkey so both
+    engines pick identically. The plan is ONE union of events+orders
+    carried under a single key exchange with two window sorts (asc
+    and desc) — never a range join, never a per-key rescan; the
+    oracle replays it as DuckDB's native backward+forward ASOF JOIN
+    pair plus the same tie rule. Exact integer-microsecond gaps."""
+    from pyspark.sql import Window
+
+    from .operators.asof import asof_nearest_join
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", us.alias("t_us")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    o = (
+        orders.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "o_custkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+            "o_orderkey",
+        )
+    )
+    out = asof_nearest_join(
+        ev, o,
+        left_key="user_id", right_key="o_custkey",
+        left_time="t_us", right_time="o_us",
+        payload_cols=["o_orderkey"],
+    )
+    return out.select(
+        "event_id", "user_id", "o_orderkey", "direction",
+        F.col("gap").alias("gap_us"),
+    )
+
+
+_TDA_HL_US = 24 * 3600 * 1_000_000  # one-day half-life
+
+
+@register(
+    "attribution_time_decay",
+    oracle=f"""
+with conv as (
+  select event_id as conv_id, user_id, epoch_us(ts) as t_c,
+         cast(value as double) as value
+  from events where event_type = 'purchase'
+),
+touch as (
+  select user_id, event_type as channel, epoch_us(ts) as t_t
+  from events where event_type in ('click', 'view', 'signup')
+),
+pairs as (
+  select c.conv_id, c.value, t.channel, c.t_c, t.t_t
+  from conv c join touch t on c.user_id = t.user_id
+   and t.t_t >= c.t_c - {_MTA_W_US} and t.t_t < c.t_c
+),
+capped as (
+  select conv_id, value, channel, t_c, t_t from (
+    select p.*,
+           row_number() over (partition by conv_id
+                              order by t_t desc, channel asc) as rn
+    from pairs p
+  ) where rn <= {_MTA_CAP}
+),
+wt as (
+  select conv_id, value, channel,
+         cast(round(pow(2.0, -cast(t_c - t_t as double) / {_TDA_HL_US}.0), 6)
+              as decimal(10,6)) as w
+  from capped
+),
+sw as (select conv_id, sum(w) as sw from wt group by conv_id),
+credit as (
+  select wt.channel, wt.conv_id,
+         wt.value * cast(wt.w as double) / cast(sw.sw as double) as credit
+  from wt join sw using (conv_id)
+)
+select * from (
+  select channel,
+         cast(count(distinct conv_id) as bigint) as n_conversions,
+         cast(count(*) as bigint) as n_touches,
+         round(sum(credit), 6) as credit_total
+  from credit group by channel
+  union all
+  select '(direct)', cast(count(*) as bigint), cast(0 as bigint),
+         round(sum(value), 6)
+  from conv c
+  where not exists (select 1 from pairs p where p.conv_id = c.conv_id)
+) order by channel
+""",
+)
+def q_attribution_time_decay(spark, sf_dir):
+    """TIME-DECAY multi-touch attribution (the third member of the
+    attribution family: last-touch, linear-capped, and now
+    exponential decay — the standard "recency matters" model): each
+    conversion's ≤8 most-recent in-window touches share the credit
+    with weight 2^(−Δt/half-life) (1-day half-life), normalized per
+    conversion. Reuses the capped family's slot-enumeration core
+    (_capped_touch_slots — ≤ cap × conversions rows BY CONSTRUCTION,
+    never density²; see attribution_multi_touch_capped). Engine
+    portability: the weight is rounded to 6 dp then fixed as
+    decimal(10,6) so the per-conversion weight SUM is exact in both
+    engines (order-free); each credit is then one double multiply +
+    divide, and channel totals use the house round-6 rule."""
+    ev = load_table(spark, sf_dir, "events")
+    conv, capped = _capped_touch_slots(ev)
+    wt = capped.withColumn(
+        "w",
+        F.round(
+            F.pow(
+                F.lit(2.0),
+                -(F.col("t_c") - F.col("t_t")).cast("double")
+                / F.lit(float(_TDA_HL_US)),
+            ),
+            6,
+        ).cast("decimal(10,6)"),
+    )
+    sw = wt.groupBy("conv_id").agg(F.sum("w").alias("sw"))
+    credit = wt.join(sw, "conv_id").select(
+        "channel",
+        "conv_id",
+        (
+            F.col("value") * F.col("w").cast("double") / F.col("sw").cast("double")
+        ).alias("credit"),
+    )
+    by_channel = credit.groupBy("channel").agg(
+        F.count_distinct("conv_id").cast("long").alias("n_conversions"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.round(F.sum("credit"), 6).alias("credit_total"),
+    )
+    direct = (
+        conv.join(capped.select("conv_id").distinct(), "conv_id", "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_conversions"),
+            F.round(F.sum("value"), 6).alias("credit_total"),
+        )
+        .select(
+            F.lit("(direct)").alias("channel"),
+            "n_conversions",
+            F.lit(0).cast("long").alias("n_touches"),
+            "credit_total",
+        )
+    )
+    return by_channel.unionByName(direct).orderBy("channel")
+
+
+@register(
+    "mi_lang_source",
+    oracle="""
+with c as (select lang, source, cast(count(*) as bigint) as n
+           from documents group by 1, 2),
+m as (
+  select lang, source, n,
+         sum(n) over (partition by lang) as rt,
+         sum(n) over (partition by source) as ct,
+         sum(n) over () as big_n
+  from c
+)
+select lang, source, n,
+       round(ln(cast(n * big_n as double) / cast(rt * ct as double)), 6) as pmi,
+       round(cast(n as double) / cast(big_n as double)
+             * ln(cast(n * big_n as double) / cast(rt * ct as double)), 6)
+         as mi_contrib
+from m
+""",
+)
+def q_mi_lang_source(spark, sf_dir):
+    """Mutual information decomposition of the lang × source
+    contingency table — the information-theoretic companion to
+    chi2_lang_source (chi² asks "is there dependence", MI measures
+    HOW MUCH in nats; Σ mi_contrib = I(lang; source), the quantity a
+    data-mixing pipeline watches to see whether source composition
+    leaks language balance). Per cell: pointwise MI
+    ln(n·N/(rt·ct)) and its contribution (n/N)·pmi, both on exact
+    int64 counts with one double division and one ln, rounded 6 dp
+    (house rule — libm ln's last ulp differs across engines). One
+    |langs|×|sources|-bounded aggregate plus window sums over the
+    tiny cell table: the statistic costs nothing at 100 TB."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = cells.select(
+        "lang",
+        "source",
+        "n",
+        F.sum("n").over(Window.partitionBy("lang")).alias("rt"),
+        F.sum("n").over(Window.partitionBy("source")).alias("ct"),
+        F.sum("n").over(Window.partitionBy()).alias("big_n"),
+    )
+    ratio = (F.col("n") * F.col("big_n")).cast("double") / (
+        F.col("rt") * F.col("ct")
+    ).cast("double")
+    return m.select(
+        "lang",
+        "source",
+        "n",
+        F.round(F.log(ratio), 6).alias("pmi"),
+        F.round(
+            F.col("n").cast("double") / F.col("big_n").cast("double") * F.log(ratio), 6
+        ).alias("mi_contrib"),
+    )
+
+
+@register(
+    "nucleus_source_subset",
+    oracle="""
+with r as (
+  select source, doc_id, n_chars,
+         sum(n_chars) over (partition by source
+                            order by n_chars desc, doc_id asc
+                            rows between unbounded preceding and current row)
+           as cum,
+         row_number() over (partition by source
+                            order by n_chars desc, doc_id asc) as rn,
+         sum(n_chars) over (partition by source) as total
+  from documents
+)
+select source,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(case when 2 * cum <= total or rn = 1 then 1 else 0 end)
+            as bigint) as docs_kept,
+       cast(sum(case when 2 * cum <= total or rn = 1 then n_chars else 0 end)
+            as bigint) as chars_kept,
+       cast(max(total) as bigint) as total_chars,
+       round(cast(sum(case when 2 * cum <= total or rn = 1 then n_chars
+                           else 0 end) as double)
+             / cast(max(total) as double), 6) as share_kept
+from r group by source
+""",
+)
+def q_nucleus_source_subset(spark, sf_dir):
+    """Per-source NUCLEUS (top-p) selection
+    (operators/curation.py:nucleus_subset_by_group): within each
+    source, rank docs by n_chars desc and keep the prefix holding at
+    most HALF the source's total mass (2·cumsum ≤ total, exact
+    integer arithmetic — no float threshold drift), top row always
+    kept — the grouped sibling of the global token_budget_subset,
+    i.e. "cap every source at the best half of its mass" from the
+    data-mixing playbook. One keyed window per source (cumsum, rank
+    and total share the partitionBy(source) exchange); per-group
+    output here is the |sources|-bounded rollup. Source skew beyond
+    one task is the documented hand-off to
+    operators/ranks.py:grouped_prefix_sum (same trade as
+    seq_packing)."""
+    from .operators.curation import nucleus_subset_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = nucleus_subset_by_group(docs, "source", "n_chars", "doc_id")
+    total = r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("long").alias("docs_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_kept"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return total.withColumn(
+        "share_kept",
+        F.round(
+            F.col("chars_kept").cast("double") / F.col("total_chars").cast("double"), 6
+        ),
+    )
+
+
+@register(
+    "token_kl_drift",
+    oracle=f"""
+with tok as (select doc_id, unnest({SQL_TOKS}) as token from documents),
+c as (
+  select token,
+         cast(sum(case when doc_id % 2 = 0 then 1 else 0 end) as bigint) as c0,
+         cast(sum(case when doc_id % 2 = 1 then 1 else 0 end) as bigint) as c1
+  from tok group by token
+),
+s as (select sum(c0) as t0, sum(c1) as t1, count(*) as v from c),
+kl as (
+  select token, c0, c1,
+         round((cast(c1 + 1 as double) / cast(t1 + v as double))
+               * ln((cast(c1 + 1 as double) / cast(t1 + v as double))
+                    / (cast(c0 + 1 as double) / cast(t0 + v as double))), 6)
+           as kl_contrib
+  from c, s
+)
+select token, c0, c1, kl_contrib
+from kl
+order by kl_contrib desc, token asc
+limit 20
+""",
+)
+def q_token_kl_drift(spark, sf_dir):
+    """Token-distribution drift monitor: KL(P_new ‖ P_old) decomposed
+    per token between the doc_id-parity halves of the corpus (the
+    deterministic stand-in for yesterday's crawl vs today's), add-1
+    smoothed over the union vocabulary so one-sided tokens stay
+    finite — the drift alarm a training-data pipeline runs before
+    mixing a new batch (PSI's token-level sibling; psi_value_drift
+    covers the numeric column case). Top-20 positive contributors
+    (tokens newly over-represented), exact int64 counts, probabilities
+    as single double divisions, ln rounded 6 dp (house rule). One
+    map-side-combined token aggregate (NDV-sized) + a 1-row scalar
+    cross join; TakeOrderedAndProject for the cut."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c0"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+        )
+    )
+    s = c.agg(
+        F.sum("c0").alias("t0"), F.sum("c1").alias("t1"), F.count(F.lit(1)).alias("v")
+    )
+    p_new = (F.col("c1") + 1).cast("double") / (F.col("t1") + F.col("v")).cast("double")
+    p_old = (F.col("c0") + 1).cast("double") / (F.col("t0") + F.col("v")).cast("double")
+    return (
+        c.crossJoin(F.broadcast(s))
+        .select(
+            "token",
+            "c0",
+            "c1",
+            F.round(p_new * F.log(p_new / p_old), 6).alias("kl_contrib"),
+        )
+        .orderBy(F.col("kl_contrib").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "interval_coactivity_pairs",
+    oracle="""
+with iv as (
+  select cast(ts as date) as day, user_id,
+         min(epoch_us(ts)) as s, max(epoch_us(ts)) as e
+  from events where event_type = 'purchase'
+  group by 1, 2 having count(*) >= 2
+)
+select strftime(a.day, '%Y-%m-%d') as day,
+       cast(count(*) as bigint) as n_pairs
+from iv a join iv b
+  on a.day = b.day and a.user_id < b.user_id
+ and a.s <= b.e and b.s <= a.e
+group by a.day
+""",
+)
+def q_interval_coactivity_pairs(spark, sf_dir):
+    """Interval-overlap SELF-join via hour-bin bucketing
+    (operators/sessions.py:interval_coactivity_pairs): per day, count
+    user pairs whose same-day purchase-burst intervals [first, last]
+    overlap — co-activity / fraud-ring style detection, and the
+    repo's explicit demonstration of the BIN-BASED RANGE JOIN (the
+    equi-join surrogate production engines use for interval
+    predicates): intervals explode into the ≤24 hour bins they span,
+    candidates form by (day, hour) equi-join, the exact overlap
+    predicate verifies, DISTINCT dedups multi-bin pairs. Candidate
+    volume is Σ_bin n², not Σ_day n² — the bin width is the tuning
+    knob. Completeness: overlapping intervals share the hour of
+    max(s₁,s₂). The oracle replays the mathematically equal direct
+    overlap join (quadratic per day — fine at oracle scale)."""
+    from .operators.sessions import interval_coactivity_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    out = interval_coactivity_pairs(ev, event_type="purchase", min_events=2)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_pairs"
+    )
