@@ -78,6 +78,7 @@ def interval_coactivity_pairs(
     events: DataFrame,
     event_type: str = "purchase",
     min_events: int = 2,
+    bin_us: int = 3_600_000_000,
 ) -> DataFrame:
     """BUCKETED interval-overlap self-join (the bin-based range-join
     technique): build per-(user, day) activity intervals
@@ -93,8 +94,11 @@ def interval_coactivity_pairs(
     overlapping intervals share the hour of max(s₁,s₂), so every true
     pair appears in ≥1 shared bin; pairs meeting in several bins are
     deduped by DISTINCT. Candidate volume is Σ_bin n_bin² instead of
-    Σ_day n_day² — the bin width is the knob (hours here; minutes at
-    higher density), exactly how production range joins are tuned.
+    Σ_day n_day² — ``bin_us`` is the knob (1 h default; shrink toward
+    the typical interval length as density grows), exactly how
+    production bin-based range joins are tuned: cost is candidates
+    (Σ_bin n²), and the x100-tier A/B in PERF.md measures the knob
+    (hour bins 41 s → 10-min bins 12 s at identical output).
 
     Exact integer microsecond endpoints; returns (day, n_pairs)."""
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -114,8 +118,8 @@ def interval_coactivity_pairs(
         "hour",
         F.explode(
             F.sequence(
-                F.floor(F.col("s") / F.lit(3_600_000_000)),
-                F.floor(F.col("e") / F.lit(3_600_000_000)),
+                F.floor(F.col("s") / F.lit(int(bin_us))),
+                F.floor(F.col("e") / F.lit(int(bin_us))),
             )
         ),
     )

@@ -10472,6 +10472,7 @@ def q_orc_roundtrip_rollup(spark, sf_dir):
 
 @register(
     "asof_nearest_order",
+    headline=True,
     oracle="""
 with o as (
   select o_custkey, o_orderdate, o_orderkey
@@ -10554,6 +10555,7 @@ _TDA_HL_US = 24 * 3600 * 1_000_000  # one-day half-life
 
 @register(
     "attribution_time_decay",
+    headline=True,
     oracle=f"""
 with conv as (
   select event_id as conv_id, user_id, epoch_us(ts) as t_c,
@@ -10875,13 +10877,23 @@ def q_interval_coactivity_pairs(spark, sf_dir):
     candidates form by (day, hour) equi-join, the exact overlap
     predicate verifies, DISTINCT dedups multi-bin pairs. Candidate
     volume is Σ_bin n², not Σ_day n² — the bin width is the tuning
-    knob. Completeness: overlapping intervals share the hour of
-    max(s₁,s₂). The oracle replays the mathematically equal direct
-    overlap join (quadratic per day — fine at oracle scale)."""
+    knob, and it must track the INTERVAL LENGTH: this data's bursts
+    span most of their day, so sub-day bins only replicate each
+    interval into every bin it covers while per-bin density barely
+    drops (measured at ×100: 1 h bins 43.97 s, 10 min 67.84 s, 6 h
+    15.84 s, 24 h 8.71 s — all the same 11.5M verified pairs;
+    PERF.md round-10). Day bins are therefore the measured optimum
+    here; short-burst data flips the preference, which is the whole
+    point of the knob. Completeness: overlapping intervals share the
+    bin of max(s₁,s₂). The oracle replays the mathematically equal
+    direct overlap join — output is bin-width-independent, so the
+    tuning is pure plan choice."""
     from .operators.sessions import interval_coactivity_pairs
 
     ev = load_table(spark, sf_dir, "events")
-    out = interval_coactivity_pairs(ev, event_type="purchase", min_events=2)
+    out = interval_coactivity_pairs(
+        ev, event_type="purchase", min_events=2, bin_us=24 * 3_600_000_000
+    )
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_pairs"
     )
