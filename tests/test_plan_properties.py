@@ -385,3 +385,41 @@ def test_bloom_probe_broadcast_is_term_filtered(spark):
         "probe-side broadcast is not filtered to the bounded term list — "
         "it would broadcast the full corpus vocabulary at scale"
     )
+
+
+def test_asof_nearest_single_key_exchange(spark):
+    """asof_nearest_order: both direction carries (asc + desc window
+    sorts) must reuse ONE __key hash exchange — the whole point of the
+    union shape vs a range join. No cartesian, no Python."""
+    plan = _plan(spark, "asof_nearest_order")
+    assert plan.count("hashpartitioning(__key") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_interval_coactivity_is_equi_join(spark):
+    """interval_coactivity_pairs: the overlap predicate must ride the
+    (day, bin) equi-join — a SortMergeJoin/ShuffledHashJoin with the
+    range conditions as post-join filters — never a cartesian or
+    broadcast-nested-loop fallback."""
+    plan = _plan(spark, "interval_coactivity_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # any EQUALITY-keyed join is fine (AQE may broadcast the tiny-SF
+    # side); the range conditions must be the join's post-filter
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin [day" in plan
+    )
+
+
+def test_time_decay_attribution_bounds_enumeration(spark):
+    """attribution_time_decay shares the capped family's enumeration
+    bound: the <=cap slot explode is in the plan, the density2
+    interval-bucket join is not."""
+    plan = _plan(spark, "attribution_time_decay")
+    assert "least(7" in plan and "explode(transform(sequence(0" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
