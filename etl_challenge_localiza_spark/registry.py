@@ -10897,3 +10897,289 @@ def q_interval_coactivity_pairs(spark, sf_dir):
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_pairs"
     )
+
+
+@register(
+    "basket_lift_pairs",
+    oracle="""
+with b as (select distinct l_orderkey, l_partkey from lineitem),
+n as (select cast(count(distinct l_orderkey) as bigint) as big_n from b),
+pa as (select l_partkey, cast(count(*) as bigint) as n_a from b group by 1),
+pairs as (
+  select a.l_partkey as p1, c.l_partkey as p2,
+         cast(count(*) as bigint) as n_ab
+  from b a join b c
+    on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+  group by 1, 2
+)
+select p.p1, p.p2, p.n_ab,
+       round(cast(p.n_ab * n.big_n as double)
+             / cast(x.n_a * y.n_a as double), 6) as lift
+from pairs p, n
+join pa x on x.l_partkey = p.p1
+join pa y on y.l_partkey = p.p2
+order by p.n_ab desc, lift desc, p.p1, p.p2
+limit 20
+""",
+)
+def q_basket_lift_pairs(spark, sf_dir):
+    """Market-basket co-occurrence with LIFT scoring — the
+    recommender / affinity primitive: parts bought together in one
+    order, lift(a,b) = n_ab·N / (n_a·n_b) (>1 ⇒ the pair co-occurs
+    more than independence predicts). The scale contract is that the
+    pair enumeration is bounded by BASKET SIZE, not catalog size: the
+    self-join is keyed on l_orderkey, so each order contributes
+    ≤ C(basket,2) pairs (TPC-H baskets are ≤7 lines) — the classic
+    per-transaction fan-out of frequent-itemset mining, linear in
+    orders at any corpus scale. Exact int64 supports; lift is one
+    double division rounded 6 dp; top-20 by (support, lift, pair)
+    total order via TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(F.count_distinct("l_orderkey").cast("long").alias("big_n"))
+    pa = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    a = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    c = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(c, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    out = (
+        pairs.join(pa.select(F.col("l_partkey").alias("p1"), F.col("n_a").alias("na")), "p1")
+        .join(pa.select(F.col("l_partkey").alias("p2"), F.col("n_a").alias("nb")), "p2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            F.round(
+                (F.col("n_ab") * F.col("big_n")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(
+        F.col("n_ab").desc(), F.col("lift").desc(), F.col("p1"), F.col("p2")
+    ).limit(20)
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle="""
+with d as (
+  select event_type,
+         cast(epoch_us(cast(cast(ts as date) as timestamp)) // 86400000000 as bigint) as day,
+         cast(round(sum(cast(value as decimal(18,2))), 2) as double) as v
+  from events group by 1, 2
+),
+p as (
+  select a.event_type,
+         (b.v - a.v) / cast(b.day - a.day as double) as slope,
+         a.day as d1, b.day as d2
+  from d a join d b
+    on a.event_type = b.event_type and b.day > a.day
+),
+r as (
+  select event_type, slope,
+         row_number() over (partition by event_type
+                            order by slope asc, d1 asc, d2 asc) as rn,
+         count(*) over (partition by event_type) as n_pairs
+  from p
+)
+select event_type, cast(max(n_pairs) as bigint) as n_pairs,
+       max(case when rn = (n_pairs + 1) // 2 then slope end) as ts_slope
+from r group by event_type
+""",
+)
+def q_theil_sen_daily_trend(spark, sf_dir):
+    """Theil–Sen robust trend estimator per event type: the (lower)
+    MEDIAN of all pairwise slopes between daily value totals — the
+    outlier-resistant alternative to the OLS trend
+    (per_type_value_trend); one corrupted day moves OLS arbitrarily
+    but shifts a median slope by at most one rank. Scale contract:
+    the all-pairs step runs on the DAILY AGGREGATE, never the events
+    — ≤ C(days, 2) pairs per type (the date domain is bounded; ~30
+    observed days → ≤435 pairs), so the quadratic lives on a frame
+    whose size is fixed by the calendar, not the data. Daily totals
+    are exact decimal sums cast once to double; each slope is a
+    single double division (engine-exact, no rounding needed); the
+    lower median at rank ⌊(n+1)/2⌋ avoids averaging two doubles. One
+    keyed aggregate + a tiny per-type window."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_micros(F.to_date("ts").cast("timestamp")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    a = d.select(F.col("event_type"), F.col("day").alias("d1"), F.col("v").alias("v1"))
+    b = d.select(F.col("event_type"), F.col("day").alias("d2"), F.col("v").alias("v2"))
+    p = a.join(b, "event_type").filter(F.col("d2") > F.col("d1")).select(
+        "event_type",
+        ((F.col("v2") - F.col("v1")) / (F.col("d2") - F.col("d1")).cast("double")).alias(
+            "slope"
+        ),
+        "d1",
+        "d2",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("slope").asc(), F.col("d1").asc(), F.col("d2").asc()
+    )
+    r = p.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_pairs"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n_pairs").cast("long").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == (F.col("n_pairs") + 1).cast("long") / 2, F.col("slope")).otherwise(
+                F.lit(None)
+            )
+        ).alias("ts_slope"),
+    )
+
+
+@register(
+    "concurrent_open_orders",
+    oracle="""
+with bounds as (
+  select cast(o_orderdate as date) as open_day,
+         cast(o_orderdate as date) + interval 30 day as close_day
+  from orders
+),
+deltas as (
+  select cast(open_day as date) as day, cast(count(*) as bigint) as d
+  from bounds group by 1
+  union all
+  select cast(close_day as date) as day, -cast(count(*) as bigint) as d
+  from bounds group by 1
+),
+net as (select day, cast(sum(d) as bigint) as net from deltas group by day)
+select strftime(day, '%Y-%m-%d') as day,
+       cast(sum(net) over (order by day
+                           rows between unbounded preceding and current row)
+            as bigint) as open_orders
+from net
+""",
+)
+def q_concurrent_open_orders(spark, sf_dir):
+    """Concurrent-interval stacking by SWEEP LINE: how many orders are
+    simultaneously open per day, with each order open for 30 days
+    from o_orderdate — the interval-counting problem solved WITHOUT
+    any interval join: every order contributes a +1 at its open day
+    and a −1 at its close day, deltas aggregate per day (map-side
+    combined, output bounded by the DATE DOMAIN — ~2.4k days for
+    TPC-H regardless of row count), and one running sum over that
+    calendar-bounded frame yields the concurrency curve. The
+    unpartitioned window is the documented bounded-frame exception
+    (it sees ≤ |calendar| rows by construction, same class as the
+    ≤r probe windows). The streaming sibling of this shape is the
+    watermarked state in events_gap_fill; the join-based alternative
+    (day × open-interval range join) would be days × orders."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    open_d = F.to_date("o_orderdate").alias("day")
+    close_d = F.date_add(F.to_date("o_orderdate"), 30).alias("day")
+    opens = o.select(open_d).groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    closes = o.select(close_d).groupBy("day").agg(
+        (-F.count(F.lit(1))).cast("long").alias("d")
+    )
+    net = (
+        opens.unionByName(closes)
+        .groupBy("day")
+        .agg(F.sum("d").cast("long").alias("net"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return net.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.sum("net").over(w).cast("long").alias("open_orders"),
+    )
+
+
+@register(
+    "jsonl_roundtrip_rollup",
+    oracle="""
+select event_type,
+       cast(count(*) as bigint) as n_events,
+       cast(round(sum(cast(value as decimal(18,2))), 2) as double) as total_value,
+       cast(sum(cast(concat('0x', substr(md5(cast(event_id as varchar)), 1, 15)) as bigint)
+                % 1000000007) as bigint) as id_checksum,
+       cast(sum(cast(concat('0x', substr(md5(props), 1, 15)) as bigint)
+                % 1000000007) as bigint) as props_checksum,
+       cast(sum(cast(concat('0x', substr(md5(strftime(ts at time zone 'UTC', '%Y-%m-%d %H:%M:%S.%f')), 1, 15)) as bigint)
+                % 1000000007) as bigint) as ts_checksum
+from events group by event_type
+""",
+)
+def q_jsonl_roundtrip_rollup(spark, sf_dir):
+    """JSON-lines source/sink round trip with value-fidelity proof —
+    completing the format matrix (parquet native, ORC
+    `orc_roundtrip_rollup`, XML `xml_roundtrip_rollup`, CSV
+    quarantine pipeline): stage the events table as gzipped JSONL,
+    read it back with an EXPLICIT schema (no inference pass — the
+    production contract for semi-structured interchange), and roll up
+    per event_type with the exact decimal value sum, md5 mod-prime
+    checksums over event_id and the raw props payload, AND a
+    microsecond-precision UTC timestamp checksum — so the round trip
+    proves the JSON writer/reader preserved every typed value
+    including the timestamp's full µs precision (the classic JSON
+    loss point). The oracle computes the identical rollup from the
+    PARQUET source. Staged copy deleted before return."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="jsonlrt_")
+    # Spark's DEFAULT JSON timestamp formats carry milliseconds only —
+    # the first run of this query's ts_checksum caught the µs
+    # truncation cross-engine. The explicit µs format on BOTH sides is
+    # the fix (and the reason the checksum exists); ts is
+    # TimestampNTZ, which reads its own timestampNTZFormat option.
+    ntz_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    try:
+        path = os.path.join(d, "events")
+        ev.write.option("compression", "gzip").option(
+            "timestampNTZFormat", ntz_fmt
+        ).mode("overwrite").json(path)
+        back = (
+            spark.read.schema(ev.schema)
+            .option("timestampNTZFormat", ntz_fmt)
+            .json(path)
+        )
+        chk = lambda c: (  # noqa: E731 — md5 leading 60 bits mod prime
+            F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+            % F.lit(1000000007)
+        )
+        ts_str = F.date_format(
+            F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        )
+        agg = back.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.sum(chk(F.col("event_id").cast("string"))).cast("long").alias("id_checksum"),
+            F.sum(chk(F.col("props"))).cast("long").alias("props_checksum"),
+            F.sum(chk(ts_str)).cast("long").alias("ts_checksum"),
+        )
+        return agg.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
