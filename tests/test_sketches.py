@@ -143,3 +143,34 @@ def test_bloom_membership_no_false_negatives(spark):
         assert got[p] == (expect_in, p in vocab), p
     # no false negatives, ever
     assert all(got[p][0] for p in vocab[:5])
+
+
+def test_cms_merge_check_is_not_vacuous(spark, monkeypatch):
+    """ADVICE r9: the old cms_est_merged derived both columns from ONE
+    shared cell pass, so the merge-law equality was an arithmetic
+    identity that could never fail. The rebuilt check goes through the
+    public cms_cells + merge_cms_cells path on independent halves —
+    prove it by breaking the merge (dropping one half) and watching
+    the equality fail, then confirming the real merge passes."""
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(f"tok{i % 7}", i) for i in range(40)], ["item", "half"]
+    )
+
+    ok = sketches.count_min_report(df, "item", "half", depth=2, width=8).collect()
+    assert all(r["cms_est_merged"] == r["cms_est"] for r in ok)
+    assert all(r["cms_est"] >= r["exact_n"] for r in ok)
+
+    real_merge = sketches.merge_cms_cells
+
+    def broken_merge(a, b):  # lose half 1 entirely
+        return real_merge(a, b.filter(F.lit(False)))
+
+    monkeypatch.setattr(sketches, "merge_cms_cells", broken_merge)
+    bad = sketches.count_min_report(df, "item", "half", depth=2, width=8).collect()
+    assert any(r["cms_est_merged"] != r["cms_est"] for r in bad), (
+        "a broken merge passed the merge-law check — the check is vacuous"
+    )
