@@ -180,3 +180,59 @@ def test_hashed_shingles_equal_string_shingles(spark, texts):
                 assert len(str_sets[a] & str_sets[b]) == len(
                     hash_sets[a] & hash_sets[b]
                 )
+
+
+@given(
+    lefts=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=15),
+    rights=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=10),
+)
+@SLOW
+def test_asof_nearest_matches_brute_force(spark, lefts, rights):
+    """asof_nearest_join == per-row argmin |gap| with backward ties,
+    for arbitrary time sets (duplicates included) on one key."""
+    from etl_challenge_localiza_spark.operators.asof import asof_nearest_join
+
+    rights = sorted(set(rights))
+    left = spark.createDataFrame([(1, i, t) for i, t in enumerate(lefts)], ["k", "i", "t"])
+    right = spark.createDataFrame([(1, t, f"v{t}") for t in rights], ["k", "rt", "v"])
+    got = {
+        r["i"]: (r["v"], r["direction"], r["gap"])
+        for r in asof_nearest_join(left, right, "k", "k", "t", "rt", ["v"]).collect()
+    }
+    for i, t in enumerate(lefts):
+        back = max((rt for rt in rights if rt <= t), default=None)
+        fwd = min((rt for rt in rights if rt >= t), default=None)
+        if back is not None and (fwd is None or t - back <= fwd - t):
+            expect = (f"v{back}", "backward", t - back)
+        else:
+            expect = (f"v{fwd}", "forward", fwd - t)
+        assert got[i] == expect, (i, t, got[i], expect)
+
+
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=20)
+)
+@SLOW
+def test_nucleus_prefix_properties(spark, weights):
+    """The kept set is always a PREFIX of the weight-desc order, keeps
+    at least one row, and its mass never exceeds half the total except
+    via the top-row guarantee."""
+    from etl_challenge_localiza_spark.operators.curation import (
+        nucleus_subset_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i, w) for i, w in enumerate(weights)], ["grp", "id", "w"]
+    )
+    rows = sorted(
+        nucleus_subset_by_group(df, "grp", "w", "id").collect(),
+        key=lambda r: r["rank_in_group"],
+    )
+    kept = [r["kept"] for r in rows]
+    assert kept[0] is True
+    # prefix property: no kept row after a dropped one
+    assert all(not (kept[i] and not kept[i - 1]) for i in range(1, len(kept)))
+    total = sum(weights)
+    mass = sum(r["w"] for r in rows if r["kept"])
+    n_kept = sum(kept)
+    assert 2 * mass <= total or n_kept == 1
