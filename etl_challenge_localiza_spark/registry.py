@@ -10884,7 +10884,14 @@ def q_interval_coactivity_pairs(spark, sf_dir):
     15.84 s, 24 h 8.71 s — all the same 11.5M verified pairs;
     PERF.md round-10). Day bins are therefore the measured optimum
     here; short-burst data flips the preference, which is the whole
-    point of the knob. Completeness: overlapping intervals share the
+    point of the knob. Second face of the same knob: the join key is
+    (day, bin), so BIN COUNT also sets join parallelism — stage
+    attribution at ×30 reads 7% util@32 with day bins (floor-bound,
+    3.7 s wall: ~30 distinct keys cap the join at ~30 tasks). At
+    32 cores the candidate-volume saving wins anyway; on a
+    1000-executor cluster with a short calendar, shrink bins (or salt
+    the key) until keys ≥ cluster width — parallelism and candidate
+    volume trade through the same parameter. Completeness: overlapping intervals share the
     bin of max(s₁,s₂). The oracle replays the mathematically equal
     direct overlap join — output is bin-width-independent, so the
     tuning is pure plan choice."""
