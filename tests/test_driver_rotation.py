@@ -51,3 +51,21 @@ def test_green_after_red_counts_as_checked(tmp_path):
     _write(tmp_path, 1, {"a": {**GREEN, "hash_match": False}})
     _write(tmp_path, 2, {"a": GREEN})  # fixed and re-verified
     assert E._driver_last_checked(str(tmp_path)) == {"a": 2}
+
+
+def test_r10_window_covers_new_and_r5_stale():
+    """VERDICT r9 #2 done-criterion: the driver's 50-query window for
+    round 10 must contain every never-checked addition AND all 17
+    r5-stale names (new additions were capped well under 33 so both
+    groups fit by construction)."""
+    import __spark_entry__ as E
+
+    window = list(E.queries())[:50]
+    last = E._driver_last_checked()
+    never = [n for n in E.queries() if n not in last]
+    assert set(never) <= set(window), "a never-checked query fell outside the window"
+    r5_stale = [n for n, rnd in last.items() if rnd == 5]
+    assert set(r5_stale) <= set(window), (
+        f"r5-stale names outside the 50-window: {sorted(set(r5_stale) - set(window))}"
+    )
+    assert len(never) + len(r5_stale) <= 50
