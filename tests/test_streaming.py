@@ -598,3 +598,86 @@ def test_versioned_apply_is_exactly_once_under_retry(spark, tmp_path):
     # (c) next batch proceeds normally on top
     apply_versioned_batch(spark, base, "s", 2, compute_add(5))
     assert total() == 22 and _read_applied(base)["version"] == 3
+
+
+def test_versioned_apply_survives_query_restart(spark, tmp_path):
+    """End-to-end exactly-once: a foreachBatch apply that CRASHES after
+    its data write (before the marker commit) fails the query; a
+    restart from the same checkpoint replays that micro-batch — the
+    marker path must converge to the same totals as a clean run, with
+    no double-applied delta."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.streaming.upsert import (
+        _read_applied,
+        apply_versioned_batch,
+    )
+
+    src = str(tmp_path / "src")
+    for i in range(3):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id").cast("long").alias("v")
+        ).coalesce(1).write.mode("append").parquet(src)
+    base = str(tmp_path / "state")
+    os.makedirs(base)
+    ckpt = str(tmp_path / "ckpt")
+    crash = {"armed": True}
+
+    def _apply(batch_df, batch_id):
+        def compute(prev):
+            delta = batch_df.agg(F.sum("v").cast("long").alias("total"))
+            if prev is None:
+                return delta
+            return prev.union(delta).groupBy().agg(
+                F.sum("total").cast("long").alias("total")
+            )
+
+        apply_versioned_batch(batch_df.sparkSession, base, "s", batch_id, compute)
+        if crash["armed"] and batch_id >= 1:
+            # crash AFTER the versioned write + marker commit of this
+            # batch has happened inside apply_versioned_batch? No —
+            # to model the worst case, roll the marker back first so
+            # the restart sees a half-applied batch, then die.
+            m = _read_applied(base)
+            if m and m["batch_id"] == batch_id:
+                # simulate "data written, marker commit lost with the
+                # driver" — the documented crash point
+                from etl_challenge_localiza_spark.streaming.upsert import (
+                    _commit_applied,
+                )
+
+                _commit_applied(base, batch_id - 1, m["version"] - 1)
+            crash["armed"] = False
+            raise RuntimeError("injected crash after data write")
+
+    schema = spark.read.parquet(src).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        err = None
+        try:
+            q.awaitTermination(120)
+        except Exception as e:  # StreamingQueryException on batch failure
+            err = e
+        finally:
+            if q.isActive:
+                q.stop()
+        return err
+
+    first = run()
+    assert first is not None and "injected crash" in str(first)
+    second = run()
+    assert second is None
+    m = _read_applied(base)
+    total = spark.read.parquet(f"{base}/s{m['version']}").collect()[0]["total"]
+    assert total == sum(range(30)), f"state diverged after restart: {total}"
