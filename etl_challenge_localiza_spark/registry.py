@@ -11190,3 +11190,203 @@ def q_jsonl_roundtrip_rollup(spark, sf_dir):
         return agg.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
+    "pq_adc_topk",
+    oracle="""
+with le as (select vec_id,
+                   list_transform(embedding, x -> cast(x as double)) as e
+            from embeddings),
+sub as (
+  select vec_id, j.j,
+         list_slice(e, 16 * j.j + 1, 16 * j.j + 16) as s
+  from le, range(0, 4) j(j)
+),
+cb as (select j, vec_id as cid, s as cs from sub where vec_id < 16),
+qs as (select j, s as q from sub where vec_id = 0),
+dtab as (
+  select cb.j, cb.cid,
+         round(list_sum(list_transform(list_zip(qs.q, cb.cs),
+                                       p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) as dq
+  from cb join qs using (j)
+),
+cand as (select vec_id, j, s from sub where vec_id > 0),
+codes as (
+  select vec_id, j, cid
+  from (
+    select c.vec_id, c.j, cb.cid,
+           round(list_sum(list_transform(list_zip(c.s, cb.cs),
+                                         p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) as d
+    from cand c join cb using (j)
+  )
+  qualify row_number() over (partition by vec_id, j order by d, cid) = 1
+),
+adc as (
+  select codes.vec_id, round(sum(dtab.dq), 6) as adc_dist
+  from codes join dtab on codes.j = dtab.j and codes.cid = dtab.cid
+  group by codes.vec_id
+)
+select vec_id, adc_dist from adc
+order by adc_dist asc, vec_id asc
+limit 10
+""",
+)
+def q_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou, Douze & Schmid, TPAMI'11 — the IVF-PQ workhorse): split
+    the 64-d embeddings into m=4 16-d subspaces, quantize each
+    subspace against k=16 deterministic seed centroids (vec_id < 16 —
+    the ivf_assignments seeding convention, which keeps the whole
+    model oracle-replayable), and answer the vec-0 query by ADC:
+    approx dist(v) = Σⱼ D[j][codeⱼ(v)] where D is the query's
+    16×4-entry subspace distance table. The memory story PQ exists
+    for: each vector compresses 64 floats → 4 one-byte codes (64×),
+    and query cost is m table lookups per candidate instead of a
+    64-d scan.
+
+    Plan shape: codebook and distance table are (m·k)-bounded frames
+    built from the same scan and BROADCAST; candidates explode ×m
+    (bounded), argmin per (vec, subspace) rides a max-struct
+    aggregate, ADC is one broadcast lookup join + a per-vec sum —
+    one corpus scan, no corpus shuffle wider than ×m. Subspace
+    distances are SQUARED (additive across subspaces — the reason
+    ADC sums work) and rounded 6 dp before the argmin/sum (house
+    float-portability rule). Top-10 by (adc_dist, vec_id). Recall vs
+    exact cosine is pinned by pytest, not asserted here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, sub_d, k = 4, 16, 16
+    le = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("e"),
+    )
+    sub = le.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.slice(F.col("e"), j * sub_d + 1, sub_d).alias("s"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("c"),
+    ).select("vec_id", F.col("c.j").alias("j"), F.col("c.s").alias("s"))
+
+    def dsq(a, b):
+        return F.round(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        )
+
+    cb = sub.filter(F.col("vec_id") < k).select(
+        "j", F.col("vec_id").alias("cid"), F.col("s").alias("cs")
+    )
+    qs = sub.filter(F.col("vec_id") == 0).select("j", F.col("s").alias("q"))
+    dtab = cb.join(F.broadcast(qs), "j").select(
+        "j", "cid", dsq(F.col("q"), F.col("cs")).alias("dq")
+    )
+    cand = sub.filter(F.col("vec_id") > 0)
+    best = F.min(F.struct(dsq(F.col("s"), F.col("cs")).alias("d"), F.col("cid")))
+    codes = (
+        cand.join(F.broadcast(cb), "j")
+        .groupBy("vec_id", "j")
+        .agg(best.alias("b"))
+        .select("vec_id", "j", F.col("b.cid").alias("cid"))
+    )
+    return (
+        codes.join(F.broadcast(dtab), ["j", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("dq"), 6).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_SWEEP_THRESHOLDS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+with t as (select doc_id, lang, source, {{SQL_TOKS}} as toks from documents),
+g as (select doc_id, lang, source, toks,
+             unnest(generate_series(1, len(toks) - 2)) as g
+      from t),
+sh_all as (
+  select distinct doc_id, lang, source,
+         array_to_string(toks[g:g+2], ' ') as shingle
+  from g
+),
+hot as (select lang, source, shingle from sh_all
+        group by 1, 2, 3 having count(*) > 100),
+sh as (
+  select a.* from sh_all a
+  where not exists (select 1 from hot h
+                    where h.lang = a.lang and h.source = a.source
+                      and h.shingle = a.shingle)
+),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select a.doc_id as da, b.doc_id as db, count(*) as ni
+  from sh a
+  join sh b on a.shingle = b.shingle and a.lang = b.lang
+           and a.source = b.source and a.doc_id < b.doc_id
+  group by 1, 2
+),
+pairs as (
+  select da, db,
+         cast(ni as double) / cast(sa.n + sb.n - ni as double) as jaccard
+  from inter
+  join sizes sa on da = sa.doc_id
+  join sizes sb on db = sb.doc_id
+  where cast(ni as double) / cast(sa.n + sb.n - ni as double) >= 0.05
+),
+sweep as (
+  select t.t as threshold, p.da, p.db
+  from pairs p, unnest([{", ".join(str(t) for t in _SWEEP_THRESHOLDS)}]) t(t)
+  where p.jaccard >= t.t
+),
+docs as (select threshold, unnest([da, db]) as doc from sweep)
+select threshold,
+       cast(count(*) / 2 as bigint) as n_pairs,
+       cast(count(distinct doc) as bigint) as n_docs_affected
+from docs group by threshold
+""".replace("{SQL_TOKS}", SQL_TOKS),
+)
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup aggressiveness TUNING CURVE: how many near-dup pairs and
+    affected documents each Jaccard threshold in 0.1..0.9 would hit —
+    the report a pipeline owner reads before choosing how hard to
+    dedup (too low: false merges eat real data; too high: near-copies
+    survive into training). The expensive part — the blocked,
+    df-capped pair stream (operators/dedup.py:ngram_jaccard_pairs
+    plan, floored at 0.05) — is computed ONCE; the nine thresholds
+    ride a bounded ×9 explode of the PAIR frame (pairs ≪ corpus by
+    construction), so the sweep costs one dedup pass plus a tiny
+    rollup, not nine dedup passes. Exact rational jaccards make every
+    threshold comparison engine-identical."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.05, max_df=100
+    )
+    th = F.explode(F.array(*[F.lit(float(t)) for t in _SWEEP_THRESHOLDS]))
+    sweep = (
+        pairs.select("doc_id_a", "doc_id_b", "jaccard", th.alias("threshold"))
+        .filter(F.col("jaccard") >= F.col("threshold"))
+    )
+    docs = sweep.select(
+        "threshold",
+        F.explode(F.array(F.col("doc_id_a"), F.col("doc_id_b"))).alias("doc"),
+    )
+    return docs.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.count_distinct("doc").cast("long").alias("n_docs_affected"),
+    )
