@@ -11390,3 +11390,91 @@ def q_dedup_threshold_sweep(spark, sf_dir):
         (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
         F.count_distinct("doc").cast("long").alias("n_docs_affected"),
     )
+
+
+@register(
+    "ivf_index_roundtrip",
+    oracle=QUERIES["ivf_search_vec0"].oracle,
+)
+def q_ivf_index_roundtrip(spark, sf_dir):
+    """IVF index PERSISTENCE round trip — the deployment shape of
+    ANN-on-a-lake: build the index (seed-centroid ivf_assign — same
+    model as `ivf_assignments`, kept oracle-replayable), WRITE it as
+    two parquet tables — assignments partitioned BY CENTROID (one
+    directory per bucket: the layout that turns probe selection into
+    FILE-LEVEL partition pruning) plus the centroid vectors — RELOAD
+    both from disk, and answer the vec-0 probe-2 search purely from
+    the persisted index: the probed buckets arrive as an `isin` on
+    the partition column, so the index scan reads ONLY the two
+    probed directories (PartitionFilters — pytest-guarded), never the
+    full assignment table. Final answers must equal the in-memory
+    `ivf_search_vec0` exactly — the oracle IS that query's SQL,
+    proving the round trip preserved every assignment and distance.
+    At 100 TB: the index build is one pass; every later query is two
+    bucket files + a candidate-sized exact rerank."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .functions.vectors import cosine
+    from .operators.similarity import euclidean_sq, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="ivfidx_")
+    try:
+        ivf_assign(emb, n_centroids=8).write.partitionBy("centroid_id").mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "assignments"))
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), "embedding"
+        ).write.mode("overwrite").parquet(os.path.join(d, "centroids"))
+
+        cents = spark.read.parquet(os.path.join(d, "centroids")).select(
+            "centroid_id", F.col("embedding").alias("c_emb")
+        )
+        assign = spark.read.parquet(os.path.join(d, "assignments"))
+        qvec = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_embedding")
+        )
+        probe_ids = [
+            int(r["centroid_id"])
+            for r in (
+                qvec.crossJoin(F.broadcast(cents))
+                .select(
+                    "centroid_id",
+                    F.round(F.sqrt(euclidean_sq("q_embedding", "c_emb")), 6).alias(
+                        "qdist"
+                    ),
+                )
+                .withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.orderBy(F.col("qdist").asc(), F.col("centroid_id").asc())
+                    ),
+                )
+                .filter(F.col("rn") <= 2)
+                .select("centroid_id")
+                .collect()  # nprobe=2 ids — a bounded model-probe fetch,
+                # materialized as literals so the bucket filter prunes
+                # index PARTITIONS at plan time (not a data collect)
+            )
+        ]
+        cand = assign.filter(
+            F.col("centroid_id").isin(probe_ids) & (F.col("vec_id") != 0)
+        ).select("vec_id")
+        return (
+            emb.join(cand, "vec_id")
+            .crossJoin(F.broadcast(qvec))
+            .select(
+                "vec_id",
+                "label",
+                F.round(cosine("embedding", "q_embedding"), 6).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+            .limit(10)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

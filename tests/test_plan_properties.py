@@ -423,3 +423,20 @@ def test_time_decay_attribution_bounds_enumeration(spark):
     assert "least(7" in plan and "explode(transform(sequence(0" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_index_partition_layout_prunes(spark, tmp_path):
+    """ivf_index_roundtrip's deployment claim: an assignments table
+    partitioned by centroid_id turns the probe's isin into FILE-LEVEL
+    partition pruning — the index scan must carry PartitionFilters on
+    centroid_id and read only the probed buckets."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "assignments")
+    spark.range(0, 400).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 8).alias("centroid_id")
+    ).write.partitionBy("centroid_id").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("centroid_id").isin([2, 5]))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1].splitlines()[0]
+    assert scan.select(F.count_distinct("centroid_id")).collect()[0][0] == 2
