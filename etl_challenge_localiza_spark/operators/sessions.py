@@ -140,3 +140,64 @@ def interval_coactivity_pairs(
     return pairs.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+def interval_coactivity_counts(
+    events: DataFrame,
+    event_type: str = "purchase",
+    min_events: int = 2,
+) -> DataFrame:
+    """COUNT overlapping same-day interval pairs WITHOUT materializing
+    them — the O(n log n) counting complement to
+    interval_coactivity_pairs (use that when downstream needs the pair
+    list; use this for the metric): per day,
+
+        n_overlap = C(n,2) − #{(a,b) : e_a < s_b}
+
+    and the disjoint-pair count is a MERGE RANK: sort every start and
+    end on one per-day timeline (starts before ends at equal t — the
+    overlap predicate is inclusive, s_b ≤ e_a overlaps) and give each
+    START the running count of ENDS strictly before it. Each disjoint
+    unordered pair is counted exactly once, under its earlier-ending
+    orientation. This is the same endpoint-sweep family as
+    concurrent_open_orders, and the plan DuckDB's specialized
+    IEJoin gets for free — expressed in Spark as one per-day window
+    over 2n endpoint rows. Exact integer µs endpoints; returns
+    (day, n_pairs), identical values to the pair-materializing plan
+    (the registry pins both to the same oracle)."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = (
+        events.filter(F.col("event_type") == event_type)
+        .select(F.to_date("ts").alias("day"), "user_id", us.alias("t"))
+        .groupBy("day", "user_id")
+        .agg(F.min("t").alias("s"), F.max("t").alias("e"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_events)
+        .drop("n")
+    )
+    endpoints = iv.select(
+        "day", F.col("s").alias("t"), F.lit(0).alias("kind")
+    ).unionByName(iv.select("day", F.col("e").alias("t"), F.lit(1).alias("kind")))
+    w = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("kind").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    disjoint = (
+        endpoints.withColumn("ends_before", F.sum("kind").over(w))
+        .filter(F.col("kind") == 0)
+        .groupBy("day")
+        .agg(F.sum("ends_before").cast("long").alias("n_disjoint"))
+    )
+    totals = iv.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        totals.join(disjoint, "day")
+        .select(
+            "day",
+            (F.col("n") * (F.col("n") - 1) / 2 - F.col("n_disjoint"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
