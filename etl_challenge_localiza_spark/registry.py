@@ -11050,12 +11050,16 @@ def q_theil_sen_daily_trend(spark, sf_dir):
         F.row_number().over(w).alias("rn"),
         F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_pairs"),
     )
+    # lower-median rank: integer floor division — Spark's `/` on longs
+    # is DOUBLE division, so `rn == (n+1)/2` would be x.5 ≠ rn for any
+    # EVEN pair count and silently null the median (caught in review;
+    # C(days,2) happened to be odd at every tested tier)
     return r.groupBy("event_type").agg(
         F.max("n_pairs").cast("long").alias("n_pairs"),
         F.max(
-            F.when(F.col("rn") == (F.col("n_pairs") + 1).cast("long") / 2, F.col("slope")).otherwise(
-                F.lit(None)
-            )
+            F.when(
+                F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2), F.col("slope")
+            ).otherwise(F.lit(None))
         ).alias("ts_slope"),
     )
 

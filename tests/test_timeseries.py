@@ -274,3 +274,36 @@ def test_rolling_distinct_users_hand_computed(spark):
         "2024-01-03": (1, 3),           # u1,u2,u3
         "2024-01-10": (1, 1),           # d4..d10: only u1's d10 visit
     }
+
+
+def test_theil_sen_even_pair_count_has_median(spark):
+    """Regression (round-10 review): an EVEN number of pairwise slopes
+    must still produce the lower median — the first cut compared an int
+    rank to Spark's DOUBLE (n+1)/2 and silently nulled even counts.
+    4 days -> C(4,2)=6 pairs (even); slopes of v=2d are all exactly 2."""
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = []
+    eid = 0
+    for d, day in enumerate(["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]):
+        rows.append((eid, f"{day} 10:00:00", 1, "purchase", float(2 * d)))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import tempfile, os, shutil
+
+    d = tempfile.mkdtemp()
+    try:
+        # stage as a table dir the loader accepts
+        for t in ("events",):
+            ev.write.parquet(os.path.join(d, f"{t}.parquet"))
+        # reuse only the slope math: call the registry fn against a dir
+        # that carries just the events table
+        out = {r["event_type"]: r for r in QUERIES["theil_sen_daily_trend"].fn(spark, d).collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert out["purchase"]["n_pairs"] == 6
+    assert out["purchase"]["ts_slope"] == 2.0, "even pair count lost its median"
