@@ -63,10 +63,15 @@ def build_sf1(spark, k: int = 10, out_name: str = "sf1") -> str:
     copies = spark.range(k).withColumnRenamed("id", "__k")
 
     def explode(df, mutate):
-        return mutate(df.crossJoin(F.broadcast(copies))).drop("__k")
+        # repartition the SOURCE (sf0.1-sized) before the ×k fan-out:
+        # shuffling after the crossJoin moves k× the data (at k=1000
+        # the old shape spilled >40 GB of shuffle for lineitem alone
+        # and serialized on 3 source splits); each of the 32 tasks now
+        # expands its small slice map-side and writes directly.
+        return mutate(df.repartition(32).crossJoin(F.broadcast(copies))).drop("__k")
 
     def write(df, name):
-        df.repartition(32).write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
 
     write(
         explode(li, lambda d: d.withColumn("l_orderkey", F.col("l_orderkey") + F.col("__k") * ok_max)),
