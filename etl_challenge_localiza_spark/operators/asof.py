@@ -55,10 +55,17 @@ def asof_join(
         ).alias("__left"),
         F.struct(*[F.col(c) for c in payload_cols]).alias("__payload"),
     )
-    # state rows sort before probe rows at equal time → inclusive <=
+    # state rows sort before probe rows at equal time → inclusive <=;
+    # the trailing __payload sort key makes ties among right rows
+    # sharing (key, time) DETERMINISTIC (last() then carries the
+    # greatest payload tuple) instead of partition-order-dependent
     w = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t").asc(), F.col("__is_state").desc())
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_state").desc(),
+            F.col("__payload").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (
@@ -94,6 +101,11 @@ def asof_nearest_join(
     (non-negative, in the time columns' unit). Left rows with no right
     row for their key are dropped (inner semantics).
 
+    Right rows need NOT be unique per (key, time): duplicates resolve
+    deterministically to the greatest payload tuple (the windows'
+    trailing ``__payload`` sort key). Callers wanting a different
+    intra-time winner should pre-dedupe — the registry caller does.
+
     Scale shape: the SAME single union of |left|+|right| rows as the
     backward join, carried TWICE under one key hash-exchange (the two
     windows share partitioning — Catalyst plans one Exchange + two
@@ -124,15 +136,28 @@ def asof_nearest_join(
         ).alias("__payload"),
     )
     # state-first at equal time in BOTH directions → both carries are
-    # inclusive (an exact-time match is its own nearest neighbour)
+    # inclusive (an exact-time match is its own nearest neighbour).
+    # The trailing __payload sort key resolves ties among right rows
+    # sharing (key, time) DETERMINISTICALLY — both directions carry
+    # the greatest payload tuple — instead of partition-order-
+    # dependent last(); requires payload_cols to be of orderable
+    # (atomic/struct) types, which every registry caller satisfies.
     w_back = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t").asc(), F.col("__is_state").desc())
+        .orderBy(
+            F.col("__t").asc(),
+            F.col("__is_state").desc(),
+            F.col("__payload").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
         Window.partitionBy("__key")
-        .orderBy(F.col("__t").desc(), F.col("__is_state").desc())
+        .orderBy(
+            F.col("__t").desc(),
+            F.col("__is_state").desc(),
+            F.col("__payload").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

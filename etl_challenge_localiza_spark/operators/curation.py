@@ -380,7 +380,13 @@ def nucleus_subset_by_group(
     p_half: bool = True,
 ) -> DataFrame:
     """Per-group NUCLEUS (top-p) selection — the grouped sibling of the
-    global token-budget subset: within each group, rank rows by
+    global token-budget subset. Only ``p_half=True`` is supported
+    (raises ValueError otherwise — a hard error, not a stripped-under
+    ``python -O`` assert): the exact-integer 2·cumsum ≤ total rule is
+    the operator's contract; other p would need a 2p scaling that
+    reintroduces float thresholds.
+
+    Within each group, rank rows by
     ``weight_col`` desc (``id_col`` asc tiebreak) and keep the prefix
     whose cumulative weight stays within half the group's total
     (2·cumsum ≤ total, EXACT integer arithmetic — no float threshold),
@@ -393,6 +399,8 @@ def nucleus_subset_by_group(
     skew beyond a single task is the documented hand-off point to
     operators/ranks.py:grouped_prefix_sum (pid-tagged two-level
     prefix sums), same trade as seq_packing."""
+    if not p_half:
+        raise ValueError("only p=1/2 supported (exact-integer contract)")
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(
@@ -416,5 +424,4 @@ def nucleus_subset_by_group(
     keep = (F.lit(2) * F.col("cum_weight") <= F.col("__total")) | (
         F.col("rank_in_group") == 1
     )
-    assert p_half  # the exact-integer contract is the point; p!=1/2 → scale by 2p
     return out.withColumn("kept", keep).drop("__total")

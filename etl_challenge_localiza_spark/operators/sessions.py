@@ -78,7 +78,8 @@ def interval_coactivity_pairs(
     events: DataFrame,
     event_type: str = "purchase",
     min_events: int = 2,
-    bin_us: int = 3_600_000_000,
+    bin_us: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """BUCKETED interval-overlap self-join (the bin-based range-join
     technique): build per-(user, day) activity intervals
@@ -87,20 +88,46 @@ def interval_coactivity_pairs(
     intervals OVERLAP — co-activity detection.
 
     The scale move is the equi-join surrogate for the range predicate:
-    each interval explodes into the HOUR BINS it spans (≤ 24 rows,
-    bounded), candidate pairs form by (day, hour) equi-join — never a
-    per-day cross join — and the exact overlap predicate
-    (s₁ ≤ e₂ ∧ s₂ ≤ e₁) then verifies candidates. Completeness:
-    overlapping intervals share the hour of max(s₁,s₂), so every true
-    pair appears in ≥1 shared bin; pairs meeting in several bins are
-    deduped by DISTINCT. Candidate volume is Σ_bin n_bin² instead of
-    Σ_day n_day² — ``bin_us`` is the knob (1 h default; shrink toward
-    the typical interval length as density grows), exactly how
-    production bin-based range joins are tuned: cost is candidates
-    (Σ_bin n²), and the x100-tier A/B in PERF.md measures the knob
-    (hour bins 41 s → 10-min bins 12 s at identical output).
+    each interval explodes into the TIME BINS it spans (bounded rows,
+    bin ≥ typical interval length), candidate pairs form by
+    (day, bin[, salt]) equi-join — never a per-day cross join — and
+    the exact overlap predicate (s₁ ≤ e₂ ∧ s₂ ≤ e₁) then verifies
+    candidates. Completeness: overlapping intervals share the bin of
+    max(s₁,s₂), so every true pair appears in ≥1 shared bin; pairs
+    meeting in several bins are deduped by DISTINCT.
 
-    Exact integer microsecond endpoints; returns (day, n_pairs)."""
+    **Bin width is derived at runtime** (``bin_us=None``, the default)
+    via :func:`operators.rangejoin.auto_bin_us`: one bounded-memory
+    aggregate reads the median interval length and span off the
+    (already grouped) interval frame, and the bin is
+    ``max(median_len, span/shuffle_width)`` — never below the interval
+    length (candidate volume), never so wide that occupied
+    (day, bin) keys fall under the shuffle width (parallelism). The
+    two faces of the knob, measured (PERF.md round-10, ×100 tier,
+    ~7.8 h median intervals, 30-day span): 10-min bins 67.84 s /
+    1 h 43.97 s / 6 h 15.84 s / 24 h 8.71 s — identical output all
+    four, because candidates scale as interval²/(span·bin) below the
+    interval length; but day-wide bins on a 30-day calendar cap the
+    join at ~30 tasks (7 % util@32 measured at ×30). The derived
+    ~22 h bin keeps the candidate optimum while filling the shuffle
+    width. When the faces conflict (median interval longer than
+    span/width — long intervals, short calendar), the candidate face
+    wins the bin and a SALT restores the floor: side a is salted by
+    hash(u1), side b replicated ``salt`` times, so the key space is
+    (day, bin, salt) and each true pair still meets exactly once per
+    shared bin (at salt = hash(u1) % S). ``salt=None`` derives it via
+    :func:`operators.rangejoin.salt_for_bin` (1 = no-op whenever the
+    bin already meets the floor).
+
+    Exact integer microsecond endpoints; returns (day, n_pairs) —
+    values are bin- and salt-independent (plan knobs only)."""
+    from .rangejoin import auto_bin_us, derive_interval_stats, salt_for_bin
+
+    spark = events.sparkSession
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        width = spark.sparkContext.defaultParallelism
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     iv = (
         events.filter(F.col("event_type") == event_type)
@@ -114,21 +141,47 @@ def interval_coactivity_pairs(
         .filter(F.col("n") >= min_events)
         .drop("n")
     )
+    if bin_us is None or salt is None:
+        # The stats job materializes iv anyway; cache it so the two
+        # join sides below reuse the grouped frame instead of each
+        # rescanning events (iv is the per-(day,user) aggregate —
+        # key-bounded, small).
+        iv = iv.cache()
+        med_us, span_us = derive_interval_stats(iv, "s", "e")
+        if bin_us is None:
+            bin_us = auto_bin_us(med_us, span_us, width, n_coarse_keys=1)
+        if salt is None:
+            salt = salt_for_bin(bin_us, span_us, width)
+    bin_us, salt = int(bin_us), max(int(salt), 1)
     binned = iv.withColumn(
-        "hour",
+        "bin",
         F.explode(
             F.sequence(
-                F.floor(F.col("s") / F.lit(int(bin_us))),
-                F.floor(F.col("e") / F.lit(int(bin_us))),
+                F.floor(F.col("s") / F.lit(bin_us)),
+                F.floor(F.col("e") / F.lit(bin_us)),
             )
         ),
     )
-    a = binned.select("day", "hour", F.col("user_id").alias("u1"),
-                      F.col("s").alias("s1"), F.col("e").alias("e1"))
-    b = binned.select("day", "hour", F.col("user_id").alias("u2"),
-                      F.col("s").alias("s2"), F.col("e").alias("e2"))
+    # Explicit repartition on the join keys: a user repartition is
+    # exempt from AQE's byte-based coalescing, which otherwise
+    # collapses this CPU-dense-per-byte pair join to ONE task at the
+    # ×30 tier (same class as the sessionize pin above — measured
+    # there 8.87 s → 1.66 s; here 10% → see PERF.md round-11 row).
+    a = binned.select(
+        "day", "bin",
+        F.pmod(F.xxhash64(F.col("user_id")), F.lit(salt))
+        .cast("int").alias("salt"),
+        F.col("user_id").alias("u1"),
+        F.col("s").alias("s1"), F.col("e").alias("e1"),
+    ).repartition(width, "day", "bin", "salt")
+    b = binned.select(
+        "day", "bin",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("salt"),
+        F.col("user_id").alias("u2"),
+        F.col("s").alias("s2"), F.col("e").alias("e2"),
+    ).repartition(width, "day", "bin", "salt")
     pairs = (
-        a.join(b, ["day", "hour"])
+        a.join(b, ["day", "bin", "salt"])
         .filter(
             (F.col("u1") < F.col("u2"))
             & (F.col("s1") <= F.col("e2"))

@@ -10882,25 +10882,23 @@ def q_interval_coactivity_pairs(spark, sf_dir):
     interval into every bin it covers while per-bin density barely
     drops (measured at ×100: 1 h bins 43.97 s, 10 min 67.84 s, 6 h
     15.84 s, 24 h 8.71 s — all the same 11.5M verified pairs;
-    PERF.md round-10). Day bins are therefore the measured optimum
-    here; short-burst data flips the preference, which is the whole
-    point of the knob. Second face of the same knob: the join key is
+    PERF.md round-10). Second face of the same knob: the join key is
     (day, bin), so BIN COUNT also sets join parallelism — stage
-    attribution at ×30 reads 7% util@32 with day bins (floor-bound,
-    3.7 s wall: ~30 distinct keys cap the join at ~30 tasks). At
-    32 cores the candidate-volume saving wins anyway; on a
-    1000-executor cluster with a short calendar, shrink bins (or salt
-    the key) until keys ≥ cluster width — parallelism and candidate
-    volume trade through the same parameter. Completeness: overlapping intervals share the
-    bin of max(s₁,s₂). The oracle replays the mathematically equal
-    direct overlap join — output is bin-width-independent, so the
-    tuning is pure plan choice."""
+    attribution at ×30 read 7% util@32 with pinned day bins
+    (floor-bound: ~30 distinct keys cap the join at ~30 tasks). Since
+    round 11 the bin is DERIVED AT RUNTIME (operators/rangejoin.py:
+    auto_bin_us — max(median interval, span/shuffle_width), one
+    bounded stats aggregate): on this data that lands at ~22 h bins,
+    the candidate optimum AND ≥ shuffle-width keys; when the two
+    faces conflict (long intervals, short calendar) the operator
+    salts the key to the width instead (salt_for_bin). Completeness:
+    overlapping intervals share the bin of max(s₁,s₂). The oracle
+    replays the mathematically equal direct overlap join — output is
+    bin- and salt-independent, so the tuning is pure plan choice."""
     from .operators.sessions import interval_coactivity_pairs
 
     ev = load_table(spark, sf_dir, "events")
-    out = interval_coactivity_pairs(
-        ev, event_type="purchase", min_events=2, bin_us=24 * 3_600_000_000
-    )
+    out = interval_coactivity_pairs(ev, event_type="purchase", min_events=2)
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_pairs"
     )

@@ -53,19 +53,64 @@ def test_green_after_red_counts_as_checked(tmp_path):
     assert E._driver_last_checked(str(tmp_path)) == {"a": 2}
 
 
-def test_r10_window_covers_new_and_r5_stale():
-    """VERDICT r9 #2 done-criterion: the driver's 50-query window for
-    round 10 must contain every never-checked addition AND all 17
-    r5-stale names (new additions were capped well under 33 so both
-    groups fit by construction)."""
+def test_window_covers_never_checked_then_stalest():
+    """Round-invariant form of the r10-specific window test (ADVICE
+    r10: the old test asserted against live round-10 rotation state
+    and would rot as rounds advance). For ANY live state: never-
+    checked names sort into the 50-window while they fit (the ≤33
+    additions/round rule guarantees they do), and the checked part of
+    the window is never fresher than any checked name outside it —
+    i.e. the remaining slots went stalest-first."""
     import __spark_entry__ as E
 
-    window = list(E.queries())[:50]
+    ordered = list(E.queries())
+    window = ordered[:50]
     last = E._driver_last_checked()
-    never = [n for n in E.queries() if n not in last]
-    assert set(never) <= set(window), "a never-checked query fell outside the window"
-    r5_stale = [n for n, rnd in last.items() if rnd == 5]
-    assert set(r5_stale) <= set(window), (
-        f"r5-stale names outside the 50-window: {sorted(set(r5_stale) - set(window))}"
+    never = [n for n in ordered if n not in last]
+    if len(never) <= 50:
+        assert set(never) <= set(window), (
+            "a never-checked query fell outside the window"
+        )
+    in_rounds = [last[n] for n in window if n in last]
+    out_rounds = [last[n] for n in ordered[50:] if n in last]
+    if in_rounds and out_rounds:
+        assert max(in_rounds) <= min(out_rounds)
+
+
+#: Documented max-staleness bound (COVERAGE.md 'Driver rotation'):
+#: every registry query re-enters the externally-checked 50-window
+#: within ceil(N/50) rounds, and that period must stay ≤ this bound.
+#: Growing the registry past 50×bound queries fails the test below —
+#: the growth must then consciously renegotiate the documented window.
+MAX_STALENESS_ROUNDS = 6
+
+
+def test_max_staleness_bound_explicit(tmp_path):
+    """VERDICT r10 #8: the re-check period ceil(N/50) is asserted
+    EXPLICITLY against the documented bound, and a rotation simulation
+    on fixture state proves the period is actually achieved — no name
+    waits longer than ceil(N/50) rounds between driver checks."""
+    import __spark_entry__ as E
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    n = len(QUERIES)
+    period = -(-n // 50)
+    assert period <= MAX_STALENESS_ROUNDS, (
+        f"registry has {n} queries -> re-check period {period} rounds "
+        f"exceeds the documented bound {MAX_STALENESS_ROUNDS}; "
+        "renegotiate the window in COVERAGE.md before growing further"
     )
-    assert len(never) + len(r5_stale) <= 50
+    # Simulate the driver loop on fixture files: each round writes
+    # green rows for the first-50 window, then the ordering re-derives.
+    names = sorted(QUERIES)
+    for rnd in range(1, 3 * period + 1):
+        last = E._driver_last_checked(str(tmp_path))
+        window = sorted(names, key=lambda m: (last.get(m, 0), m))[:50]
+        _write(tmp_path, rnd, {m: GREEN for m in window})
+    last = E._driver_last_checked(str(tmp_path))
+    final_round = 3 * period
+    assert set(last) == set(names)  # everything checked at least once
+    staleness = [final_round - r for r in last.values()]
+    assert max(staleness) < period, (
+        f"simulated rotation left a query {max(staleness)} rounds stale"
+    )
