@@ -42,17 +42,29 @@ def apply_latest_batch(target: DataFrame | None, batch: DataFrame) -> DataFrame:
     return merge_latest(target, latest, "user_id", ["ts", "event_id"])
 
 
-def _staged_event_stream(spark: SparkSession, sf_dir: str, n_input_files: int):
+def _staged_event_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_input_files: int,
+    base: str | None = None,
+):
     """Stage the events table as ``n_input_files`` parquet files in a
     temp dir and return (stream, base_dir): a file stream delivering
     ONE file per micro-batch (maxFilesPerTrigger=1) plus the staging
     dir (sources under base/src, checkpoint under base/ckpt — outside
-    the watched directory). Caller owns base_dir cleanup."""
-    base = tempfile.mkdtemp(prefix=f"stream_stage_{uuid.uuid4().hex[:8]}_")
+    the watched directory). Caller owns base_dir cleanup.
+
+    When ``base`` is given and already staged, the existing src files
+    are REUSED (re-staging would write new file names, which the
+    checkpoint's file log would treat as new data — a restart from
+    the same checkpoint must see the same file set)."""
+    if base is None:
+        base = tempfile.mkdtemp(prefix=f"stream_stage_{uuid.uuid4().hex[:8]}_")
     src = os.path.join(base, "src")
-    load_table(spark, sf_dir, "events").select(*_COLS).repartition(
-        n_input_files
-    ).write.mode("overwrite").parquet(src)
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").select(*_COLS).repartition(
+            n_input_files
+        ).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -254,6 +266,7 @@ def run_streaming_mv_refresh(
     sf_dir: str,
     timeout_sec: int = 300,
     n_input_files: int = 4,
+    state_base: str | None = None,
 ) -> DataFrame:
     """Continuously-maintained STREAMING materialized view: each
     micro-batch reduces to its per-event_type mergeable aggregate
@@ -265,10 +278,19 @@ def run_streaming_mv_refresh(
     batch recompute under ANY micro-batch slicing — which is what the
     oracle checks. The view is kept as versioned parquet (the same
     plain-parquet stand-in as the CDC sinks; Delta/Iceberg MERGE at
-    production scale)."""
+    production scale).
+
+    ``state_base``: optional persistent state/checkpoint dir — the
+    production shape, where a restarted job resumes from the same
+    checkpoint and the batch_id marker makes replays exactly-once
+    (the torn-commit e2e test drives this path); ownership of the dir
+    stays with the caller (no cleanup). Default: private temp dir,
+    removed on return."""
     from ..operators.merge import agg_state, merge_agg_states
 
-    stream, base = _staged_event_stream(spark, sf_dir, n_input_files)
+    stream, base = _staged_event_stream(
+        spark, sf_dir, n_input_files, base=state_base
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         def compute(prev: DataFrame | None) -> DataFrame:
@@ -292,17 +314,26 @@ def run_streaming_mv_refresh(
             "vmax",
         ).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        if state_base is None:
+            shutil.rmtree(base, ignore_errors=True)
 
 
-def _staged_document_stream(spark: SparkSession, sf_dir: str, n_input_files: int):
+def _staged_document_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_input_files: int,
+    base: str | None = None,
+):
     """documents-table twin of _staged_event_stream: stage (doc_id,
-    text) as ``n_input_files`` parquet files, stream one per trigger."""
-    base = tempfile.mkdtemp(prefix=f"stream_stage_{uuid.uuid4().hex[:8]}_")
+    text) as ``n_input_files`` parquet files, stream one per trigger;
+    same restart-safe reuse rule when ``base`` is given."""
+    if base is None:
+        base = tempfile.mkdtemp(prefix=f"stream_stage_{uuid.uuid4().hex[:8]}_")
     src = os.path.join(base, "src")
-    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
-        n_input_files
-    ).write.mode("overwrite").parquet(src)
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+            n_input_files
+        ).write.mode("overwrite").parquet(src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -318,6 +349,7 @@ def run_streaming_cms_refresh(
     n_input_files: int = 4,
     depth: int = 4,
     width: int = 64,
+    state_base: str | None = None,
 ) -> DataFrame:
     """Continuously-maintained STREAMING Count-Min sketch: each
     micro-batch tokenizes its documents, builds its own d×w cell
@@ -332,11 +364,15 @@ def run_streaming_cms_refresh(
     never-seen probe term (which honestly reads whatever its buckets
     accumulated). Versioned-parquet state, same plain-parquet
     stand-in as the CDC/MV sinks — exactly-once under foreachBatch
-    retry via the batch_id marker (apply_versioned_batch)."""
+    retry via the batch_id marker (apply_versioned_batch).
+    ``state_base``: optional persistent state/checkpoint dir (caller-
+    owned, restart-resumable — see run_streaming_mv_refresh)."""
     from ..functions.text import tokens as _tokens
     from ..operators.sketches import cms_cells, cms_point_query, merge_cms_cells
 
-    stream, base = _staged_document_stream(spark, sf_dir, n_input_files)
+    stream, base = _staged_document_stream(
+        spark, sf_dir, n_input_files, base=state_base
+    )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         def compute(prev: DataFrame | None) -> DataFrame:
@@ -353,4 +389,5 @@ def run_streaming_cms_refresh(
             cells, list(terms), depth=depth, width=width
         ).localCheckpoint(eager=True)
     finally:
-        shutil.rmtree(base, ignore_errors=True)
+        if state_base is None:
+            shutil.rmtree(base, ignore_errors=True)
