@@ -166,7 +166,10 @@ def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFram
     """Encode every document with the learned merges; emit per-doc
     (n_words, n_chars, n_bpe_tokens, compression = chars per BPE
     token, rounded). One Arrow crossing; per-batch distinct-word
-    segmentation cache."""
+    segmentation cache. The integer counts come out of the UDF; the
+    ``compression`` ratio is a JVM-side ``F.round`` expression
+    (HALF_UP of the exact binary value — the engine-portable rounding;
+    Python's ``round`` is half-even and diverges from SQL engines)."""
     ranks = {p: i for i, p in enumerate(merges)}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -174,7 +177,7 @@ def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFram
         for pdf in batches:
             out: dict[str, list] = {
                 "doc_id": [], "n_words": [], "n_chars": [],
-                "n_bpe_tokens": [], "compression": [],
+                "n_bpe_tokens": [],
             }
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 words = [w for w in (text or "").lower().split(" ") if w]
@@ -190,15 +193,20 @@ def bpe_encode_stats(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFram
                 out["n_words"].append(len(words))
                 out["n_chars"].append(n_chars)
                 out["n_bpe_tokens"].append(n_bpe)
-                out["compression"].append(
-                    round(n_chars / n_bpe, 6) if n_bpe else None
-                )
             yield pd.DataFrame(out)
 
     from ..sources.readers import spread_small_scan
 
-    return spread_small_scan(docs.select("doc_id", "text")).mapInPandas(
+    counts = spread_small_scan(docs.select("doc_id", "text")).mapInPandas(
         run,
-        schema="doc_id long, n_words long, n_chars long, n_bpe_tokens long, "
-        "compression double",
+        schema="doc_id long, n_words long, n_chars long, n_bpe_tokens long",
+    )
+    return counts.withColumn(
+        "compression",
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"), 6
+            ),
+        ),
     )

