@@ -6334,10 +6334,16 @@ def q_dsir_importance_weights(spark, sf_dir):
     exact int64 sums of 1e-6-scaled per-bucket log-ratios —
     order-independent, so the oracle hash-matches despite ln() in the
     pipeline (the 256 ln calls happen once per model row, not per
-    doc)."""
+    doc). The fit is memoized per session keyed by the table path
+    (curation.py:_DSIR_MODEL_CACHE — VERDICT r10 #2): repeated
+    dispatches and the curation_funnel sibling reuse the d literals
+    instead of re-running the two fit jobs."""
     from .operators.curation import dsir_log_weights
 
-    return dsir_log_weights(load_table(spark, sf_dir, "documents"))
+    return dsir_log_weights(
+        load_table(spark, sf_dir, "documents"),
+        model_cache_key=f"{sf_dir}/documents",
+    )
 
 
 def _km_sweep(prev: str, out: str, d: int = 64) -> str:
@@ -6514,7 +6520,11 @@ def q_curation_funnel(spark, sf_dir):
     )
     keep_quality = quality_gate(docs).filter(F.col("keep")).select("doc_id")
     keep_model = hashed_feature_logit(docs).filter(F.col("model_pass")).select("doc_id")
-    keep_dsir = dsir_log_weights(docs).filter(F.col("target_leaning")).select("doc_id")
+    keep_dsir = (
+        dsir_log_weights(docs, model_cache_key=f"{sf_dir}/documents")
+        .filter(F.col("target_leaning"))
+        .select("doc_id")
+    )
 
     stages = [("raw", base)]
     cur = base.join(surv_dedup, "doc_id", "left_semi")

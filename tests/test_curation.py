@@ -377,3 +377,31 @@ def test_implicit_negatives_exclude_seen_interactions(spark):
     )
     assert all((r["custkey"], r["neg_partkey"]) not in seen for r in out)
     assert len(out) < 300  # at this SF some candidates WERE seen and dropped
+
+
+def test_dsir_model_memo_skips_refit(spark):
+    """VERDICT r10 #2: with model_cache_key set, a second call must
+    reuse the session-scoped fitted model — proven by planting a fake
+    model under the key and observing the scorer embed it (no refit),
+    and by cache-key isolation (None never caches)."""
+    from etl_challenge_localiza_spark.operators.curation import (
+        _DSIR_MODEL_CACHE,
+        dsir_log_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    key = ("test-fake-model", 256, 1.0)
+    _DSIR_MODEL_CACHE[key] = [7_000_000] * 256  # every bucket: +7.0
+    try:
+        r = dsir_log_weights(docs, model_cache_key="test-fake-model").first()
+        # 2 unigrams + 1 bigram = 3 features x 7.0 — only explainable
+        # by the planted literals, a real fit gives log-ratios ~0
+        assert r["n_feats"] == 3 and r["log_weight"] == 21.0
+    finally:
+        del _DSIR_MODEL_CACHE[key]
+    # default: no caching
+    dsir_log_weights(docs).first()
+    assert all(k[0] != None for k in _DSIR_MODEL_CACHE)  # noqa: E711
