@@ -328,3 +328,121 @@ def bloom_membership_report(
             F.coalesce("__present", F.lit(False)).alias("actually_present"),
         )
     )
+
+
+def cms_join_size_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """JOIN-SIZE ESTIMATION by Count-Min inner product (the classic
+    streaming join-cardinality estimator — Alon/Gibbons/Matias/Szegedy
+    sketch lineage, CMS form per Cormode & Muthukrishnan 2005 §4.2):
+    |A ⋈_k B| = Σ_v f_A(v)·f_B(v), estimated as min over the d hash
+    rows of Σ_w cmsA[i][w]·cmsB[i][w]. The estimate NEVER
+    underestimates (every collision adds non-negative cross terms),
+    and E[error] ≤ ||f_A||₁·||f_B||₁ / width per row — the property
+    that lets a planner pick join strategy from two d×w sketches
+    without touching either table.
+
+    Reports estimate AND exact side by side: (exact_size,
+    cms_estimate, rel_err). Exact side = one groupBy per input + a
+    key join over NDV-sized frames; sketch side = two cms_cells
+    passes (md5-portable buckets — a SQL engine replays every cell)
+    joined on (row, bucket), d·w-bounded. At 100 TB the exact side is
+    the expensive path (full NDV shuffle both inputs) and exists here
+    as the report's ground truth; the sketches are mergeable
+    micro-state a stream maintains for free."""
+    key = F.col(item_col).cast("string").alias("item")
+    fa = a.select(key).groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    fb = b.select(key).groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    exact = fa.join(fb, "item").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("exact_size")
+    )
+    ca = cms_cells(a.select(key), "item", depth=depth, width=width)
+    cb = cms_cells(b.select(key), "item", depth=depth, width=width)
+    est = (
+        ca.alias("x")
+        .join(
+            cb.alias("y"),
+            (F.col("x.row") == F.col("y.row"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .groupBy(F.col("x.row"))
+        .agg(F.sum(F.col("x.cell_n") * F.col("y.cell_n")).alias("rowsum"))
+        .agg(F.min("rowsum").cast("long").alias("cms_estimate"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_size",
+            "cms_estimate",
+            F.round(
+                (F.col("cms_estimate") - F.col("exact_size")).cast("double")
+                / F.col("exact_size").cast("double"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def mg_rescored_topk(
+    df: DataFrame, col: str, topk: int = 25, k: int = 256
+) -> DataFrame:
+    """Sketch-ACCELERATED EXACT top-k — the two-pass production
+    pattern for heavy hitters at 100 TB (candidates-then-rescore;
+    SpaceSaving/MG literature's standard exactification): pass 1
+    builds a k-counter Misra-Gries summary (misra_gries_topk — any
+    item with true frequency > N/(k+1) is guaranteed present), pass 2
+    recounts ONLY the ≤k candidates exactly (every other item folds
+    into one __other__ bucket, so the aggregate's NDV is ≤ k+1
+    regardless of vocabulary size — the whole point vs a full groupBy
+    whose state is NDV-sized) and takes the top ``topk`` by
+    (count desc, item asc).
+
+    EXACTNESS GUARD (what makes this full-oracle while the raw MG
+    summary is rows-only): if the topk-th exact candidate count c
+    satisfies c·(k+1) > N, every non-candidate's true count
+    (≤ N/(k+1) < c) is too small to belong in the top k — the result
+    provably equals the exact full-vocabulary top-k, and the oracle
+    replays the plain exact SQL. Otherwise the guarantee does not
+    cover ``topk`` ranks and the operator REFUSES loudly (raise, not
+    a silently-approximate answer) — raise k."""
+    cands = sorted(
+        r["item"] for r in misra_gries_topk(df, col, k).collect()
+    )
+    c = F.col(col).cast("string")
+    folded = df.select(
+        F.when(c.isin(cands), c).otherwise(F.lit("__other__")).alias("item")
+    )
+    counts = folded.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows = counts.collect()
+    n_total = sum(r["n"] for r in rows)
+    exact = sorted(
+        ((r["item"], r["n"]) for r in rows if r["item"] != "__other__"),
+        key=lambda t: (-t[1], t[0]),
+    )[:topk]
+    if len(exact) < topk or exact[-1][1] * (k + 1) <= n_total:
+        raise ValueError(
+            f"MG guarantee does not cover {topk} ranks here "
+            f"(k={k}, N={n_total}, kth={exact[-1][1] if exact else 0}); "
+            "raise k"
+        )
+    # return the top-k as a lazy re-aggregation (same plan shape the
+    # action re-executes; the guard above already proved exactness)
+    return (
+        counts.filter(F.col("item") != "__other__")
+        .orderBy(F.col("n").desc(), F.col("item").asc())
+        .limit(topk)
+        .select(F.col("item").alias("token"), "n")
+    )

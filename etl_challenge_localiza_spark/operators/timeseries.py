@@ -227,3 +227,76 @@ def ewma_final(
         F.max("n").cast("long").alias("n_events"),
         F.round(F.sum(F.col("x") * weight), round_digits).alias("ewma_value"),
     )
+
+
+def twap_user_day(events: DataFrame) -> DataFrame:
+    """Time-weighted average value per (user, day) by TRAPEZOIDAL
+    integration — the price/sensor-analytics aggregate a plain AVG
+    gets wrong whenever sampling is irregular (a value held for hours
+    must weigh more than a one-second blip):
+
+        twap = ∫ v(t) dt / (t_last − t_first)
+             = Σ (v_i + v_{i+1})·(t_{i+1} − t_i) / (2·span)
+
+    Exactness/portability: each trapezoid term is
+    decimal(25,6) value-sum × decimal(13,0) µs-gap → decimal(38,6),
+    summed exactly (associative, order-free — no float partial-agg
+    nondeterminism); the single divide-to-double happens once per
+    group, rounded to 6 dp. Degenerate groups: span = 0 (one event,
+    or all events at one instant) falls back to the exact decimal
+    mean of the values.
+
+    Scale shape: one shuffle on (user_id, day) shared by the lead()
+    window and the aggregate (same-partitioning window+groupBy — one
+    Exchange); per-group state is a running decimal sum. Never a
+    per-user history rescan."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    vdec = F.col("value").cast("decimal(18,6)")
+    w = Window.partitionBy("user_id", "day").orderBy("t", "event_id")
+    base = events.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_id",
+        us.alias("t"),
+        vdec.alias("v"),
+    )
+    stepped = base.select(
+        "user_id",
+        "day",
+        "t",
+        "v",
+        F.lead("t").over(w).alias("t2"),
+        F.lead("v").over(w).alias("v2"),
+    )
+    term = F.when(
+        F.col("t2").isNotNull(),
+        (F.col("v") + F.col("v2")).cast("decimal(25,6)")
+        * (F.col("t2") - F.col("t")).cast("decimal(13,0)"),
+    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+    agg = stepped.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(term).alias("area2"),  # 2x the integral, exact decimal
+        (F.max("t") - F.min("t")).cast("long").alias("span_us"),
+        F.sum("v").alias("vsum"),
+    )
+    return agg.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.when(
+            F.col("span_us") > 0,
+            F.round(
+                F.col("area2").cast("double")
+                / (F.lit(2.0) * F.col("span_us").cast("double")),
+                6,
+            ),
+        )
+        .otherwise(
+            F.round(
+                F.col("vsum").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            )
+        )
+        .alias("twap"),
+    )

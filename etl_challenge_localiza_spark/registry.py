@@ -30,7 +30,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.text import LANG_MARKERS, STOPWORDS, tokens
@@ -807,6 +807,424 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     jaccard, the quadratic-hot-key guard)."""
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.2, max_df=100
+    )
+
+
+@register(
+    "embedding_label_drift",
+    oracle="""
+with e as (
+  select label, s.i as pos,
+         cast(round(cast(embedding[s.i] as double) * 1000000.0) as bigint)
+           as v
+  from embeddings, unnest(generate_series(1, len(embedding))) s(i)
+),
+sums as (select label, pos, cast(sum(v) as bigint) as s
+         from e group by 1, 2),
+n as (select label, cast(count(*) as bigint) as n from embeddings
+      group by 1),
+cent as (
+  select sums.label, n.n,
+         list(cast(s as double) / (1000000.0 * n.n) order by pos) as c
+  from sums join n using (label)
+  group by sums.label, n.n
+)
+select a.label as label_a, b.label as label_b,
+       a.n as n_a, b.n as n_b,
+       round(list_sum(list_transform(list_zip(a.c, b.c),
+                                     p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(a.c, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.c, x -> x * x)))),
+             6) as centroid_cosine
+from cent a join cent b on a.label < b.label
+""",
+)
+def q_embedding_label_drift(spark, sf_dir):
+    """Embedding-distribution drift across labels: per-label centroid
+    (EXACT 1e6-scaled integer sums per dimension — order-free, the
+    float-partial-agg determinism recipe) and the pairwise cosine
+    between label centroids — the monitoring primitive for 'did this
+    source/label's embedding distribution move' (mean-embedding shift
+    is the standard cheap drift signal before MMD/energy distances).
+    Scale shape: one (label, pos) hash aggregate over the exploded
+    dims (64·|labels| cells), centroids assembled as ordered arrays,
+    pairwise cosine over the |labels|²-bounded centroid frame with
+    element-order folds (F.aggregate ∘ zip_with == DuckDB list ops,
+    bit-identical; single rounded divide per pair)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos0", "x")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("x").cast("double") * F.lit(1000000.0))
+        .cast("long")
+        .alias("v"),
+    )
+    sums = e.groupBy("label", "pos").agg(
+        F.sum("v").cast("long").alias("s")
+    )
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    cent = (
+        sums.join(n, "label")
+        .select(
+            "label",
+            "n",
+            "pos",
+            (
+                F.col("s").cast("double")
+                / (F.lit(1000000.0) * F.col("n").cast("double"))
+            ).alias("c"),
+        )
+        .groupBy("label", "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda st: st["c"],
+            ).alias("c")
+        )
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    return (
+        a.join(b, F.col("a.label") < F.col("b.label"))
+        .select(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+            F.round(
+                dot(F.col("a.c"), F.col("b.c"))
+                / (
+                    F.sqrt(dot(F.col("a.c"), F.col("a.c")))
+                    * F.sqrt(dot(F.col("b.c"), F.col("b.c")))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )
+
+
+@register(
+    "equi_depth_price_buckets",
+    oracle="""
+with r as (
+  select o_totalprice,
+         row_number() over (order by o_totalprice, o_orderkey) - 1 as rnk
+  from orders
+),
+n as (select cast(count(*) as bigint) as n_total from orders)
+select cast((rnk * 16) // n_total as bigint) as bucket,
+       cast(count(*) as bigint) as n_rows,
+       min(o_totalprice) as lo,
+       max(o_totalprice) as hi
+from r, n
+group by 1
+""",
+)
+def q_equi_depth_price_buckets(spark, sf_dir):
+    """EXACT equi-depth (16-quantile) bucketing of o_totalprice — the
+    range-partition planning primitive (terasort boundaries, balanced
+    range-partitioned writes, quantile-bucketed joins): per bucket its
+    row count and [lo, hi] value range; counts differ by ≤1 by
+    construction, which is the balance guarantee sampled
+    RangePartitioner boundaries only approximate. The global rank
+    comes from operators/ranks.py:ordered_row_number — range-partition
+    + per-partition window + broadcast offsets, NEVER the
+    all-rows-to-one-task row_number the oracle's SQL form implies
+    (that plan class is the documented hand-off this operator
+    exists to avoid); bucket = floor(rank·16/N) with a (price,
+    orderkey) total order so ties are deterministic cross-engine."""
+    from .operators.ranks import ordered_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    n = orders.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    ranked = ordered_row_number(
+        orders, ["o_totalprice", "o_orderkey"], out_col="pos"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn(
+            # exact INTEGER floor division (SQL `div`) — a double
+            # divide could round a near-boundary quotient up across
+            # the bucket edge at large N; DuckDB's // is integral too
+            "bucket",
+            F.expr("((pos - 1) * 16) div n_total").cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "zipf_token_alpha",
+    oracle=f"""
+with tok as (select unnest({SQL_TOKS}) as token from documents),
+cnt as (select token, cast(count(*) as bigint) as c from tok group by 1),
+tot as (select cast(sum(c) as bigint) as n_total from cnt),
+top as (select c, row_number() over (order by c desc, token asc) as r
+        from cnt order by c desc, token asc limit 50),
+pts as (select ln(cast(r as double)) as x, ln(cast(c as double)) as y,
+               c from top),
+m as (select cast(count(*) as bigint) as m, avg(x) as xb, avg(y) as yb,
+             cast(sum(c) as bigint) as csum from pts)
+select m.m,
+       round(-(sum((x - xb) * (y - yb)) / sum((x - xb) * (x - xb))), 6)
+         as zipf_alpha,
+       round(cast(csum as double) / n_total, 6) as top_m_coverage
+from pts, m, tot
+group by m.m, csum, n_total
+""",
+)
+def q_zipf_token_alpha(spark, sf_dir):
+    """Zipf exponent of the token frequency distribution — corpus-card
+    analytics (natural corpora fit ln(freq) ≈ −α·ln(rank) with α≈1;
+    a far-off α flags synthetic, templated, or degenerate text):
+    least-squares slope of the log-log rank-frequency line over the
+    top 50 tokens, plus their mass coverage. Scale shape: one
+    map-side-combined token count, a distributed top-50
+    (TakeOrderedAndProject — never a global sort), then closed-form
+    regression over 50 rows. The ln() noise is absorbed by the final
+    6-dp rounds (the pmi precedent); ranks tie-break on token so both
+    engines see identical points."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_total = cnt.agg(F.sum("c").cast("long").alias("n_total"))
+    top = (
+        cnt.orderBy(F.col("c").desc(), F.col("token").asc())
+        .limit(50)
+        .select(
+            "c",
+            F.row_number()
+            .over(Window.orderBy(F.col("c").desc(), F.col("token").asc()))
+            .alias("r"),
+        )
+    )
+    pts = top.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+        "c",
+    )
+    stats = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.avg("x").alias("xb"),
+        F.avg("y").alias("yb"),
+        F.sum("c").cast("long").alias("csum"),
+    )
+    fit = (
+        pts.crossJoin(F.broadcast(stats))
+        .groupBy("m", "csum")
+        .agg(
+            F.round(
+                -(
+                    F.sum((F.col("x") - F.col("xb")) * (F.col("y") - F.col("yb")))
+                    / F.sum(
+                        (F.col("x") - F.col("xb")) * (F.col("x") - F.col("xb"))
+                    )
+                ),
+                6,
+            ).alias("zipf_alpha")
+        )
+    )
+    return fit.crossJoin(F.broadcast(n_total)).select(
+        "m",
+        "zipf_alpha",
+        F.round(
+            F.col("csum").cast("double") / F.col("n_total").cast("double"), 6
+        ).alias("top_m_coverage"),
+    )
+
+
+@register(
+    "twap_user_day",
+    oracle="""
+with base as (
+  select user_id, cast(ts as date) as day, event_id,
+         epoch_us(ts) as t, cast(value as decimal(18,6)) as v
+  from events
+),
+stepped as (
+  select user_id, day, t, v,
+         lead(t) over w as t2, lead(v) over w as v2
+  from base
+  window w as (partition by user_id, day order by t, event_id)
+),
+agg as (
+  select user_id, day,
+         cast(count(*) as bigint) as n_events,
+         coalesce(sum(case when t2 is not null
+                  then cast(v + v2 as decimal(25,6))
+                       * cast(t2 - t as decimal(13,0)) end),
+                  0) as area2,
+         cast(max(t) - min(t) as bigint) as span_us,
+         sum(v) as vsum
+  from stepped group by 1, 2
+)
+select user_id, strftime(day, '%Y-%m-%d') as day, n_events,
+       case when span_us > 0
+            then round(cast(area2 as double) / (2.0 * span_us), 6)
+            else round(cast(vsum as double) / n_events, 6) end as twap
+from agg
+""",
+)
+def q_twap_user_day(spark, sf_dir):
+    """Time-weighted average value per (user, day) via trapezoidal
+    integration (operators/timeseries.py:twap_user_day) — the
+    irregular-sampling aggregate (TWAP in market data, duty-cycle
+    averages in sensor data) a plain AVG mis-weights. Exact decimal
+    trapezoid terms (order-free sums), one (user, day) exchange
+    shared by the lead() window and the aggregate, single rounded
+    divide per group; span-0 groups fall back to the exact mean."""
+    from .operators.timeseries import twap_user_day
+
+    return twap_user_day(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "mg_rescored_top_tokens",
+    oracle=f"""
+with tok as (select unnest({SQL_TOKS}) as token from documents)
+select token, cast(count(*) as bigint) as n
+from tok group by token
+order by n desc, token asc
+limit 25
+""",
+)
+def q_mg_rescored_top_tokens(spark, sf_dir):
+    """Sketch-accelerated EXACT top-25 tokens (operators/sketches.py:
+    mg_rescored_topk — the two-pass candidates-then-rescore pattern):
+    a k=256 Misra-Gries pass nominates candidates (any token with
+    frequency > N/257 is guaranteed in), then one NDV≤k+1 exact
+    recount (everything else folds into __other__) proves the
+    guarantee covers 25 ranks and emits the top 25. The oracle is the
+    PLAIN exact top-25 SQL — the guard makes the two plans provably
+    equal, which is what flips this sketch family member to
+    full-oracle while the raw MG summary (mg_heavy_hitter_tokens)
+    stays rows-only by nature (its contents are partition-dependent).
+    At 100 TB the full-vocabulary groupBy the oracle runs is the
+    expensive plan; the two-pass plan's state is k-bounded end to
+    end."""
+    from .operators.sketches import mg_rescored_topk
+
+    return mg_rescored_topk(
+        load_table(spark, sf_dir, "documents").select(
+            F.explode(tokens("text")).alias("token")
+        ),
+        "token",
+        topk=25,
+        k=256,
+    )
+
+
+@register(
+    "cms_join_size_estimate",
+    oracle="""
+with a as (select cast(user_id as varchar) as item from events
+           where event_type = 'click'),
+b as (select cast(user_id as varchar) as item from events
+      where event_type = 'purchase'),
+fa as (select item, cast(count(*) as bigint) as na from a group by 1),
+fb as (select item, cast(count(*) as bigint) as nb from b group by 1),
+exact as (select cast(coalesce(sum(na * nb), 0) as bigint) as exact_size
+          from fa join fb using (item)),
+ca as (select t.i as row,
+              cast(concat('0x', substr(md5(concat(t.i, ':', item)), 1, 15))
+                   as bigint) % 256 as bucket,
+              cast(sum(na) as bigint) as cell
+       from fa, range(0, 4) t(i) group by 1, 2),
+cb as (select t.i as row,
+              cast(concat('0x', substr(md5(concat(t.i, ':', item)), 1, 15))
+                   as bigint) % 256 as bucket,
+              cast(sum(nb) as bigint) as cell
+       from fb, range(0, 4) t(i) group by 1, 2),
+rowsums as (select ca.row, sum(ca.cell * cb.cell) as s
+            from ca join cb using (row, bucket) group by ca.row),
+est as (select cast(min(s) as bigint) as cms_estimate from rowsums)
+select exact_size, cms_estimate,
+       round(cast(cms_estimate - exact_size as double)
+             / cast(exact_size as double), 6) as rel_err
+from exact cross join est
+""",
+)
+def q_cms_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation by Count-Min INNER PRODUCT
+    (operators/sketches.py:cms_join_size_estimate): |clicks ⋈_user
+    purchases| = Σ_u f_click(u)·f_purchase(u), estimated as the min
+    over d hash rows of the cellwise product of two d×256 sketches —
+    the streaming-sketch answer to 'how big will this join be'
+    (planner join-strategy selection without touching either table;
+    never underestimates). Reported beside the exact size with the
+    relative error. Everything is md5-portable-bucketed exact integer
+    arithmetic, so the oracle replays sketch construction, inner
+    product, AND the exact ground truth."""
+    from .operators.sketches import cms_join_size_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    return cms_join_size_estimate(
+        ev.filter(F.col("event_type") == "click").select("user_id"),
+        ev.filter(F.col("event_type") == "purchase").select("user_id"),
+        "user_id",
+        depth=4,
+        width=256,
+    )
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+with t as (select doc_id, {SQL_TOKS} as toks from documents),
+g as (select doc_id, toks, unnest(generate_series(1, len(toks) - 2)) as g
+      from t),
+sh as (select distinct doc_id, array_to_string(toks[g:g+2], ' ') as shingle
+       from g),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select a.doc_id as da, b.doc_id as db, count(*) as ni
+  from sh a join sh b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select cast(da as bigint) as doc_id_a,
+       cast(db as bigint) as doc_id_b,
+       cast(ni as double) / cast(sa.n + sb.n - ni as double) as jaccard
+from inter
+join sizes sa on da = sa.doc_id
+join sizes sb on db = sb.doc_id
+where cast(ni as double) / cast(sa.n + sb.n - ni as double) >= 0.5
+""",
+)
+def q_prefix_filter_jaccard_pairs(spark, sf_dir):
+    """PREFIX-FILTERING set-similarity join (operators/dedup.py:
+    prefix_filter_jaccard_pairs — the PPJoin/AllPairs candidate
+    family): ALL doc pairs with 3-gram Jaccard ≥ 0.5, exact and
+    complete with NO blocking columns, df caps, or LSH probability —
+    the third candidate-generation technique in the dedup ladder.
+    Candidates form by equi-join on each doc's rarest-first PREFIX
+    (|S| − ⌈t·|S|⌉ + 1 shingles under one global (df, hash) order:
+    J ≥ t pairs must intersect within their prefixes); exact
+    verification touches candidates only. The oracle replays the
+    mathematically equal DIRECT all-pairs jaccard — the output is
+    prefix-order-independent, so the hashed fast path (8-byte shingle
+    hashes, no strings shuffled) hash-matches the string-shingle SQL
+    while collisions are absent (ngram_jaccard_pairs' contract)."""
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
 
 

@@ -135,3 +135,46 @@ def test_dup_rate_report_histogram(spark):
     assert out[3]["n_docs_in_size"] == 3
     assert out[1]["n_dropped_corpus"] == 3  # 7 docs - 4 clusters
     assert out[1]["dup_rate_corpus"] == 1 - 4 / 7  # unrounded exact IEEE
+
+
+def test_prefix_filter_matches_brute_force(spark):
+    """prefix_filter_jaccard_pairs == brute-force all-pairs jaccard on
+    a synthetic corpus with near-dups, partial overlaps, and disjoint
+    docs — completeness of the prefix filter (no pair with J >= t may
+    be lost to candidate pruning) and exactness of the verify."""
+    import itertools
+
+    from etl_challenge_localiza_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    texts = {
+        1: "a b c d e f g h i j",
+        2: "a b c d e f g h i k",   # near-dup of 1
+        3: "a b c d e f g h i j",   # exact dup of 1
+        4: "z y x w v u t s r q",   # disjoint
+        5: "a b c d e q r s t u",   # partial overlap
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    t = 0.5
+
+    def sh(txt):
+        toks = txt.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for a, b in itertools.combinations(sorted(texts), 2):
+        A, B = sh(texts[a]), sh(texts[b])
+        j = len(A & B) / len(A | B)
+        if j >= t:
+            want[(a, b)] = j
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(docs, n=3, threshold=t).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12

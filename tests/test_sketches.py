@@ -174,3 +174,44 @@ def test_cms_merge_check_is_not_vacuous(spark, monkeypatch):
     assert any(r["cms_est_merged"] != r["cms_est"] for r in bad), (
         "a broken merge passed the merge-law check — the check is vacuous"
     )
+
+
+def test_cms_join_size_never_underestimates_and_exact_when_wide(spark):
+    """CMS inner-product join-size estimate: >= exact always (every
+    collision adds non-negative cross terms); == exact when the hash
+    space is wide enough that no bucket collides."""
+    from etl_challenge_localiza_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(i % 7,) for i in range(100)], ["k"])
+    b = spark.createDataFrame([(i % 5,) for i in range(60)], ["k"])
+    # exact: keys 0..4 shared; fa = ceil-ish counts
+    fa = {k: sum(1 for i in range(100) if i % 7 == k) for k in range(7)}
+    fb = {k: sum(1 for i in range(60) if i % 5 == k) for k in range(5)}
+    exact = sum(fa[k] * fb[k] for k in range(5))
+    narrow = cms_join_size_estimate(a, b, "k", depth=4, width=2).first()
+    assert narrow["exact_size"] == exact
+    assert narrow["cms_estimate"] >= exact
+    wide = cms_join_size_estimate(a, b, "k", depth=4, width=4096).first()
+    assert wide["cms_estimate"] == exact and wide["rel_err"] == 0.0
+
+
+def test_mg_rescored_topk_exact_and_guarded(spark):
+    """mg_rescored_topk == the plain exact top-k when the MG guarantee
+    covers the requested ranks, and REFUSES (ValueError) when it
+    cannot (k too small for a flat distribution)."""
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.sketches import (
+        mg_rescored_topk,
+    )
+
+    rows = [(f"tok{i % 10}",) for i in range(1000)] + [("rare",)]
+    df = spark.createDataFrame(rows, ["w"])
+    got = [(r["token"], r["n"]) for r in mg_rescored_topk(df, "w", topk=5, k=64).collect()]
+    assert got == [("tok0", 100), ("tok1", 100), ("tok2", 100), ("tok3", 100), ("tok4", 100)]
+
+    flat = spark.createDataFrame([(f"t{i}",) for i in range(500)], ["w"])
+    with _pytest.raises(ValueError, match="raise k"):
+        mg_rescored_topk(flat, "w", topk=5, k=8)

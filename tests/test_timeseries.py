@@ -307,3 +307,33 @@ def test_theil_sen_even_pair_count_has_median(spark):
         shutil.rmtree(d, ignore_errors=True)
     assert out["purchase"]["n_pairs"] == 6
     assert out["purchase"]["ts_slope"] == 2.0, "even pair count lost its median"
+
+
+def test_twap_trapezoid_hand_case(spark):
+    """TWAP: value 10 held for 3600s then 30 for 3600s ->
+    trapezoid mean of [10->30 over first hour avg 20? no: points
+    (0s,10),(3600s,30),(7200s,10): area = (10+30)/2*3600 +
+    (30+10)/2*3600 = 144000 over 7200s -> 20.0; plus a single-event
+    user (twap = its value) and a same-instant pair (exact mean)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.operators.timeseries import (
+        twap_user_day,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = [
+        (1, 1, t0, "e", 10.0),
+        (2, 1, t0 + dt.timedelta(hours=1), "e", 30.0),
+        (3, 1, t0 + dt.timedelta(hours=2), "e", 10.0),
+        (4, 2, t0, "e", 7.5),                     # single event
+        (5, 3, t0, "e", 1.0), (6, 3, t0, "e", 3.0),  # span 0, mean 2.0
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    got = {r["user_id"]: (r["n_events"], r["twap"])
+           for r in twap_user_day(ev).collect()}
+    assert got == {1: (3, 20.0), 2: (1, 7.5), 3: (2, 2.0)}
