@@ -811,6 +811,137 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "order_value_gini",
+    oracle="""
+with r as (
+  select cast(o_totalprice as decimal(18,2)) as x,
+         cast(row_number() over (order by o_totalprice, o_orderkey)
+              as decimal(12,0)) as i
+  from orders
+),
+agg as (
+  select cast(count(*) as bigint) as n,
+         sum(x) as sx,
+         sum(i * x) as six
+  from r
+)
+select n,
+       round(cast(sx as double), 2) as total_value,
+       round((2.0 * cast(six as double)
+              - (n + 1.0) * cast(sx as double))
+             / (n * cast(sx as double)), 6) as gini
+from agg
+""",
+)
+def q_order_value_gini(spark, sf_dir):
+    """Gini coefficient of order-value concentration — the inequality
+    summary (revenue concentration, whale detection, data-mixing skew
+    audits): G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over values sorted
+    ascending. Rank comes from the distributed ordered_row_number
+    (never a one-task global window); Σx and Σ i·x are EXACT decimal
+    sums (decimal(18,2) values × decimal(12,0) ranks — order-free),
+    so the only doubles are the two final rounded expressions.
+    (price, orderkey) total order makes ties deterministic."""
+    from .operators.ranks import ordered_row_number
+
+    r = ordered_row_number(
+        load_table(spark, sf_dir, "orders").select(
+            "o_totalprice", "o_orderkey"
+        ),
+        ["o_totalprice", "o_orderkey"],
+        out_col="i",
+    ).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        F.col("i").cast("decimal(12,0)").alias("i"),
+    )
+    agg = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("sx").cast("double"), 2).alias("total_value"),
+        F.round(
+            (
+                F.lit(2.0) * F.col("six").cast("double")
+                - (F.col("n") + F.lit(1.0)) * F.col("sx").cast("double")
+            )
+            / (F.col("n").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "user_survival_curve",
+    oracle="""
+with span as (
+  select user_id,
+         cast(min(cast(ts as date)) as date) as first_day,
+         cast(max(cast(ts as date)) as date) as last_day
+  from events group by user_id
+),
+life as (select user_id,
+                (last_day - first_day) // 7 as weeks_active
+         from span),
+n as (select cast(count(*) as bigint) as n_users from life),
+w as (select unnest(generate_series(0, (select max(weeks_active) from life)))
+             as week)
+select cast(w.week as bigint) as week,
+       cast(count(l.user_id) as bigint) as n_surviving,
+       round(cast(count(l.user_id) as double) / n.n_users, 6)
+         as survival
+from w
+left join life l on l.weeks_active >= w.week
+cross join n
+group by w.week, n.n_users
+""",
+)
+def q_user_survival_curve(spark, sf_dir):
+    """Discrete retention/survival curve: fraction of users still
+    active ≥ w weeks after their first event (lifetime = calendar
+    weeks between first and last event) — the Kaplan-Meier-style
+    retention summary behind churn dashboards (no censoring model:
+    the observation window is the corpus). Scale shape: one user_id
+    aggregate to per-user lifetimes, then a ≤max-weeks bounded
+    explode (each user contributes one row per week survived — weeks
+    are calendar-bounded, so the fan-out is a constant, the same
+    bounded-explode trick as rolling_7d_active_users) and one count
+    per week. Never a per-week rescan of events."""
+    ev = load_table(spark, sf_dir, "events")
+    life = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                F.datediff(F.max("day"), F.min("day")) / F.lit(7)
+            ).cast("long").alias("weeks_active")
+        )
+    )
+    n = life.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    exploded = life.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("weeks_active"))
+        ).alias("week")
+    )
+    return (
+        exploded.groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_surviving"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "week",
+            "n_surviving",
+            F.round(
+                F.col("n_surviving").cast("double")
+                / F.col("n_users").cast("double"),
+                6,
+            ).alias("survival"),
+        )
+    )
+
+
+@register(
     "embedding_label_drift",
     oracle="""
 with e as (
