@@ -12179,3 +12179,810 @@ def q_interval_coactivity_counts(spark, sf_dir):
     return out.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_pairs"
     )
+
+
+# --- round 11: statistics / time-series / CF / model-prep additions ---
+
+
+@register(
+    "pareto_frontier_parts",
+    oracle="""
+with g as (
+  select p_retailprice as price, max(p_size) as gmax
+  from part group by p_retailprice
+),
+s as (
+  select price, gmax,
+         max(gmax) over (order by price asc
+                         rows between unbounded preceding and 1 preceding)
+           as pmax
+  from g
+)
+select p.p_partkey, p.p_brand,
+       round(p.p_retailprice, 2) as price,
+       cast(p.p_size as int) as psize
+from part p
+join s on p.p_retailprice = s.price
+where p.p_size = s.gmax and (s.pmax is null or s.pmax < p.p_size)
+order by price, p.p_partkey
+""",
+)
+def q_pareto_frontier_parts(spark, sf_dir):
+    """Skyline (Pareto-frontier) query: parts not dominated on
+    (price low, size high) — A dominates B iff A.price ≤ B.price,
+    A.size ≥ B.size, one strict. The classic BNL/D&C skyline
+    literature reduces to a sort-based sweep for 2-D: collapse to the
+    per-price size maximum (one groupBy at NDV(price) altitude —
+    price is a bounded domain, 200 distinct at sf0.001), take the
+    exclusive prefix max over strictly-cheaper prices (a window over
+    the NDV-sized histogram, never over the parts), and keep a part
+    iff it tops its own price group and beats every cheaper group.
+    Equal (price, size) twins are both frontier members (neither
+    dominates). At 100 TB the only full-data ops are one groupBy and
+    one broadcast-joinable histogram lookup."""
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("gmax")
+    )
+    s = g.withColumn(
+        "pmax",
+        F.max("gmax").over(
+            Window.orderBy(F.col("price").asc()).rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+        ),
+    )
+    return (
+        part.join(F.broadcast(s), part["p_retailprice"] == s["price"])
+        .filter(
+            (F.col("p_size") == F.col("gmax"))
+            & (F.col("pmax").isNull() | (F.col("pmax") < F.col("p_size")))
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("p_size").cast("int").alias("psize"),
+        )
+        .orderBy("price", "p_partkey")
+    )
+
+
+@register(
+    "ols_value_trend",
+    oracle="""
+with e as (
+  select event_type,
+         cast(date_diff('day', date '2024-01-01', cast(ts as date))
+              as bigint) as x,
+         cast(value as decimal(12,2)) as y
+  from events
+),
+a as (
+  select event_type,
+         cast(count(*) as bigint) as n,
+         sum(x) as sx,
+         sum(x * x) as sxx,
+         sum(y) as sy,
+         sum(cast(x as decimal(10,0)) * y) as sxy,
+         sum(y * y) as syy
+  from e group by event_type
+)
+select event_type, n,
+  round((cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+        / (cast(n as double) * cast(sxx as double)
+           - cast(sx as double) * cast(sx as double)), 8) as slope,
+  round((cast(sy as double) * cast(sxx as double)
+         - cast(sx as double) * cast(sxy as double))
+        / (cast(n as double) * cast(sxx as double)
+           - cast(sx as double) * cast(sx as double)), 6) as intercept,
+  round((cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+        * (cast(n as double) * cast(sxy as double)
+           - cast(sx as double) * cast(sy as double))
+        / ((cast(n as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sx as double))
+           * (cast(n as double) * cast(syy as double)
+              - cast(sy as double) * cast(sy as double))), 6) as r2
+from a order by event_type
+""",
+)
+def q_ols_value_trend(spark, sf_dir):
+    """Per-group closed-form OLS (slope / intercept / R²) of event
+    value on time — the grouped linear-trend fit behind drift
+    monitors and per-segment forecasting, as ONE aggregation pass:
+    slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) needs only the five sufficient
+    statistics, so the plan is a single map-side-combinable groupBy —
+    no per-group sort, no window, no iteration (contrast
+    theil_sen_daily_trend, the robust sibling that pays pairwise
+    slopes for outlier resistance). Engine portability: x is integer
+    days (≤30), y exact decimal(12,2), so all seven sums are exact
+    and order-free; the slope/intercept/R² arithmetic then runs in
+    ONE double expression with identical parenthesization in both
+    engines (the gini precedent) — bit-identical before rounding.
+    At 100 TB: sufficient-statistics aggregation is the canonical
+    scale shape (constant state per group)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.col("value").cast("decimal(12,2)").alias("y"),
+    )
+    a = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    syy_d = F.col("syy").cast("double")
+    num = n_d * sxy_d - sx_d * sy_d
+    den = n_d * sxx_d - sx_d * sx_d
+    return a.select(
+        "event_type",
+        "n",
+        F.round(num / den, 8).alias("slope"),
+        F.round((sy_d * sxx_d - sx_d * sxy_d) / den, 6).alias("intercept"),
+        F.round(num * num / (den * (n_d * syy_d - sy_d * sy_d)), 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+@register(
+    "ks_value_two_sample",
+    oracle="""
+with per as (
+  select value,
+         cast(sum(case when event_type = 'purchase' then 1 else 0 end)
+              as bigint) as c1,
+         cast(sum(case when event_type = 'click' then 1 else 0 end)
+              as bigint) as c2
+  from events
+  where event_type in ('purchase', 'click')
+  group by value
+),
+c as (
+  select value,
+         cast(sum(c1) over (order by value asc
+                            rows between unbounded preceding and current row)
+              as bigint) as cum1,
+         cast(sum(c2) over (order by value asc
+                            rows between unbounded preceding and current row)
+              as bigint) as cum2
+  from per
+),
+t as (select cast(sum(c1) as bigint) as n1,
+             cast(sum(c2) as bigint) as n2 from per)
+select n1, n2,
+       round(cast(abs(cum1 * n2 - cum2 * n1) as double)
+             / (cast(n1 as double) * cast(n2 as double)), 6) as ks_d,
+       round(value, 2) as at_value
+from c cross join t
+order by abs(cum1 * n2 - cum2 * n1) desc, value asc
+limit 1
+""",
+)
+def q_ks_value_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic between the purchase
+    and click value distributions — the standard distribution-shift
+    test (feature drift between cohorts, A/B invariance checks).
+    D = max_v |F̂1(v) − F̂2(v)| over the pooled support, computed at
+    DISTINCT-VALUE altitude: one groupBy(value) to per-value counts
+    (2-decimal domain → NDV-bounded), then two distributed exclusive
+    prefix sums via operators/ranks.py:grouped_prefix_sum (range-
+    partitioned runs + width-bounded offsets — never a one-task
+    global window over the NDV stream), and the max of the EXACT
+    integer cross-difference |cum1·n2 − cum2·n1| (≤4·10¹² at sf0.1 —
+    int64-safe), divided once at the end. Ties broken to the
+    smallest value attaining D. At 100 TB the only full-data op is
+    the first groupBy; everything after runs on the value histogram."""
+    from .operators.ranks import grouped_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("c2"),
+        )
+        .withColumn("__g", F.lit(0))
+    )
+    g = grouped_prefix_sum(per, "__g", "value", "c1", out_col="p1")
+    g = grouped_prefix_sum(g, "__g", "value", "c2", out_col="p2")
+    g = g.select(
+        "value",
+        "c1",
+        "c2",
+        (F.col("p1") + F.col("c1")).cast("long").alias("cum1"),
+        (F.col("p2") + F.col("c2")).cast("long").alias("cum2"),
+    )
+    t = per.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    diff = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "n1",
+            "n2",
+            F.round(
+                diff.cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ).alias("ks_d"),
+            F.round("value", 2).alias("at_value"),
+            diff.alias("__d"),
+            F.col("value").alias("__v"),
+        )
+        .orderBy(F.col("__d").desc(), F.col("__v").asc())
+        .limit(1)
+        .drop("__d", "__v")
+    )
+
+
+@register(
+    "largest_remainder_alloc",
+    oracle="""
+with rev as (
+  select r_name,
+         cast(sum(cast(o_totalprice as decimal(14,2)) * 100) as bigint)
+           as cents
+  from orders
+  join customer on o_custkey = c_custkey
+  join nation on c_nationkey = n_nationkey
+  join region on n_regionkey = r_regionkey
+  group by r_name
+),
+t as (select cast(sum(cents) as bigint) as total from rev),
+q as (
+  select r_name, cents,
+         (10000 * cents) // total as base,
+         (10000 * cents) % total as rem
+  from rev cross join t
+),
+l as (select cast(10000 - sum(base) as bigint) as leftover from q),
+r as (
+  select q.*, row_number() over (order by rem desc, r_name asc) as rk
+  from q
+)
+select r_name,
+       cast(base + case when rk <= leftover then 1 else 0 end as bigint)
+         as seats
+from r cross join l
+order by r_name
+""",
+)
+def q_largest_remainder_alloc(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment: split a fixed
+    integer budget of 10000 units across regions proportionally to
+    revenue — the exact-integer allocation primitive behind quota
+    assignment, sampling-budget splits, and proportional shard
+    sizing, where naive float rounding leaves the total off by ±k.
+    Quotas are exact 64-bit rationals (revenue in integer cents;
+    10000·cents ≤ 3.7·10¹⁶ at sf0.1 — int64-safe; the ×1000 tier
+    would promote to decimal), floors via integer div/mod, and the
+    leftover units go to the largest remainders (region-name
+    tiebreak) — Σseats = 10000 by construction. Plan shape: the star
+    join + groupBy of revenue_by_region, then all allocation logic on
+    the 5-row region frame (scalar broadcasts, no second pass over
+    facts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    t = rev.agg(F.sum("cents").cast("long").alias("total"))
+    q = rev.crossJoin(F.broadcast(t)).select(
+        "r_name",
+        "cents",
+        F.expr("(10000 * cents) div total").alias("base"),
+        ((10000 * F.col("cents")) % F.col("total")).alias("rem"),
+    )
+    lft = q.agg((F.lit(10000) - F.sum("base")).cast("long").alias("leftover"))
+    r = q.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("r_name").asc())),
+    )
+    return (
+        r.crossJoin(F.broadcast(lft))
+        .select(
+            "r_name",
+            (
+                F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("seats"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def _daily_revenue_grid(spark, sf_dir):
+    """Shared helper: the gapless daily-revenue series (i, day, x) —
+    one groupBy(day) over orders (the only full-data op), a calendar
+    spine exploded from the (min, max) scalar row, and zero-fill. The
+    series altitude is CALENDAR-bounded (~2400 days regardless of SF),
+    so every consumer (ACF, CUSUM, backtest) runs its lag joins and
+    prefix sums on a constant-size frame — at 100 TB the grid is the
+    same 2400 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("r")
+    )
+    b = rev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"), "d0")
+    return spine.join(rev, "day", "left").select(
+        F.datediff("day", "d0").cast("long").alias("i"),
+        "day",
+        F.coalesce("r", F.lit(0).cast("decimal(14,2)")).alias("x"),
+    )
+
+
+_DAILY_GRID_SQL = """
+rev as (
+  select cast(o_orderdate as date) as day,
+         sum(cast(o_totalprice as decimal(14,2))) as r
+  from orders group by 1
+),
+b as (select min(day) as d0, max(day) as d1 from rev),
+x as (
+  select cast(date_diff('day', (select d0 from b), s.day) as bigint) as i,
+         s.day,
+         coalesce(rev.r, cast(0 as decimal(14,2))) as x
+  from (select unnest(generate_series((select d0 from b),
+                                      (select d1 from b),
+                                      interval 1 day))::date as day) s
+  left join rev on rev.day = s.day
+)
+"""
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+agg as (select cast(count(*) as bigint) as n, sum(x) as sx,
+               sum(x * x) as sxx from x),
+lags as (select cast(unnest(generate_series(1, 7)) as bigint) as k),
+pair as (
+  select l.k,
+         sum(h.x * t.x) as sxy,
+         sum(h.x) as sh,
+         sum(t.x) as st
+  from lags l
+  join x h on true
+  join x t on t.i = h.i + l.k
+  group by l.k
+)
+select k,
+  round((cast(n as double) * cast(n as double) * cast(sxy as double)
+         - cast(n as double) * cast(sx as double)
+           * (cast(sh as double) + cast(st as double))
+         + (cast(n as double) - cast(k as double))
+           * cast(sx as double) * cast(sx as double))
+        / (cast(n as double) * cast(n as double) * cast(sxx as double)
+           - cast(n as double) * cast(sx as double) * cast(sx as double)),
+        6) as acf
+from pair cross join agg
+order by k
+""",
+)
+def q_acf_daily_revenue(spark, sf_dir):
+    """Autocorrelation function of daily revenue at lags 1–7 — the
+    seasonality detector (weekly cycle strength) behind forecast-model
+    selection. Computed on the gapless calendar grid (missing days are
+    true zeros, so lags measure CALENDAR displacement, not row
+    displacement): r_k = Σ(x_t−x̄)(x_{t+k}−x̄)/Σ(x_t−x̄)², expanded to
+    exact decimal sufficient statistics (Σx, Σx², Σx_t·x_{t+k}, and
+    the head/tail sums the mean-correction needs) so the only doubles
+    are one identically-parenthesized expression per lag (the gini
+    discipline ×n²: n²Σxy − nΣx(Σh+Σt) + (n−k)(Σx)² over
+    n²Σx² − n(Σx)²). Lag alignment is a ×7 bounded fan-out join on
+    the grid index — never a global window. The grid is calendar-
+    bounded (~2400 rows at any SF), so past the first groupBy the
+    whole query is constant-size."""
+    x = _daily_revenue_grid(spark, sf_dir).persist()
+    agg = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("long").alias("k"))
+    t = x.select(F.col("i").alias("j"), F.col("x").alias("xt"))
+    pair = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn("j", F.col("i") + F.col("k"))
+        .join(t, "j")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("x") * F.col("xt")).alias("sxy"),
+            F.sum("x").alias("sh"),
+            F.sum("xt").alias("st"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    k_d = F.col("k").cast("double")
+    num = (
+        n_d * n_d * F.col("sxy").cast("double")
+        - n_d * sx_d * (F.col("sh").cast("double") + F.col("st").cast("double"))
+        + (n_d - k_d) * sx_d * sx_d
+    )
+    den = n_d * n_d * sxx_d - n_d * sx_d * sx_d
+    return (
+        pair.crossJoin(F.broadcast(agg))
+        .select("k", F.round(num / den, 6).alias("acf"))
+        .orderBy("k")
+    )
+
+
+@register(
+    "cusum_changepoint_revenue",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+agg as (select cast(count(*) as bigint) as n, sum(x) as sx from x),
+c as (
+  select day,
+         cast(row_number() over (order by i) as bigint) as t,
+         sum(x) over (order by i
+                      rows between unbounded preceding and current row)
+           as pfx
+  from x
+)
+select strftime(day, '%Y-%m-%d') as change_day,
+       round(abs(cast(n as double) * cast(pfx as double)
+                 - cast(t as double) * cast(sx as double))
+             / cast(n as double), 2) as cusum_peak,
+       case when cast(n as double) * cast(pfx as double)
+                 - cast(t as double) * cast(sx as double) > 0
+            then 'above' else 'below' end as direction
+from c cross join agg
+order by abs(cast(n as double) * cast(pfx as double)
+             - cast(t as double) * cast(sx as double)) desc, day asc
+limit 1
+""",
+)
+def q_cusum_changepoint_revenue(spark, sf_dir):
+    """CUSUM change-point detection on daily revenue: the day where
+    the cumulative deviation from the global mean peaks — the
+    classic single-change-point estimator (Page's CUSUM / Taylor's
+    bootstrap form) behind regime-shift alerts. S_t = Σ_{i≤t}(x_i−x̄)
+    is computed EXACTLY as n·prefix_t − t·Σx (integer×decimal — no
+    per-row mean subtraction, no float accumulation); the argmax of
+    |S_t| with earliest-day tiebreak is the estimated change point
+    and max|S_t| the effect size. Runs on the calendar-bounded daily
+    grid (the _daily_revenue_grid contract: one groupBy over facts,
+    then a ~2400-row frame), prefix sums included — at 100 TB the
+    change-point scan costs the same as at sf0.001."""
+    x = _daily_revenue_grid(spark, sf_dir)
+    agg = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").alias("sx")
+    )
+    w = Window.orderBy("i")
+    c = x.select(
+        "day",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+    )
+    dev = F.col("n").cast("double") * F.col("pfx").cast("double") - F.col(
+        "t"
+    ).cast("double") * F.col("sx").cast("double")
+    return (
+        c.crossJoin(F.broadcast(agg))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.round(F.abs(dev) / F.col("n").cast("double"), 2).alias("cusum_peak"),
+            F.when(dev > 0, "above").otherwise("below").alias("direction"),
+            F.abs(dev).alias("__a"),
+        )
+        .orderBy(F.col("__a").desc(), F.col("change_day").asc())
+        .limit(1)
+        .drop("__a")
+    )
+
+
+@register(
+    "copurchase_user_jaccard",
+    oracle="""
+with cp as (
+  select distinct o_custkey as u, l_partkey as p
+  from lineitem join orders on l_orderkey = o_orderkey
+),
+sz as (select u, cast(count(*) as bigint) as nu from cp group by u),
+pf as (select p, cast(count(*) as bigint) as df from cp group by p),
+pairs as (
+  select distinct a.u as u1, b.u as u2
+  from cp a
+  join cp b on a.p = b.p and a.u < b.u
+  join pf on pf.p = a.p
+  where pf.df <= 25
+),
+inter as (
+  select pr.u1, pr.u2, cast(count(*) as bigint) as inter
+  from pairs pr
+  join cp xa on xa.u = pr.u1
+  join cp xb on xb.u = pr.u2 and xb.p = xa.p
+  group by pr.u1, pr.u2
+)
+select i.u1, i.u2, i.inter,
+       round(cast(i.inter as double)
+             / (cast(s1.nu as double) + cast(s2.nu as double)
+                - cast(i.inter as double)), 6) as jaccard
+from inter i
+join sz s1 on s1.u = i.u1
+join sz s2 on s2.u = i.u2
+order by jaccard desc, i.u1, i.u2
+limit 20
+""",
+)
+def q_copurchase_user_jaccard(spark, sf_dir):
+    """User–user collaborative-filtering similarity: top-20 customer
+    pairs by Jaccard over their purchased part sets — the neighbor
+    search behind item/user-based recommenders, shaped exactly like
+    the dedup ladder's candidate-then-verify contract: candidate
+    pairs meet ONLY through parts with document frequency ≤ 25 (the
+    df-cap blocking policy of ngram_jaccard_pairs — hub parts bought
+    by everyone generate O(df²) candidates and near-zero similarity
+    signal, so they are excluded from candidate GENERATION), then the
+    intersection is verified EXACTLY over the full unblocked sets
+    (blocking trades recall only, never precision — the reported
+    Jaccard is the true one). All counts int64, one double division
+    per survivor, (u1, u2) tiebreak. At 100 TB: candidate volume is
+    Σ_p df_p² bounded by cap·Σdf, and the verify join touches only
+    candidate users' rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cp = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    sz = cp.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    pf = cp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    capped = cp.join(pf.filter(F.col("df") <= 25), "p")
+    a = capped.select("p", F.col("u").alias("u1"))
+    b = capped.select("p", F.col("u").alias("u2"))
+    pairs = (
+        a.join(b, "p").filter(F.col("u1") < F.col("u2")).select("u1", "u2").distinct()
+    )
+    xa = cp.select(F.col("u").alias("u1"), "p")
+    xb = cp.select(F.col("u").alias("u2"), "p")
+    inter = (
+        pairs.join(xa, "u1")
+        .join(xb, ["u2", "p"])
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    s1 = sz.select(F.col("u").alias("u1"), F.col("nu").alias("n1"))
+    s2 = sz.select(F.col("u").alias("u2"), F.col("nu").alias("n2"))
+    return (
+        inter.join(s1, "u1")
+        .join(s2, "u2")
+        .select(
+            "u1",
+            "u2",
+            "inter",
+            F.round(
+                F.col("inter").cast("double")
+                / (
+                    F.col("n1").cast("double")
+                    + F.col("n2").cast("double")
+                    - F.col("inter").cast("double")
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u1", "u2")
+        .limit(20)
+    )
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+m as (select max(i) as mi from x),
+e as (
+  select h.x as actual, f.x as fc,
+         abs(h.x - f.x) as err
+  from x h
+  join x f on f.i = h.i - 7
+  cross join m
+  where h.i > m.mi - 28
+),
+agg as (
+  select cast(count(*) as bigint) as n_days,
+         sum(err) as serr,
+         sum(actual) as sact,
+         sum(cast(round(case when actual + fc > 0
+                    then 2.0 * cast(err as double)
+                         / (cast(actual as double) + cast(fc as double))
+                    else 0.0 end, 6) as decimal(18,6))) as ssm
+  from e
+)
+select n_days,
+       round(cast(serr as double) / cast(n_days as double), 2) as mae,
+       round(cast(serr as double) / cast(sact as double), 6) as wape,
+       round(cast(ssm as double) / cast(n_days as double), 6) as smape
+from agg
+""",
+)
+def q_seasonal_naive_backtest(spark, sf_dir):
+    """Forecast backtest: seasonal-naive x̂_t = x_{t−7} (the weekly-
+    cycle baseline every forecasting bake-off starts from) evaluated
+    over the final 28 days of the daily-revenue grid, reporting MAE,
+    WAPE and SMAPE — the accuracy floor a real model must beat.
+    Error sums are exact decimals (|x−x̂| in decimal(14,2)); SMAPE's
+    per-row ratio is one double division of exactly-converted
+    decimals, rounded to 6dp, then re-summed as decimal(18,6) so the
+    cross-partition accumulation is order-free (the house rule for
+    per-row ratios). The forecast join is a lag-7 index join on the
+    calendar grid — constant-size at any SF (the _daily_revenue_grid
+    contract), so the backtest costs one facts groupBy plus O(days)."""
+    x = _daily_revenue_grid(spark, sf_dir).persist()
+    m = x.agg(F.max("i").alias("mi"))
+    f = x.select((F.col("i") + 7).alias("i"), F.col("x").alias("fc"))
+    e = (
+        x.join(f, "i")
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("i") > F.col("mi") - 28)
+        .select(
+            F.col("x").alias("actual"),
+            "fc",
+            F.abs(F.col("x") - F.col("fc")).alias("err"),
+        )
+    )
+    ratio = F.when(
+        (F.col("actual") + F.col("fc")) > 0,
+        F.lit(2.0)
+        * F.col("err").cast("double")
+        / (F.col("actual").cast("double") + F.col("fc").cast("double")),
+    ).otherwise(F.lit(0.0))
+    agg = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("err").alias("serr"),
+        F.sum("actual").alias("sact"),
+        F.sum(F.round(ratio, 6).cast("decimal(18,6)")).alias("ssm"),
+    )
+    nd = F.col("n_days").cast("double")
+    return agg.select(
+        "n_days",
+        F.round(F.col("serr").cast("double") / nd, 2).alias("mae"),
+        F.round(
+            F.col("serr").cast("double") / F.col("sact").cast("double"), 6
+        ).alias("wape"),
+        F.round(F.col("ssm").cast("double") / nd, 6).alias("smape"),
+    )
+
+
+@register(
+    "infogain_discount_split",
+    oracle="""
+with per as (
+  select l_discount as d,
+         cast(count(*) as bigint) as nd,
+         cast(sum(case when l_returnflag = 'R' then 1 else 0 end)
+              as bigint) as pd
+  from lineitem group by l_discount
+),
+c as (
+  select d,
+         cast(sum(nd) over (order by d asc
+                            rows between unbounded preceding and current row)
+              as bigint) as cn,
+         cast(sum(pd) over (order by d asc
+                            rows between unbounded preceding and current row)
+              as bigint) as cp
+  from per
+),
+t as (select cast(sum(nd) as bigint) as nn,
+             cast(sum(pd) as bigint) as pp from per)
+select round(d, 2) as threshold,
+       cn as n_left, cp as pos_left,
+       round(
+         (case when pp = 0 or pp = nn then 0.0 else
+           -(cast(pp as double) / nn) * ln(cast(pp as double) / nn)
+           - (cast(nn - pp as double) / nn) * ln(cast(nn - pp as double) / nn)
+          end)
+         - (cast(cn as double) / nn)
+           * (case when cp = 0 or cp = cn then 0.0 else
+               -(cast(cp as double) / cn) * ln(cast(cp as double) / cn)
+               - (cast(cn - cp as double) / cn)
+                 * ln(cast(cn - cp as double) / cn)
+              end)
+         - (cast(nn - cn as double) / nn)
+           * (case when pp - cp = 0 or pp - cp = nn - cn then 0.0 else
+               -(cast(pp - cp as double) / (nn - cn))
+                 * ln(cast(pp - cp as double) / (nn - cn))
+               - (cast((nn - cn) - (pp - cp) as double) / (nn - cn))
+                 * ln(cast((nn - cn) - (pp - cp) as double) / (nn - cn))
+              end), 6) as gain
+from c cross join t
+where cn < nn
+order by threshold
+""",
+)
+def q_infogain_discount_split(spark, sf_dir):
+    """Decision-stump split finding: information gain of every
+    candidate threshold "l_discount ≤ d" predicting returned lines
+    (l_returnflag = 'R') — the inner loop of tree building and the
+    standard feature-screening statistic for training-data pipelines.
+    One groupBy collapses the facts to the (value → count, positives)
+    histogram (l_discount's domain is 11 points — NDV-bounded like
+    the KS statistic), cumulative left-partition counts come from a
+    window over that histogram, and the gain H(parent) − Σw·H(child)
+    is computed per candidate from EXACT int64 counts in a single
+    guarded double expression (0·ln0 := 0; identical shape in both
+    engines, rounded to 6dp — the bm25 ln() parity precedent).
+    Returns the full candidate table ordered by threshold; the best
+    split is its argmax row. At 100 TB the histogram pass is the only
+    full-data op — the split search is O(NDV)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_discount").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("pd"),
+    )
+    w = Window.orderBy(F.col("d").asc()).rowsBetween(Window.unboundedPreceding, 0)
+    c = per.select(
+        "d",
+        F.sum("nd").over(w).cast("long").alias("cn"),
+        F.sum("pd").over(w).cast("long").alias("cp"),
+    )
+    t = per.agg(
+        F.sum("nd").cast("long").alias("nn"), F.sum("pd").cast("long").alias("pp")
+    )
+
+    def _h(pos, tot):
+        p = pos.cast("double") / tot
+        q = (tot - pos).cast("double") / tot
+        return F.when((pos == 0) | (pos == tot), F.lit(0.0)).otherwise(
+            -p * F.log(p) - q * F.log(q)
+        )
+
+    nn = F.col("nn")
+    pp = F.col("pp")
+    cn = F.col("cn")
+    cp = F.col("cp")
+    gain = (
+        _h(pp, nn.cast("double"))
+        - (cn.cast("double") / nn.cast("double")) * _h(cp, cn.cast("double"))
+        - ((nn - cn).cast("double") / nn.cast("double"))
+        * _h(pp - cp, (nn - cn).cast("double"))
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(cn < nn)
+        .select(
+            F.round("d", 2).alias("threshold"),
+            cn.alias("n_left"),
+            cp.alias("pos_left"),
+            F.round(gain, 6).alias("gain"),
+        )
+        .orderBy("threshold")
+    )
