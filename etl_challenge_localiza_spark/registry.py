@@ -12750,10 +12750,18 @@ def q_copurchase_user_jaccard(spark, sf_dir):
     signal, so they are excluded from candidate GENERATION), then the
     intersection is verified EXACTLY over the full unblocked sets
     (blocking trades recall only, never precision — the reported
-    Jaccard is the true one). All counts int64, one double division
-    per survivor, (u1, u2) tiebreak. At 100 TB: candidate volume is
-    Σ_p df_p² bounded by cap·Σdf, and the verify join touches only
-    candidate users' rows."""
+    Jaccard is the true one). Verify shape: per-user part sets as
+    sorted arrays (bounded by a user's purchase history — ~10² here,
+    the same per-entity bound as basket_lift_pairs' basket fan-out),
+    one shuffle join of the candidate-pair stream against that table,
+    and an `array_intersect` size per pair computed JVM-side. The
+    first cut instead RE-JOINED the pair stream against the full
+    (u, p) rows and counted matches — exploding each pair into its
+    |set| rows (candidates × avg-set ≈ 40M intermediate rows, 22 s at
+    sf0.1); moving each set once per pair cut it to 3-4 s. All counts
+    int64, one double division per survivor, (u1, u2) tiebreak. At
+    100 TB: candidate volume is Σ_p df_p² bounded by cap·Σdf, and the
+    verify join moves only candidate users' sets."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cp = (
@@ -12761,7 +12769,10 @@ def q_copurchase_user_jaccard(spark, sf_dir):
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    sz = cp.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    sets = cp.groupBy("u").agg(
+        F.sort_array(F.collect_set("p")).alias("ps"),
+        F.count(F.lit(1)).cast("long").alias("nu"),
+    )
     pf = cp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("df"))
     capped = cp.join(pf.filter(F.col("df") <= 25), "p")
     a = capped.select("p", F.col("u").alias("u1"))
@@ -12769,29 +12780,26 @@ def q_copurchase_user_jaccard(spark, sf_dir):
     pairs = (
         a.join(b, "p").filter(F.col("u1") < F.col("u2")).select("u1", "u2").distinct()
     )
-    xa = cp.select(F.col("u").alias("u1"), "p")
-    xb = cp.select(F.col("u").alias("u2"), "p")
-    inter = (
-        pairs.join(xa, "u1")
-        .join(xb, ["u2", "p"])
-        .groupBy("u1", "u2")
-        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    s1 = sets.select(
+        F.col("u").alias("u1"), F.col("ps").alias("ps1"), F.col("nu").alias("n1")
     )
-    s1 = sz.select(F.col("u").alias("u1"), F.col("nu").alias("n1"))
-    s2 = sz.select(F.col("u").alias("u2"), F.col("nu").alias("n2"))
+    s2 = sets.select(
+        F.col("u").alias("u2"), F.col("ps").alias("ps2"), F.col("nu").alias("n2")
+    )
+    inter = F.size(F.array_intersect("ps1", "ps2")).cast("long")
     return (
-        inter.join(s1, "u1")
+        pairs.join(s1, "u1")
         .join(s2, "u2")
         .select(
             "u1",
             "u2",
-            "inter",
+            inter.alias("inter"),
             F.round(
-                F.col("inter").cast("double")
+                inter.cast("double")
                 / (
                     F.col("n1").cast("double")
                     + F.col("n2").cast("double")
-                    - F.col("inter").cast("double")
+                    - inter.cast("double")
                 ),
                 6,
             ).alias("jaccard"),
@@ -12986,3 +12994,406 @@ def q_infogain_discount_split(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "mann_whitney_value_test",
+    oracle="""
+with pool as (
+  select value,
+         cast(count(*) as bigint) as n,
+         cast(sum(case when event_type = 'purchase' then 1 else 0 end)
+              as bigint) as c1
+  from events
+  where event_type in ('purchase', 'click')
+  group by value
+),
+rk as (
+  select value, n, c1,
+         2 * (coalesce(sum(n) over (order by value asc
+                rows between unbounded preceding and 1 preceding), 0) + 1)
+           + n - 1 as r2
+  from pool
+),
+agg as (
+  select cast(sum(c1) as bigint) as n1,
+         cast(sum(n - c1) as bigint) as n2,
+         cast(sum(n) as bigint) as nn,
+         cast(sum(c1 * r2) as bigint) as r1x2,
+         cast(sum(n * n * n - n) as bigint) as ties
+  from rk
+)
+select n1, n2,
+       cast((r1x2 - n1 * (n1 + 1)) / 2 as bigint) as u1,
+       round((cast(r1x2 - n1 * (n1 + 1) as double) / 2.0
+              - cast(n1 as double) * cast(n2 as double) / 2.0)
+             / sqrt(cast(n1 as double) * cast(n2 as double) / 12.0
+                    * (cast(nn as double) + 1.0
+                       - cast(ties as double)
+                         / (cast(nn as double)
+                            * (cast(nn as double) - 1.0)))), 6) as z
+from agg
+""",
+)
+def q_mann_whitney_value_test(spark, sf_dir):
+    """Mann–Whitney U (Wilcoxon rank-sum) test between the purchase
+    and click value distributions — the nonparametric location test
+    (robust A/B readout when values are heavy-tailed and a t-test's
+    mean is fragile). Rides operators/ranks.py:scaled_avg_rank_by_value
+    exactly as its docstring advertises: the corpus contributes ONE
+    map-side-combined histogram; ×2-scaled average ranks keep ties
+    integer, so the rank sum R1, U = R1 − n1(n1+1)/2, and the tie
+    correction Σ(t³−t) are all EXACT int64 — the only doubles are the
+    final z-score expression (normal approximation with tie-corrected
+    variance), identically parenthesized in both engines. At 100 TB
+    everything after the groupBy runs at NDV(value) altitude."""
+    from .operators.ranks import scaled_avg_rank_by_value
+
+    ev = load_table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("purchase", "click"))
+    rk = scaled_avg_rank_by_value(both.select("value"), "value")
+    c1 = (
+        both.filter(F.col("event_type") == "purchase")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    j = rk.join(c1, "value", "left").withColumn(
+        "c1", F.coalesce("c1", F.lit(0).cast("long"))
+    )
+    agg = j.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum(F.col("n") - F.col("c1")).cast("long").alias("n2"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.col("c1") * F.col("r2")).cast("long").alias("r1x2"),
+        F.sum(F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        .cast("long")
+        .alias("ties"),
+    )
+    n1_d = F.col("n1").cast("double")
+    n2_d = F.col("n2").cast("double")
+    nn_d = F.col("nn").cast("double")
+    u1_2 = F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)
+    sigma = F.sqrt(
+        n1_d * n2_d / F.lit(12.0)
+        * (nn_d + F.lit(1.0) - F.col("ties").cast("double") / (nn_d * (nn_d - 1.0)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        (u1_2 / 2).cast("long").alias("u1"),
+        F.round((u1_2.cast("double") / 2.0 - n1_d * n2_d / 2.0) / sigma, 6).alias(
+            "z"
+        ),
+    )
+
+
+@register(
+    "welch_t_value_test",
+    oracle="""
+with a as (
+  select
+    cast(sum(case when event_type = 'purchase' then 1 else 0 end)
+         as bigint) as n1,
+    cast(sum(case when event_type = 'click' then 1 else 0 end)
+         as bigint) as n2,
+    sum(case when event_type = 'purchase'
+             then cast(value as decimal(12,2)) else cast(0 as decimal(12,2))
+        end) as s1,
+    sum(case when event_type = 'click'
+             then cast(value as decimal(12,2)) else cast(0 as decimal(12,2))
+        end) as s2,
+    sum(case when event_type = 'purchase'
+             then cast(value as decimal(12,2)) * cast(value as decimal(12,2))
+             else cast(0 as decimal(24,4)) end) as q1,
+    sum(case when event_type = 'click'
+             then cast(value as decimal(12,2)) * cast(value as decimal(12,2))
+             else cast(0 as decimal(24,4)) end) as q2
+  from events where event_type in ('purchase', 'click')
+)
+select n1, n2,
+  round(cast(s1 as double) / cast(n1 as double)
+        - cast(s2 as double) / cast(n2 as double), 4) as mean_diff,
+  round((cast(s1 as double) / cast(n1 as double)
+         - cast(s2 as double) / cast(n2 as double))
+        / sqrt(((cast(q1 as double)
+                 - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+                / (cast(n1 as double) - 1.0)) / cast(n1 as double)
+               + ((cast(q2 as double)
+                   - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+                  / (cast(n2 as double) - 1.0)) / cast(n2 as double)), 6) as t,
+  round(
+    (((cast(q1 as double)
+       - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+      / (cast(n1 as double) - 1.0)) / cast(n1 as double)
+     + ((cast(q2 as double)
+         - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+        / (cast(n2 as double) - 1.0)) / cast(n2 as double))
+    * (((cast(q1 as double)
+         - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+        / (cast(n1 as double) - 1.0)) / cast(n1 as double)
+       + ((cast(q2 as double)
+           - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+          / (cast(n2 as double) - 1.0)) / cast(n2 as double))
+    / ((((cast(q1 as double)
+          - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+         / (cast(n1 as double) - 1.0)) / cast(n1 as double))
+       * (((cast(q1 as double)
+            - cast(s1 as double) * cast(s1 as double) / cast(n1 as double))
+           / (cast(n1 as double) - 1.0)) / cast(n1 as double))
+       / (cast(n1 as double) - 1.0)
+       + (((cast(q2 as double)
+            - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+           / (cast(n2 as double) - 1.0)) / cast(n2 as double))
+         * (((cast(q2 as double)
+              - cast(s2 as double) * cast(s2 as double) / cast(n2 as double))
+             / (cast(n2 as double) - 1.0)) / cast(n2 as double))
+         / (cast(n2 as double) - 1.0)), 4) as df_welch
+from a
+""",
+)
+def q_welch_t_value_test(spark, sf_dir):
+    """Welch's unequal-variance t-test between purchase and click
+    values — the parametric companion of mann_whitney_value_test,
+    from the SAME single-pass sufficient statistics discipline as
+    ols_value_trend: one conditional aggregate yields both groups'
+    (n, Σy, Σy²) exactly (decimal sums), then t and the Welch–
+    Satterthwaite degrees of freedom are one identically-
+    parenthesized double expression per output. The standard-error
+    terms v_i = s_i²/n_i are written out longhand in both engines so
+    the expression trees match bit-for-bit before rounding. At 100 TB
+    this is a single map-side-combinable aggregate — the cheapest
+    possible two-sample test."""
+    ev = load_table(spark, sf_dir, "events")
+    y = F.col("value").cast("decimal(12,2)")
+    z0 = F.lit(0).cast("decimal(12,2)")
+    z04 = F.lit(0).cast("decimal(24,4)")
+    is1 = F.col("event_type") == "purchase"
+    is2 = F.col("event_type") == "click"
+    a = ev.filter(F.col("event_type").isin("purchase", "click")).agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(is2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(is1, y).otherwise(z0)).alias("s1"),
+        F.sum(F.when(is2, y).otherwise(z0)).alias("s2"),
+        F.sum(F.when(is1, y * y).otherwise(z04)).alias("q1"),
+        F.sum(F.when(is2, y * y).otherwise(z04)).alias("q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    q1 = F.col("q1").cast("double")
+    q2 = F.col("q2").cast("double")
+    v1 = ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
+    v2 = ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2
+    md = s1 / n1 - s2 / n2
+    return a.select(
+        "n1",
+        "n2",
+        F.round(md, 4).alias("mean_diff"),
+        F.round(md / F.sqrt(v1 + v2), 6).alias("t"),
+        F.round(
+            (v1 + v2) * (v1 + v2) / (v1 * v1 / (n1 - 1.0) + v2 * v2 / (n2 - 1.0)),
+            4,
+        ).alias("df_welch"),
+    )
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle="""
+with per_user as (
+  select user_id,
+         sum(case when cast(ts as date) < date '2024-01-16'
+                  then cast(value as decimal(12,2))
+                  else cast(0 as decimal(12,2)) end) as x,
+         sum(case when cast(ts as date) >= date '2024-01-16'
+                  then cast(value as decimal(12,2))
+                  else cast(0 as decimal(12,2)) end) as y
+  from events group by user_id
+),
+a as (
+  select cast(count(*) as bigint) as n,
+         sum(x) as sx, sum(y) as sy,
+         sum(x * y) as sxy, sum(x * x) as sxx, sum(y * y) as syy
+  from per_user
+)
+select n,
+  round((cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+        / (cast(n as double) * cast(sxx as double)
+           - cast(sx as double) * cast(sx as double)), 6) as theta,
+  round((cast(n as double) * cast(sxy as double)
+         - cast(sx as double) * cast(sy as double))
+        * (cast(n as double) * cast(sxy as double)
+           - cast(sx as double) * cast(sy as double))
+        / ((cast(n as double) * cast(sxx as double)
+            - cast(sx as double) * cast(sx as double))
+           * (cast(n as double) * cast(syy as double)
+              - cast(sy as double) * cast(sy as double))), 6) as rho2,
+  round((cast(n as double) * cast(syy as double)
+         - cast(sy as double) * cast(sy as double))
+        / (cast(n as double) * (cast(n as double) - 1.0)), 4) as var_y,
+  round(((cast(n as double) * cast(syy as double)
+          - cast(sy as double) * cast(sy as double))
+         / (cast(n as double) * (cast(n as double) - 1.0)))
+        * (1.0
+           - (cast(n as double) * cast(sxy as double)
+              - cast(sx as double) * cast(sy as double))
+             * (cast(n as double) * cast(sxy as double)
+                - cast(sx as double) * cast(sy as double))
+             / ((cast(n as double) * cast(sxx as double)
+                 - cast(sx as double) * cast(sx as double))
+                * (cast(n as double) * cast(syy as double)
+                   - cast(sy as double) * cast(sy as double)))), 4)
+    as var_y_cuped
+from a
+""",
+)
+def q_cuped_variance_reduction(spark, sf_dir):
+    """CUPED (Controlled-experiment Using Pre-Existing Data, Deng et
+    al. WSDM'13) variance reduction: split each user's event value
+    into a pre-period covariate x (days 1–15) and the experiment
+    metric y (days 16–30), estimate θ = cov(x,y)/var(x) and report
+    the achievable variance reduction var(y)·(1−ρ²) — the
+    power-analysis primitive behind every modern A/B platform. One
+    groupBy(user) builds both periods' exact decimal sums in a single
+    conditional aggregate; the five cross-moments then collapse to
+    one scalar row, and θ/ρ²/variances are identically-parenthesized
+    double expressions (the ols_value_trend discipline). At 100 TB:
+    one user-keyed exchange, constant state after it."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    z0 = F.lit(0).cast("decimal(12,2)")
+    pre = F.to_date("ts") < F.lit("2024-01-16").cast("date")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, v).otherwise(z0)).alias("x"),
+        F.sum(F.when(~pre, v).otherwise(z0)).alias("y"),
+    )
+    a = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    var_y = vary_n / (n * (n - 1.0))
+    rho2 = cov_n * cov_n / (varx_n * vary_n)
+    return a.select(
+        "n",
+        F.round(cov_n / varx_n, 6).alias("theta"),
+        F.round(rho2, 6).alias("rho2"),
+        F.round(var_y, 4).alias("var_y"),
+        F.round(var_y * (1.0 - rho2), 4).alias("var_y_cuped"),
+    )
+
+
+@register(
+    "segmented_trend_at_changepoint",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+agg as (select cast(count(*) as bigint) as n, sum(x) as sx from x),
+c as (
+  select i, day,
+         cast(row_number() over (order by i) as bigint) as t,
+         sum(x) over (order by i
+                      rows between unbounded preceding and current row)
+           as pfx
+  from x
+),
+cp as (
+  select i as istar
+  from c cross join agg
+  order by abs(cast(n as double) * cast(pfx as double)
+               - cast(t as double) * cast(sx as double)) desc, day asc
+  limit 1
+),
+seg as (
+  select case when x.i <= cp.istar then 'before' else 'after' end as segment,
+         x.i, x.x
+  from x cross join cp
+),
+s as (
+  select segment,
+         cast(count(*) as bigint) as n,
+         sum(i) as si,
+         sum(i * i) as sii,
+         sum(x) as sx2,
+         sum(cast(i as decimal(10,0)) * x) as six
+  from seg group by segment
+)
+select segment, n,
+  round((cast(n as double) * cast(six as double)
+         - cast(si as double) * cast(sx2 as double))
+        / (cast(n as double) * cast(sii as double)
+           - cast(si as double) * cast(si as double)), 4) as slope
+from s order by segment
+""",
+)
+def q_segmented_trend_at_changepoint(spark, sf_dir):
+    """Segmented (piecewise-linear) trend: locate the CUSUM
+    change-point of daily revenue (the cusum_changepoint_revenue
+    estimator), then fit an independent OLS slope on each side — the
+    before/after trend readout behind "did the regime actually
+    change" dashboards, composing two of the round's primitives. The
+    change point is a scalar derived on the calendar-bounded grid
+    (argmax |n·prefix − t·Σx|, earliest-day tiebreak, exactly the
+    CUSUM query's plan); segment slopes use the ols_value_trend
+    sufficient-statistics form with exact decimal Σi·x. Everything
+    after the facts groupBy is constant-size; the change point joins
+    back as a broadcast scalar, never a re-scan."""
+    x = _daily_revenue_grid(spark, sf_dir).persist()
+    agg = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").alias("sx")
+    )
+    w = Window.orderBy("i")
+    c = x.select(
+        "i",
+        "day",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+    )
+    dev = F.col("n").cast("double") * F.col("pfx").cast("double") - F.col(
+        "t"
+    ).cast("double") * F.col("sx").cast("double")
+    cp = (
+        c.crossJoin(F.broadcast(agg))
+        .orderBy(F.abs(dev).desc(), F.col("day").asc())
+        .limit(1)
+        .select(F.col("i").alias("istar"))
+    )
+    seg = x.crossJoin(F.broadcast(cp)).select(
+        F.when(F.col("i") <= F.col("istar"), "before")
+        .otherwise("after")
+        .alias("segment"),
+        "i",
+        "x",
+    )
+    s = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("i").alias("si"),
+        F.sum(F.col("i") * F.col("i")).alias("sii"),
+        F.sum("x").alias("sx2"),
+        F.sum(F.col("i").cast("decimal(10,0)") * F.col("x")).alias("six"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        "segment",
+        "n",
+        F.round(
+            (n * F.col("six").cast("double")
+             - F.col("si").cast("double") * F.col("sx2").cast("double"))
+            / (n * F.col("sii").cast("double")
+               - F.col("si").cast("double") * F.col("si").cast("double")),
+            4,
+        ).alias("slope"),
+    ).orderBy("segment")

@@ -169,3 +169,83 @@ def test_infogain_split_matches_brute_force(spark, sf0001):
         assert r["n_left"] == nl and r["pos_left"] == lp
         assert abs(r["gain"] - gain) < 1e-6
         assert r["gain"] >= -1e-9  # info gain is non-negative
+
+
+def test_mann_whitney_matches_brute_force(spark, sf0001):
+    row = _run(spark, sf0001, "mann_whitney_value_test")[0]
+    ev = spark.read.parquet(sf0001 + "/events.parquet").collect()
+    a = [round(r["value"], 2) for r in ev if r["event_type"] == "purchase"]
+    b = [round(r["value"], 2) for r in ev if r["event_type"] == "click"]
+    pooled = sorted(a + b)
+    # average ranks with ties
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    rank = {}
+    pos = 1
+    for v in sorted(cnt):
+        t = cnt[v]
+        rank[v] = pos + (t - 1) / 2.0
+        pos += t
+    r1 = sum(rank[v] for v in a)
+    n1, n2, nn = len(a), len(b), len(pooled)
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    ties = sum(t**3 - t for t in cnt.values())
+    sigma = math.sqrt(n1 * n2 / 12.0 * ((nn + 1) - ties / (nn * (nn - 1.0))))
+    z = (u1 - n1 * n2 / 2.0) / sigma
+    assert (row["n1"], row["n2"]) == (n1, n2)
+    assert row["u1"] == int(u1)
+    assert abs(row["z"] - z) < 1e-5
+
+
+def test_welch_t_matches_numpy(spark, sf0001):
+    row = _run(spark, sf0001, "welch_t_value_test")[0]
+    ev = spark.read.parquet(sf0001 + "/events.parquet").collect()
+    a = np.array([round(r["value"], 2) for r in ev if r["event_type"] == "purchase"])
+    b = np.array([round(r["value"], 2) for r in ev if r["event_type"] == "click"])
+    v1, v2 = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / math.sqrt(v1 + v2)
+    dfw = (v1 + v2) ** 2 / (v1**2 / (len(a) - 1) + v2**2 / (len(b) - 1))
+    assert abs(row["mean_diff"] - (a.mean() - b.mean())) < 1e-3
+    assert abs(row["t"] - t) < 1e-4
+    assert abs(row["df_welch"] - dfw) < 0.01
+
+
+def test_cuped_matches_numpy(spark, sf0001):
+    row = _run(spark, sf0001, "cuped_variance_reduction")[0]
+    ev = spark.read.parquet(sf0001 + "/events.parquet").collect()
+    import datetime as dt
+    from collections import defaultdict
+
+    xs, ys = defaultdict(float), defaultdict(float)
+    users = set()
+    for r in ev:
+        users.add(r["user_id"])
+        if r["ts"].date() < dt.date(2024, 1, 16):
+            xs[r["user_id"]] += round(r["value"], 2)
+        else:
+            ys[r["user_id"]] += round(r["value"], 2)
+    u = sorted(users)
+    x = np.array([xs[i] for i in u])
+    y = np.array([ys[i] for i in u])
+    theta = np.cov(x, y, ddof=1)[0, 1] / x.var(ddof=1)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert row["n"] == len(u)
+    assert abs(row["theta"] - theta) < 1e-4
+    assert abs(row["rho2"] - rho2) < 1e-4
+    assert abs(row["var_y_cuped"] - y.var(ddof=1) * (1 - rho2)) < 0.5
+    # CUPED can only reduce variance
+    assert row["var_y_cuped"] <= row["var_y"] + 1e-9
+
+
+def test_segmented_trend_matches_numpy(spark, sf0001):
+    rows = {r["segment"]: r for r in _run(spark, sf0001, "segmented_trend_at_changepoint")}
+    x, _ = _daily_grid_np(spark, sf0001)
+    s = np.cumsum(x - x.mean())
+    istar = int(np.argmax(np.abs(s)))
+    before, after = x[: istar + 1], x[istar + 1 :]
+    ib, ia = np.arange(istar + 1), np.arange(istar + 1, len(x))
+    for seg, xs, idx in [("before", before, ib), ("after", after, ia)]:
+        slope = np.polyfit(idx.astype(float), xs, 1)[0]
+        assert rows[seg]["n"] == len(xs)
+        assert abs(rows[seg]["slope"] - slope) < 1e-2
