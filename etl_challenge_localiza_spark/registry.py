@@ -12758,10 +12758,12 @@ def q_copurchase_user_jaccard(spark, sf_dir):
     first cut instead RE-JOINED the pair stream against the full
     (u, p) rows and counted matches — exploding each pair into its
     |set| rows (candidates × avg-set ≈ 40M intermediate rows, 22 s at
-    sf0.1); moving each set once per pair cut it to 3-4 s. All counts
-    int64, one double division per survivor, (u1, u2) tiebreak. At
-    100 TB: candidate volume is Σ_p df_p² bounded by cap·Σdf, and the
-    verify join moves only candidate users' sets."""
+    sf0.1); moving each set once per pair cut it to 7.0 s exec at
+    sf0.1 / 10.7 s at ×30 (×1.5 wall for ×30 data — PERF.md round-11
+    growth table). All counts int64, one double division per
+    survivor, (u1, u2) tiebreak. At 100 TB: candidate volume is
+    Σ_p df_p² bounded by cap·Σdf, and the verify join moves only
+    candidate users' sets."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cp = (
