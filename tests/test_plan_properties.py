@@ -440,3 +440,53 @@ def test_ivf_index_partition_layout_prunes(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1].splitlines()[0]
     assert scan.select(F.count_distinct("centroid_id")).collect()[0][0] == 2
+
+
+def test_round11_stats_plans_stay_jvm_side(spark):
+    """Round-11 stats/time-series/CF additions: no Python evaluation,
+    no cartesian products, and the scalar frames ride broadcasts."""
+    for name in [
+        "pareto_frontier_parts",
+        "ols_value_trend",
+        "ks_value_two_sample",
+        "largest_remainder_alloc",
+        "acf_daily_revenue",
+        "cusum_changepoint_revenue",
+        "copurchase_user_jaccard",
+        "seasonal_naive_backtest",
+        "infogain_discount_split",
+        "mann_whitney_value_test",
+        "welch_t_value_test",
+        "cuped_variance_reduction",
+        "segmented_trend_at_changepoint",
+    ]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_sufficient_stats_aggregates_are_partial(spark):
+    """ols/welch/cuped are one-pass sufficient-statistics plans: the
+    aggregate must run in partial (map-side combine) + final mode —
+    constant state per group, never a pre-shuffled raw stream."""
+    for name in ["ols_value_trend", "welch_t_value_test"]:
+        plan = _plan(spark, name)
+        assert "partial_" in plan or "partial" in plan.lower(), name
+
+
+def test_pareto_histogram_joins_back_broadcast(spark):
+    """The NDV(price)-sized frontier histogram must come back to the
+    parts scan as a broadcast join — the skyline query never shuffles
+    the fact side on price."""
+    plan = _plan(spark, "pareto_frontier_parts")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ks_prefix_sums_not_single_task(spark):
+    """grouped_prefix_sum must range-partition the value histogram —
+    the KS cumulative sums may not run as one global unpartitioned
+    window over the NDV stream (the WindowExec single-partition
+    shape)."""
+    plan = _plan(spark, "ks_value_two_sample")
+    assert "rangepartitioning" in plan.lower()
