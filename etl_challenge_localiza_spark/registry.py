@@ -13399,3 +13399,269 @@ def q_segmented_trend_at_changepoint(spark, sf_dir):
             4,
         ).alias("slope"),
     ).orderBy("segment")
+
+
+@register(
+    "bootstrap_ci_mean",
+    oracle="""
+with reps as (select unnest(generate_series(0, 63)) as b),
+w as (
+  select r.b,
+         cast(o_totalprice as decimal(14,2)) as x,
+         (case
+            when u <= 0.36787944117144233 then 0
+            when u <= 0.7357588823428847 then 1
+            when u <= 0.9196986029286058 then 2
+            when u <= 0.9810118431238463 then 3
+            when u <= 0.9963401531726563 then 4
+            when u <= 0.9994058151824183 then 5
+            when u <= 0.999916758850712 then 6
+            else 7 end) as w
+  from orders
+  cross join reps r
+  cross join lateral (
+    select cast(cast(concat('0x', substr(md5(cast(o_orderkey as varchar)
+                 || ':bs' || cast(r.b as varchar)), 1, 7)) as bigint) + 1
+                as double) / 268435457.0 as u
+  ) h
+),
+m as (
+  select b,
+         cast(sum(w * x) as double) / cast(sum(w) as bigint) as mean_b
+  from w group by b
+),
+rk as (
+  select mean_b,
+         row_number() over (order by mean_b asc, b asc) as rn
+  from m
+),
+pt as (
+  select cast(count(*) as bigint) as n_orders,
+         cast(sum(cast(o_totalprice as decimal(14,2))) as double) / count(*)
+           as point_mean
+  from orders
+)
+select n_orders,
+       round(point_mean, 4) as point_mean,
+       round((select mean_b from rk where rn = 2), 4) as ci_lo,
+       round((select mean_b from rk where rn = 63), 4) as ci_hi,
+       cast(64 as bigint) as b_reps
+from pt
+""",
+)
+def q_bootstrap_ci_mean(spark, sf_dir):
+    """Distributed Poisson bootstrap (Chamandy et al., "Estimating
+    uncertainty for massive data streams" — the production bootstrap
+    for data too large to resample by index): each of B=64 replicates
+    re-weights every order by a DETERMINISTIC Poisson(1) draw (inverse
+    CDF over a portable md5-derived uniform — the weighted_sample_docs
+    hash discipline, so both engines build the identical replicate),
+    and the 2.5%/97.5% replicate-mean ranks (2nd and 63rd of 64, by
+    (mean, b)) bound the CI of the mean. Shape: one ×64 bounded
+    fan-out (the multiplier IS the resample — no shuffling of row
+    indices, the whole point of the Poisson form), 64-group partial
+    aggregate with exact decimal Σw·x, a 64-row rank window, and one
+    scalar join. At 100 TB: B scans' worth of map work, state is
+    64 rows — embarrassingly parallel."""
+    orders = load_table(spark, sf_dir, "orders")
+    reps = spark.range(64).select(F.col("id").cast("int").alias("b"))
+    h7 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit(":bs"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        7,
+    )
+    u = (F.conv(h7, 16, 10).cast("bigint") + 1).cast("double") / F.lit(268435457.0)
+    w = (
+        F.when(u <= 0.36787944117144233, 0)
+        .when(u <= 0.7357588823428847, 1)
+        .when(u <= 0.9196986029286058, 2)
+        .when(u <= 0.9810118431238463, 3)
+        .when(u <= 0.9963401531726563, 4)
+        .when(u <= 0.9994058151824183, 5)
+        .when(u <= 0.999916758850712, 6)
+        .otherwise(7)
+    )
+    x = F.col("o_totalprice").cast("decimal(14,2)")
+    m = (
+        orders.crossJoin(F.broadcast(reps))
+        .select("b", x.alias("x"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("x")).cast("double")
+                / F.sum("w").cast("long")
+            ).alias("mean_b")
+        )
+    )
+    rk = m.select(
+        "mean_b",
+        F.row_number()
+        .over(Window.orderBy(F.col("mean_b").asc(), F.col("b").asc()))
+        .alias("rn"),
+    )
+    lo = rk.filter(F.col("rn") == 2).select(F.col("mean_b").alias("lo"))
+    hi = rk.filter(F.col("rn") == 63).select(F.col("mean_b").alias("hi"))
+    pt = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean"),
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "n_orders",
+            F.round("point_mean", 4).alias("point_mean"),
+            F.round("lo", 4).alias("ci_lo"),
+            F.round("hi", 4).alias("ci_hi"),
+            F.lit(64).cast("long").alias("b_reps"),
+        )
+    )
+
+
+@register(
+    "permutation_test_mean_diff",
+    oracle="""
+with base as (
+  select event_id,
+         cast(value as decimal(12,2)) as x,
+         case when event_type = 'purchase' then 1 else 0 end as g
+  from events where event_type in ('purchase', 'click')
+),
+tot as (
+  select cast(count(*) as bigint) as n,
+         cast(sum(g) as bigint) as n1,
+         sum(case when g = 1 then x else cast(0 as decimal(12,2)) end) as s1,
+         sum(case when g = 0 then x else cast(0 as decimal(12,2)) end) as s2
+  from base
+),
+obs as (
+  select n, n1,
+         cast(s1 as double) / cast(n1 as double)
+           - cast(s2 as double) / cast(n - n1 as double) as d
+  from tot
+),
+reps as (select unnest(generate_series(0, 63)) as p),
+perm as (
+  select r.p,
+         case when cast(cast(concat('0x', substr(md5(cast(b.event_id as varchar)
+                   || ':pm' || cast(r.p as varchar)), 1, 7)) as bigint) + 1
+                   as double) / 268435457.0
+              <= cast(t.n1 as double) / cast(t.n as double)
+              then 1 else 0 end as pg,
+         b.x
+  from base b cross join reps r cross join tot t
+),
+pd as (
+  select p,
+         cast(sum(case when pg = 1 then x else cast(0 as decimal(12,2)) end)
+              as double)
+           / cast(sum(pg) as bigint)
+         - cast(sum(case when pg = 0 then x else cast(0 as decimal(12,2)) end)
+                as double)
+           / cast(sum(1 - pg) as bigint) as d_p
+  from perm group by p
+)
+select o.n1,
+       cast(o.n - o.n1 as bigint) as n2,
+       round(o.d, 4) as obs_diff,
+       cast(sum(case when abs(pd.d_p) >= abs(o.d) then 1 else 0 end)
+            as bigint) as n_extreme,
+       round((1.0 + sum(case when abs(pd.d_p) >= abs(o.d)
+                             then 1 else 0 end)) / 65.0, 4) as p_value
+from pd cross join obs o
+group by o.n1, o.n, o.d
+""",
+)
+def q_permutation_test_mean_diff(spark, sf_dir):
+    """Randomization (permutation-style) test for the purchase-vs-
+    click mean-value difference: 64 deterministic pseudo-relabelings
+    (each row re-assigned to a group by a portable md5 uniform against
+    the observed group fraction — the hash discipline of
+    weighted_sample_docs, so both engines build identical relabelings)
+    re-compute the mean difference under the null, and the add-one
+    p-value (1+#extreme)/(B+1) reads how extreme the observed
+    difference is. The distribution-free companion to
+    welch_t_value_test / mann_whitney_value_test — no normality, no
+    rank theory, just the null by construction. Shape: one ×64
+    bounded fan-out over the two groups' rows, a 64-group exact-
+    decimal aggregate, one scalar comparison pass. At 100 TB: B map
+    passes, 64 rows of state."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        F.col("value").cast("decimal(12,2)").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+    )
+    z0 = F.lit(0).cast("decimal(12,2)")
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("n1"),
+        F.sum(F.when(F.col("g") == 1, F.col("x")).otherwise(z0)).alias("s1"),
+        F.sum(F.when(F.col("g") == 0, F.col("x")).otherwise(z0)).alias("s2"),
+    )
+    obs = tot.select(
+        "n",
+        "n1",
+        (
+            F.col("s1").cast("double") / F.col("n1").cast("double")
+            - F.col("s2").cast("double") / (F.col("n") - F.col("n1")).cast("double")
+        ).alias("d"),
+    )
+    reps = spark.range(64).select(F.col("id").cast("int").alias("p"))
+    h7 = F.substring(
+        F.md5(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":pm"),
+                F.col("p").cast("string"),
+            )
+        ),
+        1,
+        7,
+    )
+    u = (F.conv(h7, 16, 10).cast("bigint") + 1).cast("double") / F.lit(268435457.0)
+    pg = F.when(
+        u <= F.col("n1").cast("double") / F.col("n").cast("double"), 1
+    ).otherwise(0)
+    pd_ = (
+        base.crossJoin(F.broadcast(reps))
+        .crossJoin(F.broadcast(tot.select("n", "n1")))
+        .select("p", pg.alias("pg"), "x")
+        .groupBy("p")
+        .agg(
+            (
+                F.sum(F.when(F.col("pg") == 1, F.col("x")).otherwise(z0)).cast(
+                    "double"
+                )
+                / F.sum("pg").cast("long")
+                - F.sum(F.when(F.col("pg") == 0, F.col("x")).otherwise(z0)).cast(
+                    "double"
+                )
+                / F.sum(1 - F.col("pg")).cast("long")
+            ).alias("d_p")
+        )
+    )
+    extreme = F.sum(
+        F.when(F.abs(F.col("d_p")) >= F.abs(F.col("d")), 1).otherwise(0)
+    ).cast("long")
+    return (
+        pd_.crossJoin(F.broadcast(obs))
+        .groupBy("n1", "n", "d")
+        .agg(extreme.alias("n_extreme"))
+        .select(
+            "n1",
+            (F.col("n") - F.col("n1")).cast("long").alias("n2"),
+            F.round("d", 4).alias("obs_diff"),
+            "n_extreme",
+            F.round((1.0 + F.col("n_extreme")) / 65.0, 4).alias("p_value"),
+        )
+    )

@@ -249,3 +249,31 @@ def test_segmented_trend_matches_numpy(spark, sf0001):
         slope = np.polyfit(idx.astype(float), xs, 1)[0]
         assert rows[seg]["n"] == len(xs)
         assert abs(rows[seg]["slope"] - slope) < 1e-2
+
+
+def test_bootstrap_ci_brackets_the_point_mean(spark, sf0001):
+    row = _run(spark, sf0001, "bootstrap_ci_mean")[0]
+    orders = spark.read.parquet(sf0001 + "/orders.parquet").collect()
+    mean = sum(round(o["o_totalprice"], 2) for o in orders) / len(orders)
+    assert abs(row["point_mean"] - mean) < 0.01
+    assert row["b_reps"] == 64
+    # the CI must bracket the point estimate and be nondegenerate
+    assert row["ci_lo"] <= row["point_mean"] <= row["ci_hi"]
+    assert row["ci_lo"] < row["ci_hi"]
+    # ±5 standard errors is a generous sanity envelope
+    import statistics
+
+    se = statistics.stdev(round(o["o_totalprice"], 2) for o in orders) / math.sqrt(
+        len(orders)
+    )
+    assert row["point_mean"] - 5 * se < row["ci_lo"]
+    assert row["ci_hi"] < row["point_mean"] + 5 * se
+
+
+def test_permutation_test_bounds_and_determinism(spark, sf0001):
+    row = _run(spark, sf0001, "permutation_test_mean_diff")[0]
+    assert 0 <= row["n_extreme"] <= 64
+    assert abs(row["p_value"] - (1 + row["n_extreme"]) / 65.0) < 1e-4
+    # deterministic hash relabelings → identical result on a second run
+    row2 = _run(spark, sf0001, "permutation_test_mean_diff")[0]
+    assert row == row2
