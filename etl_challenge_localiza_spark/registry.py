@@ -13461,9 +13461,14 @@ def q_bootstrap_ci_mean(spark, sf_dir):
     fan-out (the multiplier IS the resample — no shuffling of row
     indices, the whole point of the Poisson form), 64-group partial
     aggregate with exact decimal Σw·x, a 64-row rank window, and one
-    scalar join. At 100 TB: B scans' worth of map work, state is
-    64 rows — embarrassingly parallel."""
-    orders = load_table(spark, sf_dir, "orders")
+    scalar join. The base is REPARTITIONED to the shuffle width
+    before the fan-out (the build_sf1 lesson: a small single-file
+    source otherwise serializes the ×64 expansion + md5 work into
+    one task — measured 13.3 s → 1.0 s exec at sf0.1). At 100 TB:
+    B scans' worth of map work, state is 64 rows — embarrassingly
+    parallel."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    orders = load_table(spark, sf_dir, "orders").repartition(width)
     reps = spark.range(64).select(F.col("id").cast("int").alias("b"))
     h7 = F.substring(
         F.md5(
@@ -13592,14 +13597,21 @@ def q_permutation_test_mean_diff(spark, sf_dir):
     difference is. The distribution-free companion to
     welch_t_value_test / mann_whitney_value_test — no normality, no
     rank theory, just the null by construction. Shape: one ×64
-    bounded fan-out over the two groups' rows, a 64-group exact-
-    decimal aggregate, one scalar comparison pass. At 100 TB: B map
-    passes, 64 rows of state."""
+    bounded fan-out over the two groups' rows (base repartitioned to
+    the shuffle width first — same single-task-expansion fix as
+    bootstrap_ci_mean), a 64-group exact-decimal aggregate, one
+    scalar comparison pass. At 100 TB: B map passes, 64 rows of
+    state."""
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(F.col("event_type").isin("purchase", "click")).select(
-        "event_id",
-        F.col("value").cast("decimal(12,2)").alias("x"),
-        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+    base = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "event_id",
+            F.col("value").cast("decimal(12,2)").alias("x"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g"),
+        )
+        .repartition(width)
     )
     z0 = F.lit(0).cast("decimal(12,2)")
     tot = base.agg(
