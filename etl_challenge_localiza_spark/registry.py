@@ -13677,3 +13677,215 @@ def q_permutation_test_mean_diff(spark, sf_dir):
             F.round((1.0 + F.col("n_extreme")) / 65.0, 4).alias("p_value"),
         )
     )
+
+
+@register(
+    "markov_entropy_rate",
+    oracle="""
+with s as (
+  select event_type as from_type,
+         lead(event_type) over (partition by user_id order by ts, event_id)
+           as to_type
+  from events
+),
+c as (select from_type, to_type, cast(count(*) as bigint) as n
+      from s where to_type is not null group by 1, 2),
+per_state as (
+  select from_type, cast(sum(n) as bigint) as n_s,
+         sum(case when n > 0
+             then -(cast(n as double)) * ln(cast(n as double)) end) as sl
+  from c group by from_type
+),
+tot as (select cast(sum(n_s) as bigint) as nn from per_state)
+select from_type,
+       n_s,
+       round(sl / cast(n_s as double) + ln(cast(n_s as double)), 6)
+         as h_state,
+       round((cast(n_s as double) / cast(nn as double))
+             * (sl / cast(n_s as double) + ln(cast(n_s as double))), 6)
+         as contribution
+from per_state cross join tot
+order by from_type
+""",
+)
+def q_markov_entropy_rate(spark, sf_dir):
+    """Entropy rate of the per-user event-type Markov chain: for each
+    state s, the conditional next-step entropy H(s) = −Σ_t P(t|s)
+    ln P(t|s), and its contribution weighted by the empirical state
+    frequency — Σ_s p̂(s)·H(s) is the chain's entropy rate, the
+    predictability summary behind sequence-model feasibility checks
+    and anomalous-session scoring (low-entropy users are bots). Uses
+    the identity H(s) = (Σ_t −n_st·ln n_st)/n_s + ln n_s so the
+    per-transition terms aggregate in ONE pass from exact int64
+    counts (no per-row probability division before the aggregate —
+    the sum of −n·ln n terms is order-free to double rounding and
+    identical cross-engine with the final expression parenthesized
+    identically). The transition stream is the
+    event_transition_matrix shape: one user-partitioned lead()
+    window; everything after runs at |types|² altitude."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = s.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    nd = F.col("n").cast("double")
+    per_state = c.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_s"),
+        F.sum(F.when(F.col("n") > 0, -nd * F.log(nd))).alias("sl"),
+    )
+    tot = per_state.agg(F.sum("n_s").cast("long").alias("nn"))
+    ns_d = F.col("n_s").cast("double")
+    h = F.col("sl") / ns_d + F.log(ns_d)
+    return (
+        per_state.crossJoin(F.broadcast(tot))
+        .select(
+            "from_type",
+            "n_s",
+            F.round(h, 6).alias("h_state"),
+            F.round((ns_d / F.col("nn").cast("double")) * h, 6).alias(
+                "contribution"
+            ),
+        )
+        .orderBy("from_type")
+    )
+
+
+@register(
+    "haar_energy_daily_revenue",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+l0 as (select i, x from x),
+l1 as (
+  select i // 2 as i,
+         cast(sum(x) as decimal(18,2)) as s,
+         cast(sum(case when i % 2 = 0 then x
+                       else cast(0 as decimal(18,2)) end)
+              - sum(case when i % 2 = 1 then x
+                         else cast(0 as decimal(18,2)) end)
+              as decimal(18,2)) as d
+  from l0 group by i // 2 having count(*) = 2
+),
+l2 as (
+  select i // 2 as i,
+         cast(sum(s) as decimal(18,2)) as s,
+         cast(sum(case when i % 2 = 0 then s
+                       else cast(0 as decimal(18,2)) end)
+              - sum(case when i % 2 = 1 then s
+                         else cast(0 as decimal(18,2)) end)
+              as decimal(18,2)) as d
+  from l1 group by i // 2 having count(*) = 2
+),
+l3 as (
+  select i // 2 as i,
+         cast(sum(s) as decimal(18,2)) as s,
+         cast(sum(case when i % 2 = 0 then s
+                       else cast(0 as decimal(18,2)) end)
+              - sum(case when i % 2 = 1 then s
+                         else cast(0 as decimal(18,2)) end)
+              as decimal(18,2)) as d
+  from l2 group by i // 2 having count(*) = 2
+),
+l4 as (
+  select i // 2 as i,
+         cast(sum(s) as decimal(18,2)) as s,
+         cast(sum(case when i % 2 = 0 then s
+                       else cast(0 as decimal(18,2)) end)
+              - sum(case when i % 2 = 1 then s
+                         else cast(0 as decimal(18,2)) end)
+              as decimal(18,2)) as d
+  from l3 group by i // 2 having count(*) = 2
+),
+l5 as (
+  select i // 2 as i,
+         cast(sum(s) as decimal(18,2)) as s,
+         cast(sum(case when i % 2 = 0 then s
+                       else cast(0 as decimal(18,2)) end)
+              - sum(case when i % 2 = 1 then s
+                         else cast(0 as decimal(18,2)) end)
+              as decimal(18,2)) as d
+  from l4 group by i // 2 having count(*) = 2
+)
+select * from (
+  select cast(1 as bigint) as level, cast(count(*) as bigint) as n_pairs,
+         cast(cast(cast(sum(cast(d as decimal(19,2)) * cast(d as decimal(19,2))) as decimal(34,4)) * 16 as decimal(38,4)) as varchar) as energy32 from l1
+  union all
+  select cast(2 as bigint), cast(count(*) as bigint),
+         cast(cast(cast(sum(cast(d as decimal(19,2)) * cast(d as decimal(19,2))) as decimal(34,4)) * 8 as decimal(38,4)) as varchar) from l2
+  union all
+  select cast(3 as bigint), cast(count(*) as bigint),
+         cast(cast(cast(sum(cast(d as decimal(19,2)) * cast(d as decimal(19,2))) as decimal(34,4)) * 4 as decimal(38,4)) as varchar) from l3
+  union all
+  select cast(4 as bigint), cast(count(*) as bigint),
+         cast(cast(cast(sum(cast(d as decimal(19,2)) * cast(d as decimal(19,2))) as decimal(34,4)) * 2 as decimal(38,4)) as varchar) from l4
+  union all
+  select cast(5 as bigint), cast(count(*) as bigint),
+         cast(cast(cast(sum(cast(d as decimal(19,2)) * cast(d as decimal(19,2))) as decimal(34,4)) * 1 as decimal(38,4)) as varchar) from l5
+) t order by level
+""",
+)
+def q_haar_energy_daily_revenue(spark, sf_dir):
+    """Haar wavelet energy decomposition of daily revenue, levels 1-5
+    (pair scale 2 days → 32 days): per level, the unnormalized detail
+    coefficients d = s_even − s_odd over the previous level's
+    approximations, with Σd²/2^level the orthonormal-Haar band energy
+    — the multi-resolution seasonality/burst profile (which time
+    scale carries the variance: day-to-day noise, weekly cycle, or
+    monthly regime). Band energies are emitted ×32 (energy32 =
+    Σd²·2^(5−level), an EXACT decimal — at this magnitude Σd² exceeds
+    2⁵³ in scaled units and the decimal→double conversion differs by
+    an ulp between engines, so the division is replaced by an exact
+    integer multiply, and the column ships as the decimal's STRING
+    form — the one representation that survives both engines'
+    dataframe materialization without a float conversion; consumers
+    divide by 32 once). Pairs are formed
+    by integer-dividing the grid
+    index (odd tails truncate via the count(*)=2 guard — a DEFINED
+    convention, mirrored in both engines); all approximation sums and
+    detail differences stay exact decimal through all five levels, so
+    the only doubles are five rounded band energies. Runs entirely on
+    the calendar-bounded grid: five |grid|/2^k-sized aggregates after
+    the one facts groupBy — scale-constant, like every
+    _daily_revenue_grid consumer."""
+    x = _daily_revenue_grid(spark, sf_dir)
+    z = F.lit(0).cast("decimal(18,2)")
+    cur = x.select("i", F.col("x").cast("decimal(18,2)").alias("s"))
+    outs = []
+    for level in range(1, 6):
+        nxt = (
+            cur.groupBy((F.col("i") / 2).cast("long").alias("i2"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.when(F.col("i") % 2 == 0, F.col("s")).otherwise(z))
+                .cast("decimal(18,2)")
+                .alias("se"),
+                F.sum(F.when(F.col("i") % 2 == 1, F.col("s")).otherwise(z))
+                .cast("decimal(18,2)")
+                .alias("so"),
+            )
+            .filter(F.col("cnt") == 2)
+            .select(
+                F.col("i2").alias("i"),
+                (F.col("se") + F.col("so")).cast("decimal(18,2)").alias("s"),
+                (F.col("se") - F.col("so")).cast("decimal(18,2)").alias("d"),
+            )
+        )
+        outs.append(
+            nxt.agg(
+                F.lit(level).cast("long").alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                (F.sum(F.col("d") * F.col("d")) * F.lit(2 ** (5 - level)))
+                .cast("decimal(38,4)")
+                .cast("string")
+                .alias("energy32"),
+            )
+        )
+        cur = nxt.select("i", "s")
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("level")

@@ -277,3 +277,48 @@ def test_permutation_test_bounds_and_determinism(spark, sf0001):
     # deterministic hash relabelings → identical result on a second run
     row2 = _run(spark, sf0001, "permutation_test_mean_diff")[0]
     assert row == row2
+
+
+def test_markov_entropy_rate_matches_brute_force(spark, sf0001):
+    rows = {r["from_type"]: r for r in _run(spark, sf0001, "markov_entropy_rate")}
+    ev = sorted(
+        spark.read.parquet(sf0001 + "/events.parquet").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    from collections import Counter, defaultdict
+
+    trans = defaultdict(Counter)
+    for a, b in zip(ev, ev[1:]):
+        if a["user_id"] == b["user_id"]:
+            trans[a["event_type"]][b["event_type"]] += 1
+    nn = sum(sum(c.values()) for c in trans.values())
+    for s, c in trans.items():
+        n_s = sum(c.values())
+        h = -sum((k / n_s) * math.log(k / n_s) for k in c.values())
+        assert rows[s]["n_s"] == n_s
+        assert abs(rows[s]["h_state"] - h) < 1e-5
+        assert abs(rows[s]["contribution"] - (n_s / nn) * h) < 1e-5
+        assert 0 <= rows[s]["h_state"] <= math.log(5) + 1e-9
+
+
+def test_haar_energy_matches_numpy(spark, sf0001):
+    from decimal import Decimal
+
+    rows = {
+        r["level"]: (r["n_pairs"], Decimal(r["energy32"]))
+        for r in _run(spark, sf0001, "haar_energy_daily_revenue")
+    }
+    x, _ = _daily_grid_np(spark, sf0001)
+    s = [Decimal(str(round(v, 2))) for v in x]
+    for level in range(1, 6):
+        pairs = len(s) // 2
+        d = [s[2 * i] - s[2 * i + 1] for i in range(pairs)]
+        s = [s[2 * i] + s[2 * i + 1] for i in range(pairs)]
+        e32 = sum(v * v for v in d) * (2 ** (5 - level))
+        n_pairs, got = rows[level]
+        assert n_pairs == pairs
+        assert got == e32.quantize(Decimal("0.0001"))
+    # Parseval sanity: total orthonormal detail energy ≤ series energy
+    tot_detail = sum(float(e) / 32.0 for _, e in rows.values())
+    series_energy = float(sum(Decimal(str(round(v, 2))) ** 2 for v in x))
+    assert tot_detail <= series_energy * (1 + 1e-9)
