@@ -60,8 +60,8 @@ def _driver_last_checked(here: str | None = None) -> dict[str, int]:
 
     if here is None:
         here = os.path.dirname(os.path.abspath(__file__))
-    # latest round seen per name, and whether that latest row passed
-    latest: dict[str, tuple[int, bool]] = {}
+    # latest round seen per name: (round, passed, was_rows_only_check)
+    latest: dict[str, tuple[int, bool, bool]] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -75,11 +75,13 @@ def _driver_last_checked(here: str | None = None) -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
+            rows_only = False
             if not isinstance(row, dict):
                 ok = False
             elif row.get("err") == "no_oracle":
                 # rows-only by design: passed its (weaker) check iff it
                 # produced rows at all
+                rows_only = True
                 ok = row.get("spark_rows") is not None
             else:
                 ok = (
@@ -90,11 +92,21 @@ def _driver_last_checked(here: str | None = None) -> dict[str, int]:
                 )
             prev = latest.get(name)
             if prev is None or rnd >= prev[0]:
-                latest[name] = (rnd, ok)
+                latest[name] = (rnd, ok, rows_only)
     # A name whose LATEST row failed re-enters the window immediately
     # (round 0 = never-checked) — round-4 advisor guidance: a failing
-    # query must be re-verified first, not last.
-    return {name: (rnd if ok else 0) for name, (rnd, ok) in latest.items()}
+    # query must be re-verified first, not last. Likewise a name whose
+    # latest driver row was a rows-only check but which NOW carries an
+    # oracle (a rows-only→full-oracle flip, e.g. the r11 flips of
+    # bpe_train_encode / hashing_tfidf_norms) resets to never-checked
+    # so the driver confirms the stronger check next round (VERDICT r11
+    # directive #1) — an oracle-status change invalidates the old row.
+    out: dict[str, int] = {}
+    for name, (rnd, ok, rows_only) in latest.items():
+        q = QUERIES.get(name)
+        flipped = rows_only and q is not None and q.oracle is not None
+        out[name] = rnd if (ok and not flipped) else 0
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

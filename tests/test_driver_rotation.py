@@ -53,6 +53,27 @@ def test_green_after_red_counts_as_checked(tmp_path):
     assert E._driver_last_checked(str(tmp_path)) == {"a": 2}
 
 
+def test_rows_only_to_oracle_flip_resets_staleness(tmp_path):
+    """VERDICT r11 #1: a query whose LATEST driver row was a rows-only
+    (no_oracle) check but which NOW carries an oracle must reset to
+    never-checked, so the driver confirms the stronger full-oracle
+    check in the next window instead of ~3 rounds later."""
+    import __spark_entry__ as E
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    flipped = "bpe_train_encode"  # rows-only through r10, oracle since r11
+    still_rows_only = "brp_lsh_ann_pairs"  # no_oracle by design
+    assert QUERIES[flipped].oracle is not None
+    assert QUERIES[still_rows_only].oracle is None
+    _write(tmp_path, 1, {flipped: ROWS_ONLY, still_rows_only: ROWS_ONLY})
+    last = E._driver_last_checked(str(tmp_path))
+    assert last[flipped] == 0  # oracle-status change invalidates the row
+    assert last[still_rows_only] == 1  # genuinely rows-only: stays checked
+    # once the driver records a full-oracle green row, staleness resumes
+    _write(tmp_path, 2, {flipped: GREEN})
+    assert E._driver_last_checked(str(tmp_path))[flipped] == 2
+
+
 def test_window_covers_never_checked_then_stalest():
     """Round-invariant form of the r10-specific window test (ADVICE
     r10: the old test asserted against live round-10 rotation state
