@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import shuffle_width
+
 
 def _join_nullsafe(
     df: DataFrame, other: DataFrame, keys: list[str], broadcast: bool = False
@@ -237,10 +239,7 @@ def ordered_row_number(
     once the returned plan is garbage-collected."""
     spark = df.sparkSession
     if parts is None:
-        try:
-            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except Exception:
-            parts = spark.sparkContext.defaultParallelism
+        parts = shuffle_width(spark)
     ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
     with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
     within = F.row_number().over(
@@ -294,10 +293,7 @@ def grouped_prefix_sum(
     by-construction pid identity, not physical-plan reuse."""
     spark = df.sparkSession
     if parts is None:
-        try:
-            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except Exception:
-            parts = spark.sparkContext.defaultParallelism
+        parts = shuffle_width(spark)
     ranged = df.repartitionByRange(parts, F.col(group_col), F.col(order_col))
     with_pid = ranged.withColumn("__pid", F.spark_partition_id()).persist()
     within = F.coalesce(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import shuffle_width
+
 
 def sessionize(
     events: DataFrame, gap_minutes: int = 30, parts: int | None = None
@@ -37,10 +39,7 @@ def sessionize(
     """
     spark = events.sparkSession
     if parts is None:
-        try:
-            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except Exception:
-            parts = spark.sparkContext.defaultParallelism
+        parts = shuffle_width(spark)
     events = events.repartition(parts, "user_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -124,10 +123,7 @@ def interval_coactivity_pairs(
     from .rangejoin import auto_bin_us, derive_interval_stats, salt_for_bin
 
     spark = events.sparkSession
-    try:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        width = spark.sparkContext.defaultParallelism
+    width = shuffle_width(spark)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     iv = (
         events.filter(F.col("event_type") == event_type)

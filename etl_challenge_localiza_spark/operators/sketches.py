@@ -395,7 +395,11 @@ def cms_join_size_estimate(
 
 
 def mg_rescored_topk(
-    df: DataFrame, col: str, topk: int = 25, k: int = 256
+    df: DataFrame,
+    col: str,
+    topk: int = 25,
+    k: int = 256,
+    max_doublings: int = 3,
 ) -> DataFrame:
     """Sketch-ACCELERATED EXACT top-k — the two-pass production
     pattern for heavy hitters at 100 TB (candidates-then-rescore;
@@ -414,29 +418,51 @@ def mg_rescored_topk(
     (≤ N/(k+1) < c) is too small to belong in the top k — the result
     provably equals the exact full-vocabulary top-k, and the oracle
     replays the plain exact SQL. Otherwise the guarantee does not
-    cover ``topk`` ranks and the operator REFUSES loudly (raise, not
-    a silently-approximate answer) — raise k."""
-    cands = sorted(
-        r["item"] for r in misra_gries_topk(df, col, k).collect()
-    )
-    c = F.col(col).cast("string")
-    folded = df.select(
-        F.when(c.isin(cands), c).otherwise(F.lit("__other__")).alias("item")
-    )
-    counts = folded.groupBy("item").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    )
-    rows = counts.collect()
-    n_total = sum(r["n"] for r in rows)
-    exact = sorted(
-        ((r["item"], r["n"]) for r in rows if r["item"] != "__other__"),
-        key=lambda t: (-t[1], t[0]),
-    )[:topk]
-    if len(exact) < topk or exact[-1][1] * (k + 1) <= n_total:
+    cover ``topk`` ranks — the operator then AUTO-ESCALATES, retrying
+    with doubled k up to ``max_doublings`` times (VERDICT r11 #6: the
+    ×30 growth run refused at k=256 and needed a manual k=1024; the
+    escalation makes the lane run unattended while the certificate
+    semantics are unchanged — the returned answer is still provably
+    exact, never silently approximate). Only when the doubled ladder
+    is exhausted does it REFUSE loudly (raise, not an approximate
+    answer) — raise k or max_doublings."""
+    import sys
+
+    last_err = ""
+    for attempt in range(max_doublings + 1):
+        k_try = k << attempt
+        cands = sorted(
+            r["item"] for r in misra_gries_topk(df, col, k_try).collect()
+        )
+        c = F.col(col).cast("string")
+        folded = df.select(
+            F.when(c.isin(cands), c).otherwise(F.lit("__other__")).alias("item")
+        )
+        counts = folded.groupBy("item").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        rows = counts.collect()
+        n_total = sum(r["n"] for r in rows)
+        exact = sorted(
+            ((r["item"], r["n"]) for r in rows if r["item"] != "__other__"),
+            key=lambda t: (-t[1], t[0]),
+        )[:topk]
+        if len(exact) >= topk and exact[-1][1] * (k_try + 1) > n_total:
+            break
+        last_err = (
+            f"k={k_try}, N={n_total}, kth={exact[-1][1] if exact else 0}"
+        )
+        if attempt < max_doublings:
+            print(
+                f"mg_rescored_topk: certificate failed ({last_err}); "
+                f"escalating to k={k_try * 2}",
+                file=sys.stderr,
+            )
+    else:
         raise ValueError(
-            f"MG guarantee does not cover {topk} ranks here "
-            f"(k={k}, N={n_total}, kth={exact[-1][1] if exact else 0}); "
-            "raise k"
+            f"MG guarantee does not cover {topk} ranks here after "
+            f"{max_doublings} doublings ({last_err}); "
+            "raise k or max_doublings"
         )
     # return the top-k as a lazy re-aggregation (same plan shape the
     # action re-executes; the guard above already proved exactness)

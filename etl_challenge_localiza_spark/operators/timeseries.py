@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import shuffle_width
+
 
 def gap_fill_hourly(events: DataFrame, keep_null_sum: bool = False) -> DataFrame:
     """Per event_type hourly counts/sums with missing hours zero-filled
@@ -170,10 +172,7 @@ def rolling_interval_exact(
     # coalescing is the wrong policy for this exchange; the explicit
     # repartition already satisfies the window's required
     # distribution, so no second exchange is added.
-    try:
-        width = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        width = events.sparkSession.sparkContext.defaultParallelism
+    width = shuffle_width(events.sparkSession)
     events = events.repartition(width, key)
     base = Window.partitionBy(key).orderBy(ts_us)
     w_cum = base.rangeBetween(Window.unboundedPreceding, 0)

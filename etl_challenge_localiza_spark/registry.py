@@ -56,7 +56,7 @@ from .operators.textops import (
     lang_source_rollup,
     token_topk,
 )
-from .session import tune
+from .session import shuffle_width, tune
 from .sources.readers import load_table
 
 
@@ -12541,6 +12541,19 @@ def _daily_revenue_grid(spark, sf_dir):
     )
 
 
+def _finish_then_unpersist(out, cached):
+    """Materialize the (tiny, aggregate-altitude) result while the
+    shared grid is cached, then release the cache deterministically:
+    a persisted grid must not outlive its query in a 257-query
+    harness session (r11 advisor — the registry otherwise has zero
+    persist() sites, and leaked grids evict useful cache blocks).
+    localCheckpoint pins the handful of result rows so the returned
+    DataFrame never re-references the unpersisted plan."""
+    out = out.localCheckpoint(eager=True)
+    cached.unpersist()
+    return out
+
+
 _DAILY_GRID_SQL = """
 rev as (
   select cast(o_orderdate as date) as day,
@@ -12633,10 +12646,11 @@ def q_acf_daily_revenue(spark, sf_dir):
         + (n_d - k_d) * sx_d * sx_d
     )
     den = n_d * n_d * sxx_d - n_d * sx_d * sx_d
-    return (
+    return _finish_then_unpersist(
         pair.crossJoin(F.broadcast(agg))
         .select("k", F.round(num / den, 6).alias("acf"))
-        .orderBy("k")
+        .orderBy("k"),
+        x,
     )
 
 
@@ -12879,13 +12893,16 @@ def q_seasonal_naive_backtest(spark, sf_dir):
         F.sum(F.round(ratio, 6).cast("decimal(18,6)")).alias("ssm"),
     )
     nd = F.col("n_days").cast("double")
-    return agg.select(
-        "n_days",
-        F.round(F.col("serr").cast("double") / nd, 2).alias("mae"),
-        F.round(
-            F.col("serr").cast("double") / F.col("sact").cast("double"), 6
-        ).alias("wape"),
-        F.round(F.col("ssm").cast("double") / nd, 6).alias("smape"),
+    return _finish_then_unpersist(
+        agg.select(
+            "n_days",
+            F.round(F.col("serr").cast("double") / nd, 2).alias("mae"),
+            F.round(
+                F.col("serr").cast("double") / F.col("sact").cast("double"), 6
+            ).alias("wape"),
+            F.round(F.col("ssm").cast("double") / nd, 6).alias("smape"),
+        ),
+        x,
     )
 
 
@@ -13026,7 +13043,7 @@ agg as (
   from rk
 )
 select n1, n2,
-       cast((r1x2 - n1 * (n1 + 1)) / 2 as bigint) as u1,
+       (r1x2 - n1 * (n1 + 1)) // 2 as u1,
        round((cast(r1x2 - n1 * (n1 + 1) as double) / 2.0
               - cast(n1 as double) * cast(n2 as double) / 2.0)
              / sqrt(cast(n1 as double) * cast(n2 as double) / 12.0
@@ -13079,10 +13096,15 @@ def q_mann_whitney_value_test(spark, sf_dir):
         n1_d * n2_d / F.lit(12.0)
         * (nn_d + F.lit(1.0) - F.col("ties").cast("double") / (nn_d * (nn_d - 1.0)))
     )
+    # u1_2 = 2·U1 can be ODD (U1 half-integer when group 1 holds an odd
+    # count of members of even tie groups); double-halving then casts an
+    # exact x.5 — Spark truncates, DuckDB rounds half-to-even → off-by-one
+    # hazard (r11 advisor). Integer `div`/`//` floors identically on the
+    # nonnegative operand in both engines, so the halving stays integral.
     return agg.select(
         "n1",
         "n2",
-        (u1_2 / 2).cast("long").alias("u1"),
+        F.expr("(r1x2 - n1 * (n1 + 1)) div 2").cast("long").alias("u1"),
         F.round((u1_2.cast("double") / 2.0 - n1_d * n2_d / 2.0) / sigma, 6).alias(
             "z"
         ),
@@ -13388,17 +13410,20 @@ def q_segmented_trend_at_changepoint(spark, sf_dir):
         F.sum(F.col("i").cast("decimal(10,0)") * F.col("x")).alias("six"),
     )
     n = F.col("n").cast("double")
-    return s.select(
-        "segment",
-        "n",
-        F.round(
-            (n * F.col("six").cast("double")
-             - F.col("si").cast("double") * F.col("sx2").cast("double"))
-            / (n * F.col("sii").cast("double")
-               - F.col("si").cast("double") * F.col("si").cast("double")),
-            4,
-        ).alias("slope"),
-    ).orderBy("segment")
+    return _finish_then_unpersist(
+        s.select(
+            "segment",
+            "n",
+            F.round(
+                (n * F.col("six").cast("double")
+                 - F.col("si").cast("double") * F.col("sx2").cast("double"))
+                / (n * F.col("sii").cast("double")
+                   - F.col("si").cast("double") * F.col("si").cast("double")),
+                4,
+            ).alias("slope"),
+        ).orderBy("segment"),
+        x,
+    )
 
 
 @register(
@@ -13467,7 +13492,7 @@ def q_bootstrap_ci_mean(spark, sf_dir):
     one task — measured 13.3 s → 1.0 s exec at sf0.1). At 100 TB:
     B scans' worth of map work, state is 64 rows — embarrassingly
     parallel."""
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = shuffle_width(spark)
     orders = load_table(spark, sf_dir, "orders").repartition(width)
     reps = spark.range(64).select(F.col("id").cast("int").alias("b"))
     h7 = F.substring(
@@ -13602,7 +13627,7 @@ def q_permutation_test_mean_diff(spark, sf_dir):
     bootstrap_ci_mean), a 64-group exact-decimal aggregate, one
     scalar comparison pass. At 100 TB: B map passes, 64 rows of
     state."""
-    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = shuffle_width(spark)
     ev = load_table(spark, sf_dir, "events")
     base = (
         ev.filter(F.col("event_type").isin("purchase", "click"))

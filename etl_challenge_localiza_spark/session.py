@@ -59,6 +59,19 @@ RUNTIME_CONF = {
 }
 
 
+def shuffle_width(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``defaultParallelism`` when the conf is unset or non-numeric
+    (e.g. ``"auto"`` on AQE-managed clusters) — the guarded lookup
+    every explicit-width repartition site shares (r11 advisor:
+    bootstrap_ci_mean raised ValueError on a non-numeric conf while
+    ranks.grouped_prefix_sum already guarded the same lookup)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
+
+
 #: cache of dataset-size-derived shuffle-partition choices per sf_dir
 #: (one os.walk per directory per process).
 _SF_PARTS: dict[str, int] = {}

@@ -14,6 +14,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import shuffle_width
+
 TESTDATA_TABLES = (
     "region",
     "nation",
@@ -154,10 +156,7 @@ def spread_small_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     if parts is None:
-        try:
-            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        except Exception:
-            parts = spark.sparkContext.defaultParallelism
+        parts = shuffle_width(spark)
     # getNumPartitions triggers physical planning of the scan (split
     # computation through py4j) — memoized on the DataFrame object, so
     # the load_table-cached frames pay it once per session, not once

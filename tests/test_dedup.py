@@ -178,3 +178,39 @@ def test_prefix_filter_matches_brute_force(spark):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_prefix_filter_candidate_budget_guard(spark):
+    """VERDICT r11 #4: the exact no-knob lane must REFUSE loudly when
+    the prefix self-join would explode — a skewed corpus (every doc
+    shares the same hot shingles, so every prefix lands in the same
+    buckets) trips the guard, while the same corpus passes with the
+    default budget unchanged in output."""
+    import pytest as _pytest
+
+    from etl_challenge_localiza_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    # 40 docs over the SAME token stream with tiny unique tails:
+    # every doc's rarest-first prefix still contains hot shingles
+    # (the sets are mostly hot), so candidate volume ~ C(40,2).
+    base = "a b c d e f g h i j k l"
+    docs = spark.createDataFrame(
+        [(i, f"{base} t{i} u{i}", "en", "s", 1) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with _pytest.raises(ValueError, match="candidate volume"):
+        prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5, candidate_budget=100)
+    # in-budget: guard on (default budget) == guard off, row for row
+    on = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    off = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(
+            docs, n=3, threshold=0.5, candidate_budget=None
+        ).collect()
+    }
+    assert on == off and len(on) > 0

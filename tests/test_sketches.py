@@ -215,3 +215,23 @@ def test_mg_rescored_topk_exact_and_guarded(spark):
     flat = spark.createDataFrame([(f"t{i}",) for i in range(500)], ["w"])
     with _pytest.raises(ValueError, match="raise k"):
         mg_rescored_topk(flat, "w", topk=5, k=8)
+
+
+def test_mg_rescored_topk_auto_escalates(spark):
+    """VERDICT r11 #6: when the certificate fails at the initial k the
+    operator retries with doubled k (bounded) instead of refusing —
+    here k=8 cannot certify (kth=100, 100*9 <= 1000) but the first
+    doubling k=16 can (100*17 > 1000), and the escalated answer equals
+    the exact top-k. The certificate itself is unchanged: a corpus no
+    doubling can certify still raises (test above)."""
+    from etl_challenge_localiza_spark.operators.sketches import (
+        mg_rescored_topk,
+    )
+
+    rows = [(f"tok{i % 10}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["w"])
+    got = [
+        (r["token"], r["n"])
+        for r in mg_rescored_topk(df, "w", topk=5, k=8).collect()
+    ]
+    assert got == [(f"tok{i}", 100) for i in range(5)]
