@@ -6914,7 +6914,7 @@ def _km_sweep(prev: str, out: str, d: int = 64) -> str:
   from (select centroid_id, unnest(range(1, {d + 1})) as d, v from {out}_a)
   group by centroid_id, d
 ),
-{out} as (
+{out} as materialized (
   select p.centroid_id, coalesce(n.c, p.c) as c
   from {prev} p
   left join (select centroid_id, list(cd order by d) as c
@@ -7311,13 +7311,215 @@ def q_semdedup_drop(spark, sf_dir):
     return semdedup_drop(load_table(spark, sf_dir, "embeddings"), k=8, max_sweeps=3)
 
 
+def _sdp_dist2(v: str, c: str, d: int = 64) -> str:
+    """Exact scaled-int squared distance between two bigint lists."""
+    return (
+        f"list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+    )
+
+
+#: exact integer floor-division (toward −inf, matching numpy's ``//``
+#: on int64) — DuckDB's ``//`` truncates toward zero, so subtract the
+#: nonnegative residue first; the remaining quotient is exact.
+def _sdp_fdiv(sm: str, ct: str) -> str:
+    return f"(({sm} - ((({sm} % {ct}) + {ct}) % {ct})) // {ct})"
+
+
+def _sdp_coarse_sweep(prev: str, out: str, d: int = 64) -> str:
+    """One Lloyd sweep over the hash-ordered SAMPLE in DuckDB SQL —
+    the replay of semdedup_drop_pruned's driver-side numpy sweep:
+    first-min assignment (dist2, centroid_id), per-dim FLOOR-division
+    mean update (numpy int64 ``//``), empty centroids keep their
+    previous coordinates."""
+    return f"""
+{out}_a as materialized (
+  select s.vec_id, s.v, c.centroid_id,
+         {_sdp_dist2('s.v', 'c.c', d)} as dist2
+  from samp s cross join {prev} c
+  qualify row_number() over (partition by s.vec_id
+                             order by dist2, c.centroid_id) = 1
+),
+{out}_d as (
+  select centroid_id, d, sum(v[d]) as sm, cast(count(*) as bigint) as ct
+  from (select centroid_id, unnest(range(1, {d + 1})) as d, v from {out}_a)
+  group by centroid_id, d
+),
+{out} as materialized (
+  select p.centroid_id, coalesce(n.c, p.c) as c
+  from {prev} p
+  left join (select centroid_id,
+                    list({_sdp_fdiv('sm', 'ct')} order by d) as c
+             from {out}_d group by centroid_id) n
+    using (centroid_id)
+)"""
+
+
+def _sdp_fine_sweep(prev: str, out: str, d: int = 64) -> str:
+    """One per-CELL Lloyd sweep over the sample's cell members —
+    identical discipline to the coarse sweep, partitioned by the
+    coarse cell (the two-level codebook's second level)."""
+    return f"""
+{out}_a as materialized (
+  select m.cell, m.vec_id, m.v, f.lcid,
+         {_sdp_dist2('m.v', 'f.c', d)} as dist2
+  from crn m join {prev} f using (cell)
+  qualify row_number() over (partition by m.cell, m.vec_id
+                             order by dist2, f.lcid) = 1
+),
+{out}_d as (
+  select cell, lcid, d, sum(v[d]) as sm, cast(count(*) as bigint) as ct
+  from (select cell, lcid, unnest(range(1, {d + 1})) as d, v from {out}_a)
+  group by cell, lcid, d
+),
+{out} as materialized (
+  select p.cell, p.lcid, coalesce(n.c, p.c) as c
+  from {prev} p
+  left join (select cell, lcid,
+                    list({_sdp_fdiv('sm', 'ct')} order by d) as c
+             from {out}_d group by cell, lcid) n
+    using (cell, lcid)
+)"""
+
+
+def _semdedup_pruned_oracle(
+    k: int = 16,
+    coarse: int = 4,
+    sweeps: int = 3,
+    sample_cap: int = 32768,
+    threshold: float = 0.999,
+    d: int = 64,
+) -> str:
+    """The full two-level sample-fit replay (r11 directive #2): in
+    hash_mode="portable" every stage of semdedup_drop_pruned is
+    deterministic from the data alone — md5-ordered sample, integer
+    seed positions (every step-th sample row), ``sweeps`` exact-int
+    coarse Lloyd sweeps on the sample, per-cell fine sweeps,
+    sequential fine-cid numbering, two-level pruned assignment of all
+    vectors, and the within-fine-cluster cosine pair cut — so DuckDB
+    re-trains the identical codebook and replays the whole pipeline,
+    the same oracle-replayable-model principle as semdedup_drop /
+    pq_adc_topk, extended to the sample-fit regime."""
+    k_cell = max(1, -(-k // coarse))
+    cs_sweeps = ",".join(
+        _sdp_coarse_sweep(f"cs{i}", f"cs{i + 1}", d) for i in range(sweeps)
+    )
+    fs_sweeps = ",".join(
+        _sdp_fine_sweep(f"fs{i}", f"fs{i + 1}", d) for i in range(sweeps)
+    )
+    return f"""
+with vecs as (
+  select vec_id,
+         list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1000000.0) as bigint)) as v
+  from embeddings
+),
+samp0 as (
+  select vec_id, v,
+         row_number() over (
+           order by cast(concat('0x',
+                        substr(md5(cast(vec_id as varchar)), 1, 15)) as bigint),
+                    vec_id) as rn
+  from vecs
+),
+samp as materialized (select * from samp0 where rn <= {sample_cap}),
+par as (
+  select count(*) as n,
+         least({coarse}, count(*)) as kk,
+         greatest(1, count(*) // least({coarse}, count(*))) as step
+  from samp
+),
+cs0 as (
+  select cast((s.rn - 1) // p.step as int) as centroid_id, s.v as c
+  from samp s, par p
+  where (s.rn - 1) % p.step = 0 and (s.rn - 1) // p.step < p.kk
+),
+{cs_sweeps},
+scell as materialized (
+  select s.rn, s.vec_id, s.v, c.centroid_id as cell,
+         {_sdp_dist2('s.v', 'c.c', d)} as dist2
+  from samp s cross join cs{sweeps} c
+  qualify row_number() over (partition by s.vec_id
+                             order by dist2, c.centroid_id) = 1
+),
+cpar as (
+  select cell, count(*) as n,
+         least({k_cell}, count(*)) as kk,
+         greatest(1, count(*) // least({k_cell}, count(*))) as step
+  from scell group by cell
+),
+crn as materialized (
+  select sc.cell, sc.vec_id, sc.v,
+         row_number() over (partition by sc.cell order by sc.rn) as crn
+  from scell sc
+),
+fs0 as (
+  select c.cell, cast((c.crn - 1) // p.step as int) as lcid, c.v as c
+  from crn c join cpar p using (cell)
+  where (c.crn - 1) % p.step = 0 and (c.crn - 1) // p.step < p.kk
+),
+{fs_sweeps},
+fine as materialized (
+  select cell, lcid, c from fs{sweeps}
+  union all
+  select c.centroid_id as cell, 0 as lcid, c.c as c
+  from cs{sweeps} c
+  where c.centroid_id not in (select cell from cpar)
+),
+nrows as (select cell, cast(count(*) as bigint) as nr from fine group by cell),
+offs as (
+  select cell,
+         coalesce(sum(nr) over (order by cell
+                  rows between unbounded preceding and 1 preceding), 0) as off
+  from nrows
+),
+fcid as materialized (
+  select f.cell, f.c, cast(o.off + f.lcid as int) as cid
+  from fine f join offs o using (cell)
+),
+acell as materialized (
+  select v.vec_id, v.v, c.centroid_id as cell,
+         {_sdp_dist2('v.v', 'c.c', d)} as dist2
+  from vecs v cross join cs{sweeps} c
+  qualify row_number() over (partition by v.vec_id
+                             order by dist2, c.centroid_id) = 1
+),
+afine as materialized (
+  -- alias must NOT be 'dist2': acell exposes a column of that name
+  -- through the join, and the shadowed qualify would argmin over the
+  -- COARSE distance (constant per vec) instead of the fine one
+  select a.vec_id, f.cid,
+         {_sdp_dist2('a.v', 'f.c', d)} as fdist2
+  from acell a join fcid f using (cell)
+  qualify row_number() over (partition by a.vec_id
+                             order by fdist2, f.cid) = 1
+),
+ed as (
+  select f.cid, f.vec_id,
+         list_transform(e.embedding, x -> cast(x as double)) as ve
+  from afine f join embeddings e using (vec_id)
+),
+pairs as (
+  select a.cid, b.vec_id as vb
+  from ed a join ed b on a.cid = b.cid and a.vec_id < b.vec_id
+  where list_dot_product(a.ve, b.ve)
+        / sqrt(list_sum(list_transform(a.ve, x -> x * x))
+             * list_sum(list_transform(b.ve, x -> x * x))) >= {threshold}
+),
+drp as (select cid, count(distinct vb) as n_dropped from pairs group by cid),
+siz as (select cid, count(*) as n_total from afine group by cid)
+select cast(m.cid as bigint) as centroid_id,
+       cast(coalesce(s.n_total, 0) - coalesce(d.n_dropped, 0) as bigint) as n_kept,
+       cast(coalesce(d.n_dropped, 0) as bigint) as n_dropped
+from fcid m
+left join siz s using (cid)
+left join drp d using (cid)
+"""
+
+
 @register(
     "semdedup_pruned_drop",
-    oracle=None,  # two-level sample-fit codebook — the fit is a
-    # driver-side exact-int Lloyd over a hash-ordered sample, not
-    # SQL-expressible; correctness pinned by
-    # tests/test_similarity.py::test_semdedup_pruned_finds_planted_dups_and_conserves
-    # (planted-group drops, conservation, precision, determinism)
+    oracle=_semdedup_pruned_oracle(k=16, coarse=4, sweeps=3),
 )
 def q_semdedup_pruned_drop(spark, sf_dir):
     """SemDeDup with IVF-pruned assignment
@@ -7331,11 +7533,25 @@ def q_semdedup_pruned_drop(spark, sf_dir):
     (PERF.md round 8: exact variant's first cut measured ×38 at ×30
     data with scaled k; this one measures ×5.9 full-call at ×30 —
     sublinear per unit data). Approximation is blocking-only:
-    reported drops always pass the exact cosine test."""
+    reported drops always pass the exact cosine test.
+
+    FULL-ORACLE since r12 (r11 directive #2): hash_mode="portable"
+    orders the sample by the md5-derived 60-bit hash, which makes the
+    whole sample fit deterministic from the data alone — the oracle
+    (_semdedup_pruned_oracle) re-trains the identical two-level
+    codebook in DuckDB (seed rows at integer step positions, unrolled
+    exact-int sweeps with numpy's floor-division update replayed via
+    an exact integer floor-div) and replays pruned assignment + pair
+    cut, the same principle that made semdedup_drop and pq_adc_topk
+    fully value-checked."""
     from .operators.similarity import semdedup_drop_pruned
 
     return semdedup_drop_pruned(
-        load_table(spark, sf_dir, "embeddings"), k=16, coarse=4, max_sweeps=3
+        load_table(spark, sf_dir, "embeddings"),
+        k=16,
+        coarse=4,
+        max_sweeps=3,
+        hash_mode="portable",
     )
 
 

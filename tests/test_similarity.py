@@ -263,6 +263,57 @@ def test_semdedup_pruned_finds_planted_dups_and_conserves(spark):
     assert sum(r["n_kept"] for r in out2) == 8
 
 
+def test_semdedup_pruned_max_cluster_size_cap(spark):
+    """VERDICT r11 #5: with max_cluster_size set, an oversized fine
+    cluster is split by one extra driver-Lloyd sweep on its sample
+    members — the pair stage's Σ size² is bounded — while counts
+    conserve, precision stays exact (spread-out points drop nothing),
+    planted identical dups are still found (identical vectors
+    co-locate through the sub-codebook too), and the run stays
+    deterministic. cap=None (the oracle path) is untouched."""
+    import math
+
+    from etl_challenge_localiza_spark.operators.similarity import (
+        semdedup_drop_pruned,
+    )
+
+    # one tight-but-distinct arc of 24 points (all land in one fine
+    # cluster at k=2; no pair reaches cos >= 0.999) plus a planted
+    # group of 4 identical vectors far away
+    # 0.05 rad spacing: adjacent cos(0.05) ≈ 0.99875 < 0.999, so the
+    # arc has NO near-dup pairs (0.01 rad would make neighbors dups)
+    rows = [
+        (i, [math.cos(0.3 + 0.05 * i), math.sin(0.3 + 0.05 * i), 0.0], 0)
+        for i in range(24)
+    ] + [(100 + j, [0.0, 0.0, 1.0], 1) for j in range(4)]
+    emb = spark.createDataFrame(rows, EMB_COLS)
+
+    uncapped = semdedup_drop_pruned(emb, k=2, coarse=2, max_sweeps=2).collect()
+    capped1 = semdedup_drop_pruned(
+        emb, k=2, coarse=2, max_sweeps=2, max_cluster_size=8
+    ).collect()
+    capped2 = semdedup_drop_pruned(
+        emb, k=2, coarse=2, max_sweeps=2, max_cluster_size=8
+    ).collect()
+    assert [tuple(r) for r in capped1] == [tuple(r) for r in capped2]
+
+    def totals(out):
+        return (
+            sum(r["n_kept"] for r in out),
+            sum(r["n_dropped"] for r in out),
+        )
+
+    # conservation + identical dedup results under the cap: the arc
+    # drops nothing (precision exact), the planted group drops 3
+    assert totals(uncapped) == totals(capped1) == (25, 3)
+    # the cap actually bound: the 24-row cluster was split
+    assert len(capped1) > len(uncapped)
+    big_uncapped = max(r["n_kept"] + r["n_dropped"] for r in uncapped)
+    big_capped = max(r["n_kept"] + r["n_dropped"] for r in capped1)
+    assert big_uncapped > 8  # there was an over-budget cluster to split
+    assert big_capped < big_uncapped
+
+
 def test_semdedup_variants_empty_input(spark):
     """Both SemDeDup variants return an empty (centroid_id, n_kept,
     n_dropped) frame on an empty embeddings table — the pruned
