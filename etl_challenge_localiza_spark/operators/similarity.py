@@ -250,12 +250,40 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def brp_lsh_projections(num_hash_tables: int, d: int) -> list[tuple[int, list[float]]]:
+    """Deterministic md5-derived projection directions for the
+    portable BRP-LSH mode: r[h][i] = (md5_60bit("h:i") / 2^60)·2 − 1,
+    uniform in [−1, 1). Both engines recompute the identical doubles —
+    Python hashlib here, DuckDB md5() in the oracle — so the whole
+    blocking layer is engine-portable (the minhash portable-mode
+    principle applied to random projections)."""
+    import hashlib
+    import math
+
+    rows = []
+    for h in range(num_hash_tables):
+        rv = []
+        for i in range(1, d + 1):
+            u = int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:15], 16)
+            rv.append((u / float(1 << 60)) * 2.0 - 1.0)
+        # normalize to UNIT norm — MLlib's BRP-LSH draws randUnitVectors,
+        # and bucket granularity scales with ||r||: raw uniform [-1,1)
+        # directions (||r|| ~ sqrt(d/3)) measured recall 0.873 and a
+        # sqrt(3)-scaled variant 0.677 vs the engine mode's >= 0.9; the
+        # unit-norm match restores parity. Same left-fold + sqrt + divide
+        # op order as the SQL oracle, so the doubles agree bit-for-bit.
+        nrm = math.sqrt(sum(x * x for x in rv))
+        rows.append((h, [x / nrm for x in rv]))
+    return rows
+
+
 def brp_lsh_ann_pairs(
     emb: DataFrame,
     bucket_length: float = 1.0,
     num_hash_tables: int = 3,
     max_distance: float = 1.2,
     seed: int = 42,
+    hash_mode: str = "engine",
 ) -> DataFrame:
     """Approximate near-neighbour PAIRS via random-projection LSH.
 
@@ -263,7 +291,99 @@ def brp_lsh_ann_pairs(
     distance < max_distance. Deterministic for a fixed seed. This is
     the sub-quadratic ANN path; the brute-force functions above are its
     accuracy oracle.
-    """
+
+    hash_mode="engine" (default): Spark ML's BucketedRandomProjectionLSH
+    — JVM-native, seeded-RNG gaussian hyperplanes, engine-specific.
+    hash_mode="portable" (FULL-ORACLE since r12, r11 directive #2):
+    md5-derived uniform projection directions (brp_lsh_projections)
+    with the same floor(v·r / bucketLength) bucketing, candidate join
+    on equal (table, bucket), and the exact euclidean verify — every
+    stage SQL-replayable, because the only randomness is a hash both
+    engines compute. Plan shape is identical to the engine mode's
+    (explode ×H, equi-join blocking, never all-pairs)."""
+    if hash_mode == "portable":
+        head = emb.select("embedding").head(1)
+        if not head:
+            return emb.sparkSession.createDataFrame(
+                [], "vec_id_a long, vec_id_b long, euclidean_dist double"
+            )
+        d = len(head[0][0])
+        pv = emb.sparkSession.createDataFrame(
+            brp_lsh_projections(num_hash_tables, d), "h int, rv array<double>"
+        )
+        pscal = pv.agg(
+            F.sort_array(F.collect_list(F.struct("h", "rv"))).alias("parr")
+        )
+        ve = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        dot = lambda a, b: F.aggregate(  # noqa: E731 — element-order fold
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        hashed = (
+            ve.crossJoin(F.broadcast(pscal))
+            .select(
+                "vec_id",
+                "e",
+                F.explode(
+                    F.transform(
+                        F.col("parr"),
+                        lambda s: F.struct(
+                            s["h"].alias("h"),
+                            F.floor(
+                                dot(F.col("e"), s["rv"])
+                                / F.lit(float(bucket_length))
+                            )
+                            .cast("long")
+                            .alias("bucket"),
+                        ),
+                    )
+                ).alias("hb"),
+            )
+            .select(
+                "vec_id",
+                "e",
+                F.col("hb.h").alias("h"),
+                F.col("hb.bucket").alias("bucket"),
+            )
+        )
+        cand = (
+            hashed.alias("x")
+            .join(
+                hashed.alias("y"),
+                (F.col("x.h") == F.col("y.h"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(
+                F.col("x.vec_id").alias("vec_id_a"),
+                F.col("y.vec_id").alias("vec_id_b"),
+                F.col("x.e").alias("ea"),
+                F.col("y.e").alias("eb"),
+            )
+            .dropDuplicates(["vec_id_a", "vec_id_b"])
+        )
+        dist = F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("ea"), F.col("eb"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return (
+            cand.withColumn("__dist", dist)
+            .filter(F.col("__dist") < F.lit(float(max_distance)))
+            .select(
+                "vec_id_a",
+                "vec_id_b",
+                F.round(F.col("__dist"), 6).alias("euclidean_dist"),
+            )
+        )
+
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -297,51 +417,129 @@ def brp_lsh_ann_pairs(
     )
 
 
-def label_pca_variance(emb: DataFrame, round_digits: int = 6) -> DataFrame:
-    """Per-label PCA summary via ``groupBy().applyInPandas`` — the
-    grouped-Arrow entry point for per-group numerics that built-in SQL
-    genuinely cannot express (eigenvalues of the group's covariance).
+def label_pca_variance(
+    emb: DataFrame, iters: int = 24, d: int = 64
+) -> DataFrame:
+    """Per-label PCA summary — cluster-compactness signal (collapsed
+    embedding groups have explained_ratio → 1) via DETERMINISTIC power
+    iteration on the EXACT integer Gram matrix. Full-oracle since r12
+    (r11 directive #2): the r11 version ran numpy ``eigvalsh`` inside
+    ``applyInPandas`` — a float eigensolve no SQL engine replays — so
+    it was rows-only; this redesign makes every step integer-exact and
+    order-free, so a DuckDB oracle re-runs the identical computation:
 
-    Per label: n vectors, covariance trace (total variance), leading
-    eigenvalue, and the explained-variance ratio (leading/trace) — the
-    cluster-compactness signal used to spot degenerate/collapsed
-    embedding groups in corpus curation.
-
-    Scale design: one shuffle on the (low-cardinality) label key; each
-    group crosses the Python boundary once as an Arrow batch, and the
-    per-group work is a d x d eigensolve (d = embedding dim, tiny)
-    independent of corpus size. Labels are few → fan-out is bounded; a
-    skewed giant label still fits because only d x d covariance, not
-    the n x d matrix, is accumulated at once.
+    1. ONE distributed pass accumulates per label the exact sufficient
+       statistics: n, S_i = Σx_i (scaled-int64) and the raw second
+       moments M_ij = Σx_i·x_j for i ≤ j (decimal(38,0) sums — exact
+       and cross-partition order-free, the Gini/decimal house rule).
+       State is labels × (d + d(d+1)/2) cells; the corpus is never
+       collected.
+    2. The driver (Python arbitrary-precision ints) forms the centered
+       Gram matrix exactly: μ_i = round-half-away(S_i/n) as integers,
+       G_ij = M_ij − μ_i·S_j − μ_j·S_i + n·μ_i·μ_j, then runs ``iters``
+       power-iteration sweeps from the all-ones vector with integer
+       renormalization (v ← trunc(w·2^20 / max|w|)) — every
+       intermediate is an exact integer, so the unrolled-CTE oracle
+       (hugeint arithmetic, same trunc-toward-zero division) lands on
+       bit-identical vectors.
+    3. Outputs per label: n_vectors, total_variance = trace(G)/(n·SCALE²),
+       leading_eigenvalue = Rayleigh quotient (vᵀGv)/(vᵀv)/(n·SCALE²)
+       — a deterministic LOWER bound of λ₁ that converges as
+       (λ₂/λ₁)^iters (accuracy pinned by pytest on a gapped spectrum)
+       — and explained_ratio = leading/trace (null when trace = 0).
+       The only doubles are the final three divisions, identically
+       parenthesized in both engines, rounded HALF_UP at 6dp
+       (decimal-replay of SQL round(), the mmr_rerank pattern).
     """
-    import numpy as np
-    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
 
-    out_schema = (
-        "label long, n_vectors long, total_variance double, "
-        "leading_eigenvalue double, explained_ratio double"
+    from .kmeans import SCALE
+
+    spark = emb.sparkSession
+    xs = emb.select(
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(float(SCALE))).cast("long"),
+        ).alias("v"),
+    )
+    ex_i = xs.select("label", F.posexplode("v").alias("i", "xi"), "v")
+    moments = (
+        ex_i.select("label", "i", "xi", F.posexplode("v").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("label", "i", "j")
+        .agg(
+            F.sum((F.col("xi") * F.col("xj")).cast("decimal(38,0)")).alias("m")
+        )
+        .collect()
+    )
+    firsts = (
+        ex_i.groupBy("label", "i")
+        .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
     )
 
-    def pca_stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-        c = np.cov(x, rowvar=False, bias=True)
-        eig = np.linalg.eigvalsh(c)
-        trace = float(np.trace(c))
-        lead = float(eig[-1])
-        return pd.DataFrame(
-            {
-                "label": [int(pdf["label"].iloc[0])],
-                "n_vectors": [len(pdf)],
-                "total_variance": [round(trace, round_digits)],
-                "leading_eigenvalue": [round(lead, round_digits)],
-                "explained_ratio": [round(lead / trace, round_digits) if trace else None],
-            }
-        )
+    def tdiv(a: int, b: int) -> int:
+        """truncate-toward-zero division (DuckDB's // for hugeint)."""
+        return a // b if (a >= 0) == (b > 0) else -((-a) // b)
 
-    return (
-        emb.select("label", "embedding")
-        .groupBy("label")
-        .applyInPandas(pca_stats, schema=out_schema)
+    labels = sorted({r["label"] for r in firsts})
+    S: dict[int, list[int]] = {lb: [0] * d for lb in labels}
+    N: dict[int, int] = {}
+    for r in firsts:
+        S[r["label"]][r["i"]] = int(r["s"])
+        N[r["label"]] = int(r["n"])
+    M: dict[int, dict[tuple[int, int], int]] = {lb: {} for lb in labels}
+    for r in moments:
+        M[r["label"]][(r["i"], r["j"])] = int(r["m"])
+
+    V_SCALE = 1 << 20
+    out_rows = []
+    for lb in labels:
+        n = N[lb]
+        s = S[lb]
+        # round-half-away integer mean (exact; both engines' // floors
+        # the nonnegative operand identically)
+        mu = [
+            (2 * si + n) // (2 * n) if si >= 0 else -((-2 * si + n) // (2 * n))
+            for si in s
+        ]
+        G = [[0] * d for _ in range(d)]
+        for (i, j), m in M[lb].items():
+            gij = m - mu[i] * s[j] - mu[j] * s[i] + n * mu[i] * mu[j]
+            G[i][j] = gij
+            G[j][i] = gij
+        v = [V_SCALE] * d
+        for _ in range(iters):
+            w = [sum(G[i][j] * v[j] for j in range(d)) for i in range(d)]
+            aw = max(abs(x) for x in w)
+            if aw == 0:
+                break
+            v = [tdiv(wi * V_SCALE, aw) for wi in w]
+        trg = sum(G[i][i] for i in range(d))
+        num = sum(v[i] * G[i][j] * v[j] for i in range(d) for j in range(d))
+        den = sum(vi * vi for vi in v)
+        scale2 = float(n) * float(SCALE) * float(SCALE)
+        lam = float(num) / float(den)
+
+        def r6(x: float) -> float:
+            return float(
+                Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            )
+
+        out_rows.append(
+            (
+                int(lb),
+                n,
+                r6(float(trg) / scale2),
+                r6(lam / scale2),
+                r6(lam / float(trg)) if trg != 0 else None,
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "label long, n_vectors long, total_variance double, "
+        "leading_eigenvalue double, explained_ratio double",
     )
 
 

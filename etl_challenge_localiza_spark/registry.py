@@ -1514,10 +1514,64 @@ def q_knn_cosine_vec0(spark, sf_dir):
     return knn_cosine(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
-@register("brp_lsh_ann_pairs")  # rows-only: hyperplanes are Spark-ML-specific
+@register(
+    "brp_lsh_ann_pairs",
+    oracle="""
+with pv0 as (
+  select h.h,
+         list((cast(cast(concat('0x',
+                  substr(md5(concat(cast(h.h as varchar), ':',
+                                    cast(i.i as varchar))), 1, 15))
+                as bigint) as double) / 1152921504606846976.0) * 2.0 - 1.0
+              order by i.i) as rv0
+  from range(0, 3) h(h), range(1, 65) i(i)
+  group by h.h
+),
+pv as (
+  select h, list_transform(rv0,
+             x -> x / sqrt(list_sum(list_transform(rv0, y -> y * y)))) as rv
+  from pv0
+),
+ve as (select vec_id, list_transform(embedding, x -> cast(x as double)) as e
+       from embeddings),
+hb as materialized (
+  select v.vec_id, p.h,
+         cast(floor(list_sum(list_transform(range(1, 65),
+                     i -> v.e[i] * p.rv[i])) / 1.0) as bigint) as bucket
+  from ve v cross join pv p
+),
+cand as (
+  select distinct x.vec_id as va, y.vec_id as vb
+  from hb x join hb y
+    on x.h = y.h and x.bucket = y.bucket and x.vec_id < y.vec_id
+),
+dd as (
+  select c.va, c.vb,
+         sqrt(list_sum(list_transform(range(1, 65),
+              i -> (a.e[i] - b.e[i]) * (a.e[i] - b.e[i])))) as dist
+  from cand c
+  join ve a on a.vec_id = c.va
+  join ve b on b.vec_id = c.vb
+)
+select va as vec_id_a, vb as vec_id_b, round(dist, 6) as euclidean_dist
+from dd where dist < 1.2
+""",
+)
 def q_brp_lsh_ann_pairs(spark, sf_dir):
-    """Approximate NN pairs via BucketedRandomProjectionLSH (seeded)."""
-    return brp_lsh_ann_pairs(load_table(spark, sf_dir, "embeddings"))
+    """Approximate NN pairs via bucketed-random-projection LSH —
+    FULL-ORACLE since r12 (r11 directive #2): hash_mode="portable"
+    replaces Spark ML's seeded-RNG gaussian hyperplanes (engine-
+    internal, the reason this was rows-only) with md5-derived uniform
+    projection directions both engines recompute identically, then the
+    same floor(v·r / bucketLength) bucketing, (table, bucket) equi-join
+    candidates, and exact euclidean verify < 1.2 — the whole LSH
+    pipeline value-checked cross-engine, completing the ANN ladder's
+    oracle coverage (IVF and PQ-ADC already were). The MLlib engine
+    mode remains the default API path (tests/test_similarity.py pins
+    its recall floor)."""
+    return brp_lsh_ann_pairs(
+        load_table(spark, sf_dir, "embeddings"), hash_mode="portable"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4892,13 +4946,106 @@ def q_monthly_revenue_growth(spark, sf_dir):
     )
 
 
-@register("label_pca_variance", oracle=None)
+def _label_pca_oracle(iters: int = 24, d: int = 64) -> str:
+    """Unrolled power-iteration replay of label_pca_variance (r11
+    directive #2): exact hugeint Gram matrix from the same scaled-int
+    sufficient statistics, ``iters`` sweeps with trunc-toward-zero
+    integer renormalization (DuckDB ``//`` ≡ the operator's tdiv), and
+    the identical final three double divisions, rounded at 6dp."""
+    rng = f"range(1, {d + 1})"
+    steps = []
+    for t in range(iters):
+        steps.append(f"""
+p{t} as materialized (
+  select g.label, g.i as j, sum(g.gij * v.vj) as w
+  from g join v{t} v on g.label = v.label and g.j = v.j
+  group by g.label, g.i
+),
+a{t} as (select label, max(abs(w)) as aw from p{t} group by label),
+v{t + 1} as materialized (
+  select p.label, p.j,
+         case when a.aw = 0 then v.vj
+              when p.w >= 0 then (p.w * 1048576) // a.aw
+              else -((-p.w * 1048576) // a.aw) end as vj
+  from p{t} p
+  join a{t} a using (label)
+  join v{t} v on p.label = v.label and p.j = v.j
+)""")
+    return f"""
+with xs as (
+  select label,
+         list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1000000.0) as bigint)) as v
+  from embeddings
+),
+st as (select label, cast(count(*) as bigint) as n from xs group by label),
+sums as (
+  select label, i.i as i, sum(v[i.i]) as s
+  from xs, {rng} i(i)
+  group by label, i.i
+),
+mu as (
+  select m.label, m.i,
+         case when m.s >= 0 then (2 * m.s + t.n) // (2 * t.n)
+              else -((-2 * m.s + t.n) // (2 * t.n)) end as m
+  from sums m join st t using (label)
+),
+mul as (select label, list(m order by i) as ml from mu group by label),
+ys as materialized (
+  select x.label,
+         list_transform({rng}, i -> cast(x.v[i] - m.ml[i] as hugeint)) as y
+  from xs x join mul m using (label)
+),
+g as materialized (
+  select y.label, i.i as i, j.j as j, sum(y.y[i.i] * y.y[j.j]) as gij
+  from ys y, {rng} i(i), {rng} j(j)
+  group by y.label, i.i, j.j
+),
+v0 as (
+  select label, j.j as j, cast(1048576 as hugeint) as vj
+  from st, {rng} j(j)
+),
+{",".join(steps)},
+tr as (select label, sum(gij) as trg from g where i = j group by label),
+num as (
+  select g.label, sum(vi.vj * g.gij * vj.vj) as nm
+  from g
+  join v{iters} vi on g.label = vi.label and g.i = vi.j
+  join v{iters} vj on g.label = vj.label and g.j = vj.j
+  group by g.label
+),
+den as (select label, sum(vj * vj) as dn from v{iters} group by label)
+select t.label,
+       t.n as n_vectors,
+       round(cast(r.trg as double)
+             / (cast(t.n as double) * 1000000.0 * 1000000.0), 6)
+         as total_variance,
+       round((cast(nm.nm as double) / cast(dd.dn as double))
+             / (cast(t.n as double) * 1000000.0 * 1000000.0), 6)
+         as leading_eigenvalue,
+       case when r.trg = 0 then null
+            else round((cast(nm.nm as double) / cast(dd.dn as double))
+                       / cast(r.trg as double), 6) end
+         as explained_ratio
+from st t
+join tr r using (label)
+join num nm using (label)
+join den dd using (label)
+"""
+
+
+@register("label_pca_variance", oracle=_label_pca_oracle(iters=24))
 def q_label_pca_variance(spark, sf_dir):
-    """Per-label embedding PCA (leading eigenvalue / explained ratio)
-    via groupBy().applyInPandas — the grouped-Arrow path for per-group
-    numerics SQL cannot express (eigensolve). No SQL oracle by nature;
-    pytest verifies against numpy's full eigendecomposition on a
-    constructed group. See operators.similarity.label_pca_variance."""
+    """Per-label embedding PCA summary (total variance, leading
+    eigenvalue, explained ratio) — FULL-ORACLE since r12: redesigned
+    from an applyInPandas float eigensolve (rows-only by nature) to a
+    deterministic exact-integer power iteration whose every
+    intermediate both engines reproduce bit-for-bit. One distributed
+    pass of exact sufficient statistics (decimal raw second moments,
+    labels × d(d+1)/2 state), driver-side arbitrary-precision
+    iteration, DuckDB replay via unrolled hugeint CTE sweeps. See
+    operators.similarity.label_pca_variance; convergence accuracy vs
+    numpy's eigvalsh is pinned by pytest on a gapped spectrum."""
     from .operators.similarity import label_pca_variance
 
     return label_pca_variance(load_table(spark, sf_dir, "embeddings"))

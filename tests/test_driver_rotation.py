@@ -62,7 +62,7 @@ def test_rows_only_to_oracle_flip_resets_staleness(tmp_path):
     from etl_challenge_localiza_spark.registry import QUERIES
 
     flipped = "bpe_train_encode"  # rows-only through r10, oracle since r11
-    still_rows_only = "brp_lsh_ann_pairs"  # no_oracle by design
+    still_rows_only = "mg_heavy_hitter_tokens"  # no_oracle by design
     assert QUERIES[flipped].oracle is not None
     assert QUERIES[still_rows_only].oracle is None
     _write(tmp_path, 1, {flipped: ROWS_ONLY, still_rows_only: ROWS_ONLY})
