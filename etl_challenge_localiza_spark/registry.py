@@ -14277,3 +14277,1044 @@ def q_haar_energy_daily_revenue(spark, sf_dir):
     for o in outs[1:]:
         res = res.unionByName(o)
     return res.orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# Round 12 additions — statistics over events (all full-oracle)
+# ---------------------------------------------------------------------------
+
+@register(
+    "anova_value_by_type",
+    oracle="""
+with g as (
+  select event_type,
+         cast(count(*) as bigint) as n,
+         sum(cast(value as decimal(12,2))) as s,
+         sum(cast(value as decimal(12,2)) * cast(value as decimal(12,2))) as q
+  from events
+  group by event_type
+),
+terms as (
+  select event_type, n, s, q,
+         cast(round(cast(s * s as double) / cast(n as double), 6)
+              as decimal(38,6)) as t
+  from g
+),
+tot as (
+  select cast(count(*) as bigint) as k,
+         cast(sum(n) as bigint) as nn,
+         sum(s) as ss,
+         sum(q) as qq,
+         sum(t) as st
+  from terms
+)
+select k as k_groups, nn as n_total,
+       round(((cast(st as double)
+               - cast(ss as double) * cast(ss as double) / cast(nn as double))
+              / (cast(k as double) - 1.0))
+             / ((cast(qq as double) - cast(st as double))
+                / (cast(nn as double) - cast(k as double))), 6) as f_stat,
+       round((cast(st as double)
+              - cast(ss as double) * cast(ss as double) / cast(nn as double))
+             / (cast(qq as double)
+                - cast(ss as double) * cast(ss as double) / cast(nn as double)),
+             6) as eta_sq
+from tot
+""",
+)
+def q_anova_value_by_type(spark, sf_dir):
+    """One-way ANOVA F-test of event value across event types — the
+    k-group generalization of welch_t_value_test (same
+    sufficient-statistics discipline): per-group (n, Σx, Σx²) in exact
+    decimal, between-group term Σ s_g²/n_g with the per-group ratio
+    rounded 6dp then summed as decimal(38,6) — the house per-row-ratio
+    rule, making the k-row accumulation order-free — and F =
+    (SSB/(k−1))/(SSW/(N−k)) plus effect size η² as one identically
+    parenthesized double expression per engine. One map-side-combined
+    aggregate over the corpus; everything after is k-row algebra."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(12,2)")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dv).alias("s"),
+        F.sum(dv * dv).alias("q"),
+    )
+    terms = g.withColumn(
+        "t",
+        F.round(
+            (F.col("s") * F.col("s")).cast("double") / F.col("n").cast("double"), 6
+        ).cast("decimal(38,6)"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nn"),
+        F.sum("s").alias("ss"),
+        F.sum("q").alias("qq"),
+        F.sum("t").alias("st"),
+    )
+    k_d = F.col("k").cast("double")
+    nn_d = F.col("nn").cast("double")
+    ss_d = F.col("ss").cast("double")
+    qq_d = F.col("qq").cast("double")
+    st_d = F.col("st").cast("double")
+    ssb = st_d - ss_d * ss_d / nn_d
+    return tot.select(
+        F.col("k").alias("k_groups"),
+        F.col("nn").alias("n_total"),
+        F.round((ssb / (k_d - F.lit(1.0))) / ((qq_d - st_d) / (nn_d - k_d)), 6).alias(
+            "f_stat"
+        ),
+        F.round(ssb / (qq_d - ss_d * ss_d / nn_d), 6).alias("eta_sq"),
+    )
+
+
+@register(
+    "mad_event_values",
+    oracle="""
+with med as (
+  select event_type, median(value) as med
+  from events group by event_type
+),
+dev as (
+  select e.event_type, e.value, m.med,
+         abs(e.value - m.med) as adev
+  from events e join med m using (event_type)
+),
+mad as (
+  select event_type,
+         cast(count(*) as bigint) as n_events,
+         any_value(med) as med,
+         median(adev) as mad
+  from dev group by event_type
+)
+select d.event_type, a.n_events,
+       round(a.med, 6) as median_value,
+       round(a.mad, 6) as mad,
+       cast(sum(case when d.adev > 3.0 * 1.4826 * a.mad then 1 else 0 end)
+            as bigint) as n_robust_outliers
+from dev d join mad a using (event_type)
+group by d.event_type, a.n_events, a.med, a.mad
+order by d.event_type
+""",
+)
+def q_mad_event_values(spark, sf_dir):
+    """Median absolute deviation per event type — the robust scale
+    estimate (breakdown point 50% vs stddev's 0) behind outlier gates
+    on heavy-tailed value streams. Two exact-median passes (Spark's
+    median ≡ DuckDB's: percentile-0.5 with midpoint interpolation on
+    identical doubles), then the consistent-σ outlier count at the
+    3·1.4826·MAD fence. Distribution shape: medians aggregate at
+    (type, value) altitude; the deviation pass is a broadcast join of
+    the 5-row median table against the corpus — no corpus shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.any_value(F.col("med")).alias("medv"),
+        F.median("adev").alias("mad"),
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n_events", "medv", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_robust_outliers")
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("medv", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_robust_outliers",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "grubbs_max_outlier",
+    oracle="""
+with s as (
+  select event_type,
+         cast(count(*) as bigint) as n,
+         sum(cast(value as decimal(12,2))) as sv,
+         sum(cast(value as decimal(12,2)) * cast(value as decimal(12,2))) as qv
+  from events group by event_type
+),
+m as (
+  select event_type, n,
+         cast(sv as double) / cast(n as double) as mean,
+         sqrt((cast(qv as double)
+               - cast(sv as double) * cast(sv as double) / cast(n as double))
+              / (cast(n as double) - 1.0)) as sd
+  from s
+)
+select e.event_type, m.n,
+       round(m.mean, 6) as mean_value,
+       round(m.sd, 6) as sd_value,
+       round(max(abs(e.value - m.mean)) / m.sd, 6) as g_stat
+from events e join m using (event_type)
+group by e.event_type, m.n, m.mean, m.sd
+order by e.event_type
+""",
+)
+def q_grubbs_max_outlier(spark, sf_dir):
+    """Grubbs' test statistic G = max|x−x̄|/s per event type — the
+    classic single-outlier screen. Exact decimal (n, Σx, Σx²) feed
+    mean and sample sd as identically parenthesized doubles; the max
+    deviation is an order-free max aggregate over one broadcast join
+    of the 5-row moment table (no corpus shuffle, same plan shape as
+    mad_event_values). G compared against the critical value is the
+    caller's policy choice — the statistic itself is the query."""
+    ev = load_table(spark, sf_dir, "events")
+    dv = F.col("value").cast("decimal(12,2)")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dv).alias("sv"),
+        F.sum(dv * dv).alias("qv"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sv").cast("double") / F.col("n").cast("double")).alias("mean"),
+        F.sqrt(
+            (
+                F.col("qv").cast("double")
+                - F.col("sv").cast("double")
+                * F.col("sv").cast("double")
+                / F.col("n").cast("double")
+            )
+            / (F.col("n").cast("double") - F.lit(1.0))
+        ).alias("sd"),
+    )
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean", "sd")
+        .agg(F.max(F.abs(F.col("value") - F.col("mean"))).alias("maxdev"))
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 6).alias("mean_value"),
+            F.round("sd", 6).alias("sd_value"),
+            F.round(F.col("maxdev") / F.col("sd"), 6).alias("g_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "cramers_v_type_daypart",
+    oracle="""
+with c as (
+  select event_type, hour(cast(ts as timestamp)) // 6 as daypart,
+         cast(count(*) as bigint) as o
+  from events group by 1, 2
+),
+rt as (select event_type, cast(sum(o) as bigint) as r from c group by event_type),
+ct as (select daypart, cast(sum(o) as bigint) as cl from c group by daypart),
+tot as (select cast(sum(o) as bigint) as n,
+               cast(count(distinct event_type) as bigint) as nr,
+               cast(count(distinct daypart) as bigint) as nc
+        from c),
+cells as (
+  select c.event_type, c.daypart, c.o,
+         cast(round(
+           (cast(c.o as double)
+            - cast(rt.r as double) * cast(ct.cl as double) / cast(t.n as double))
+           * (cast(c.o as double)
+              - cast(rt.r as double) * cast(ct.cl as double) / cast(t.n as double))
+           / (cast(rt.r as double) * cast(ct.cl as double) / cast(t.n as double)),
+           6) as decimal(38,6)) as term
+  from c join rt using (event_type) join ct using (daypart)
+  cross join tot t
+)
+select t.n as n_events, t.nr as n_types, t.nc as n_dayparts,
+       round(cast(s.chi2 as double), 6) as chi2,
+       round(sqrt(cast(s.chi2 as double)
+                  / (cast(t.n as double)
+                     * cast(least(t.nr - 1, t.nc - 1) as double))), 6) as cramers_v
+from (select sum(term) as chi2 from cells) s cross join tot t
+""",
+)
+def q_cramers_v_type_daypart(spark, sf_dir):
+    """Cramér's V association between event type and daypart (6-hour
+    bins of hour-of-day) — the normalized-χ² effect size for two
+    categoricals, complementing chi2_lang_source with a time-of-day
+    dimension. Per-cell (o−e)²/e terms are rounded 6dp then summed as
+    decimal(38,6) (order-free accumulation over the r×c cells — the
+    anova/house rule); marginals ride broadcast joins of the bounded
+    contingency table; the corpus contributes ONE groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type",
+            (F.hour(F.col("ts").cast("timestamp")) / 6)
+            .cast("int")
+            .alias("daypart"),
+        )
+        .groupBy("event_type", "daypart")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rt = c.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
+    ct = c.groupBy("daypart").agg(F.sum("o").cast("long").alias("cl"))
+    tot = c.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("nr"),
+        F.countDistinct("daypart").cast("long").alias("nc"),
+    )
+    e = (
+        F.col("r").cast("double")
+        * F.col("cl").cast("double")
+        / F.col("n").cast("double")
+    )
+    o_d = F.col("o").cast("double")
+    cells = (
+        c.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "daypart")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.round((o_d - e) * (o_d - e) / e, 6)
+            .cast("decimal(38,6)")
+            .alias("term")
+        )
+    )
+    chi = cells.agg(F.sum("term").alias("chi2"))
+    return (
+        chi.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n").alias("n_events"),
+            F.col("nr").alias("n_types"),
+            F.col("nc").alias("n_dayparts"),
+            F.round(F.col("chi2").cast("double"), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2").cast("double")
+                    / (
+                        F.col("n").cast("double")
+                        * F.least(F.col("nr") - 1, F.col("nc") - 1).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+@register(
+    "seasonal_decomposition_daily",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+tr as (
+  select i, x,
+         sum(x) over (order by i rows between 3 preceding and 3 following)
+           as s7,
+         count(*) over (order by i rows between 3 preceding and 3 following)
+           as c7
+  from x
+),
+detr as (
+  select i % 7 as phase,
+         cast(round(cast(x as double) - round(cast(s7 as double) / 7.0, 6), 6)
+              as decimal(18,6)) as dt
+  from tr where c7 = 7
+)
+select cast(phase as bigint) as phase,
+       cast(count(*) as bigint) as n_days,
+       round(cast(sum(dt) as double) / cast(count(*) as double), 6)
+         as seasonal_index
+from detr
+group by phase
+order by phase
+""",
+)
+def q_seasonal_decomposition_daily(spark, sf_dir):
+    """Classical seasonal decomposition of daily revenue: trend = the
+    centered 7-day moving average (exact decimal window sum, one
+    double division rounded 6dp), detrended residuals keyed by weekly
+    PHASE (grid index mod 7 — engine-free, unlike dayofweek whose
+    origin differs between engines), and the per-phase seasonal index
+    as the mean detrended value (each residual rounded 6dp, summed as
+    decimal(18,6) — order-free — before the final division). The
+    forecasting complement of acf_daily_revenue: ACF detects the
+    weekly cycle, this measures its shape. All window work runs on
+    the calendar-bounded grid (~2400 rows at any SF; the documented
+    bounded-frame exception to the no-global-window rule)."""
+    from pyspark.sql import Window
+
+    x = _daily_revenue_grid(spark, sf_dir)
+    w = Window.orderBy("i").rowsBetween(-3, 3)
+    tr = x.select(
+        "i",
+        "x",
+        F.sum("x").over(w).alias("s7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+    )
+    detr = tr.filter(F.col("c7") == 7).select(
+        (F.col("i") % 7).alias("phase"),
+        F.round(
+            F.col("x").cast("double") - F.round(F.col("s7").cast("double") / 7.0, 6),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("dt"),
+    )
+    return (
+        detr.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(
+                F.sum("dt").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("seasonal_index"),
+        )
+        .select(F.col("phase").cast("long"), "n_days", "seasonal_index")
+        .orderBy("phase")
+    )
+
+
+@register(
+    "pacf_lag2_daily_revenue",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+agg as (select cast(count(*) as bigint) as n, sum(x) as sx,
+               sum(x * x) as sxx from x),
+lags as (select cast(unnest(generate_series(1, 2)) as bigint) as k),
+pair as (
+  select l.k,
+         sum(h.x * t.x) as sxy,
+         sum(h.x) as sh,
+         sum(t.x) as st
+  from lags l
+  join x h on true
+  join x t on t.i = h.i + l.k
+  group by l.k
+),
+r as (
+  select k,
+         round((cast(n as double) * cast(n as double) * cast(sxy as double)
+                - cast(n as double) * cast(sx as double)
+                  * (cast(sh as double) + cast(st as double))
+                + (cast(n as double) - cast(k as double))
+                  * cast(sx as double) * cast(sx as double))
+               / (cast(n as double) * cast(n as double) * cast(sxx as double)
+                  - cast(n as double) * cast(sx as double) * cast(sx as double)),
+               6) as acf
+  from pair cross join agg
+),
+p as (select max(case when k = 1 then acf end) as r1,
+             max(case when k = 2 then acf end) as r2
+      from r)
+select r1, r2,
+       round((r2 - r1 * r1) / (1.0 - r1 * r1), 6) as pacf_lag2
+from p
+""",
+)
+def q_pacf_lag2_daily_revenue(spark, sf_dir):
+    """Partial autocorrelation at lag 2 via Durbin–Levinson:
+    φ₂₂ = (r₂ − r₁²)/(1 − r₁²) from the same exact-sufficient-
+    statistics ACF machinery as acf_daily_revenue (lags 1–2 only) —
+    the AR-order selector: r₂ says lag-2 correlates, φ₂₂ says whether
+    it adds anything BEYOND what lag 1 explains. The closed form
+    combines the two 6dp-rounded autocorrelations, so both engines
+    start the division from identical doubles."""
+    x = _daily_revenue_grid(spark, sf_dir)
+    agg = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    lags = spark.range(1, 3).select(F.col("id").cast("long").alias("k"))
+    t = x.select(F.col("i").alias("j"), F.col("x").alias("xt"))
+    pair = (
+        x.crossJoin(F.broadcast(lags))
+        .withColumn("j", F.col("i") + F.col("k"))
+        .join(t, "j")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("x") * F.col("xt")).alias("sxy"),
+            F.sum("x").alias("sh"),
+            F.sum("xt").alias("st"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    num = (
+        n * n * F.col("sxy").cast("double")
+        - n * sx * (F.col("sh").cast("double") + F.col("st").cast("double"))
+        + (n - F.col("k").cast("double")) * sx * sx
+    )
+    den = n * n * F.col("sxx").cast("double") - n * sx * sx
+    r = pair.crossJoin(F.broadcast(agg)).select(
+        "k", F.round(num / den, 6).alias("acf")
+    )
+    p = r.agg(
+        F.max(F.when(F.col("k") == 1, F.col("acf"))).alias("r1"),
+        F.max(F.when(F.col("k") == 2, F.col("acf"))).alias("r2"),
+    )
+    return p.select(
+        "r1",
+        "r2",
+        F.round(
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (F.lit(1.0) - F.col("r1") * F.col("r1")),
+            6,
+        ).alias("pacf_lag2"),
+    )
+
+
+@register(
+    "cusum_two_changepoints",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+agg as (select cast(count(*) as bigint) as n, sum(x) as sx from x),
+c as (
+  select day,
+         cast(row_number() over (order by i) as bigint) as t,
+         sum(x) over (order by i
+                      rows between unbounded preceding and current row) as pfx
+  from x
+),
+top1 as (
+  select t as t1, pfx as pfx1
+  from c cross join agg
+  qualify row_number() over (
+    order by abs(cast(n as decimal(38,2)) * pfx
+                 - cast(t as decimal(38,2)) * sx) desc, day asc) = 1
+),
+seg as (
+  select case when c.t <= o.t1 then 'left' else 'right' end as segment,
+         c.day,
+         case when c.t <= o.t1 then c.t else c.t - o.t1 end as tr,
+         case when c.t <= o.t1 then c.pfx else c.pfx - o.pfx1 end as p,
+         case when c.t <= o.t1 then o.t1 else a.n - o.t1 end as m,
+         case when c.t <= o.t1 then o.pfx1 else a.sx - o.pfx1 end as s
+  from c cross join top1 o cross join agg a
+),
+best as (
+  select segment, day,
+         abs(cast(m as decimal(38,2)) * p - cast(tr as decimal(38,2)) * s) as st,
+         m
+  from seg
+  qualify row_number() over (partition by segment
+                             order by st desc, day asc) = 1
+)
+select 'full' as segment, strftime(c.day, '%Y-%m-%d') as change_day,
+       round(abs(cast(a.n as decimal(38,2)) * c.pfx
+                 - cast(c.t as decimal(38,2)) * a.sx)
+             / cast(a.n as decimal(38,2)), 2) as cusum_peak
+from c cross join agg a cross join top1 o where c.t = o.t1
+union all
+select segment, strftime(day, '%Y-%m-%d'),
+       round(st / cast(m as decimal(38,2)), 2)
+from best
+order by segment
+""",
+)
+def q_cusum_two_changepoints(spark, sf_dir):
+    """Binary-segmentation change-point detection: the global CUSUM
+    change point of daily revenue (cusum_changepoint_revenue's exact
+    argmax |n·prefix − t·Σx|, earliest-day tiebreak), then the
+    strongest change point INSIDE each resulting half computed
+    segment-relative (|m·P − t_rel·S_seg| over the segment's own
+    prefix) — the first level of the hierarchical changepoint tree
+    that turns one regime shift into a piecewise history. All
+    statistics stay exact decimals until the final /m rounding, so
+    both argmaxes are engine-stable; the split point joins back as a
+    broadcast scalar probe (one collect, the house bounded-probe
+    pattern), never a re-scan."""
+    from pyspark.sql import Window
+
+    x = _daily_revenue_grid(spark, sf_dir)
+    agg_row = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.sum("x").alias("sx")
+    ).first()
+    n, sx = int(agg_row["n"]), agg_row["sx"]
+    w = Window.orderBy("i")
+    c = x.select(
+        "i",
+        "day",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("pfx"),
+    )
+    stat_full = F.abs(
+        F.lit(n).cast("decimal(38,2)") * F.col("pfx")
+        - F.col("t").cast("decimal(38,2)") * F.lit(sx).cast("decimal(14,2)")
+    )
+    top = (
+        c.withColumn("st", stat_full)
+        .orderBy(F.col("st").desc(), F.col("day").asc())
+        .limit(1)
+        .select("t", "pfx", "st", "day")
+        .first()
+    )
+    t1, pfx1 = int(top["t"]), top["pfx"]
+    full_row = spark.createDataFrame(
+        [
+            (
+                "full",
+                top["day"].strftime("%Y-%m-%d"),
+                float(top["st"] / n),
+            )
+        ],
+        "segment string, change_day string, cusum_peak double",
+    ).select(
+        "segment", "change_day", F.round("cusum_peak", 2).alias("cusum_peak")
+    )
+    is_left = F.col("t") <= F.lit(t1)
+    seg = c.select(
+        F.when(is_left, F.lit("left")).otherwise(F.lit("right")).alias("segment"),
+        "day",
+        F.when(is_left, F.col("t")).otherwise(F.col("t") - F.lit(t1)).alias("tr"),
+        F.when(is_left, F.col("pfx"))
+        .otherwise(F.col("pfx") - F.lit(pfx1).cast("decimal(14,2)"))
+        .alias("p"),
+        F.when(is_left, F.lit(t1)).otherwise(F.lit(n - t1)).cast("long").alias("m"),
+        F.when(is_left, F.lit(pfx1).cast("decimal(14,2)"))
+        .otherwise(
+            (F.lit(sx).cast("decimal(14,2)") - F.lit(pfx1).cast("decimal(14,2)"))
+            .cast("decimal(14,2)")
+        )
+        .alias("s"),
+    )
+    st = F.abs(
+        F.col("m").cast("decimal(38,2)") * F.col("p")
+        - F.col("tr").cast("decimal(38,2)") * F.col("s")
+    )
+    ws = Window.partitionBy("segment").orderBy(F.col("st").desc(), F.col("day").asc())
+    best = (
+        seg.withColumn("st", st)
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select(
+            "segment",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.round(
+                F.col("st") / F.col("m").cast("decimal(38,2)"), 2
+            ).cast("double").alias("cusum_peak"),
+        )
+    )
+    return full_row.unionByName(best).orderBy("segment")
+
+
+_MH_EST_MATCHES = " + ".join(
+    f"(case when a.mh_{i} = b.mh_{i} then 1 else 0 end)" for i in range(16)
+)
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=f"""
+with t as (select doc_id, {SQL_TOKS} as toks from documents),
+g as (select doc_id, toks, unnest(generate_series(1, len(toks) - 2)) as g from t),
+sh as (select doc_id, array_to_string(toks[g:g+2], ' ') as shingle from g),
+sh2 as (select doc_id, shingle,
+        cast(cast(concat('0x', substr(md5(shingle), 1, 15)) as bigint) as hugeint) as base
+        from sh),
+sig as (select doc_id,
+       {_MH_MINS}
+from sh2 group by doc_id),
+buckets as (
+  {_MH_BANDS}
+),
+cand as (select distinct a.doc_id as da, b.doc_id as db
+         from buckets a join buckets b
+           on a.band = b.band and a.bucket = b.bucket and a.doc_id < b.doc_id),
+shd as (select distinct doc_id, shingle from sh),
+sizes as (select doc_id, count(*) as n from shd group by doc_id),
+inter as (select c.da, c.db, count(*) as ni
+          from cand c
+          join shd a on a.doc_id = c.da
+          join shd b on b.doc_id = c.db and b.shingle = a.shingle
+          group by c.da, c.db),
+jac as (
+  select c.da, c.db,
+         cast(coalesce(i.ni, 0) as double)
+           / cast(sa.n + sb.n - coalesce(i.ni, 0) as double) as jaccard
+  from cand c
+  left join inter i on i.da = c.da and i.db = c.db
+  join sizes sa on c.da = sa.doc_id
+  join sizes sb on c.db = sb.doc_id
+),
+est as (
+  select c.da, c.db, ({_MH_EST_MATCHES}) / 16.0 as est
+  from cand c join sig a on a.doc_id = c.da join sig b on b.doc_id = c.db
+),
+err as (
+  select cast(round(abs(e.est - j.jaccard), 6) as decimal(18,6)) as err
+  from est e join jac j on e.da = j.da and e.db = j.db
+)
+select cast(count(*) as bigint) as n_pairs,
+       round(cast(sum(err) as double) / cast(count(*) as double), 6)
+         as mean_abs_err,
+       round(cast(max(err) as double), 6) as max_abs_err
+from err
+""",
+)
+def q_minhash_estimate_error(spark, sf_dir):
+    """Sketch-accuracy audit for the MinHash lane: over the SAME banded
+    LSH candidates minhash_near_dup generates (portable mode), compare
+    the 16-hash signature estimate (matching-component fraction — the
+    unbiased MinHash Jaccard estimator) against the exact shingle-set
+    Jaccard, reporting mean and max absolute error. The production
+    loop this closes: when dedup_threshold_sweep picks a cut, this
+    query says how far the sketch that FINDS the candidates can be
+    trusted near it (E|err| ~ sqrt(J(1-J)/16)). Candidates with zero
+    shared shingles keep Jaccard 0 via the left join. Per-pair errors
+    round 6dp then sum as decimal (order-free); the candidate pair
+    set is LSH-bucketed, never all-pairs."""
+    from .functions.text import shingles, tokens as _toks
+    from .operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_raw = docs.select(
+        "doc_id", F.explode(shingles(_toks("text"), 3)).alias("shingle")
+    )
+    sig = minhash_signatures(sh_raw, 16, hash_mode="portable")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{bi * 4 + r}").cast("string")
+                            for r in range(4)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for bi in range(4)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    bx = buckets.alias("x")
+    by = buckets.alias("y")
+    cand = (
+        bx.join(
+            by,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    shd = sh_raw.dropDuplicates(["doc_id", "shingle"])
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shd.select(F.col("doc_id").alias("da"), F.col("shingle").alias("sa"))
+    b = shd.select(F.col("doc_id").alias("db2"), F.col("shingle").alias("sb"))
+    inter = (
+        cand.join(a, "da")
+        .join(b, (F.col("db") == F.col("db2")) & (F.col("sa") == F.col("sb")))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    ni0 = F.coalesce(F.col("ni"), F.lit(0))
+    jac = (
+        cand.join(inter, ["da", "db"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .select(
+            "da",
+            "db",
+            (
+                ni0.cast("double")
+                / (F.col("na") + F.col("nb") - ni0).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    matches = None
+    for i in range(16):
+        term = (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    est = (
+        cand.join(sig.alias("a"), F.col("da") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("db") == F.col("b.doc_id"))
+        .select("da", "db", (matches / F.lit(16.0)).alias("est"))
+    )
+    err = (
+        est.join(jac, ["da", "db"])
+        .select(
+            F.round(F.abs(F.col("est") - F.col("jaccard")), 6)
+            .cast("decimal(18,6)")
+            .alias("err")
+        )
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(
+            F.sum("err").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_abs_err"),
+        F.round(F.max("err").cast("double"), 6).alias("max_abs_err"),
+    )
+
+
+@register(
+    "winnowing_fingerprint_pairs",
+    oracle=f"""
+with t as (select doc_id, {SQL_TOKS} as toks from documents),
+g as (select doc_id, toks, unnest(generate_series(1, len(toks) - 2)) as g from t),
+sh as (select doc_id, g as pos,
+              cast(concat('0x', substr(md5(array_to_string(toks[g:g+2], ' ')),
+                          1, 15)) as bigint) as h
+       from g),
+win as (
+  select doc_id, pos,
+         min(h) over (partition by doc_id order by pos
+                      rows between current row and 3 following) as wmin,
+         count(*) over (partition by doc_id order by pos
+                        rows between current row and 3 following) as wn
+  from sh
+),
+fp as (select distinct doc_id, wmin as h from win where wn = 4),
+df as (select h, cast(count(*) as bigint) as df from fp group by h),
+keep as (select fp.doc_id, fp.h from fp join df using (h) where df.df <= 50),
+pairs as (
+  select a.doc_id as doc_id_a, b.doc_id as doc_id_b,
+         cast(count(*) as bigint) as shared_fingerprints
+  from keep a join keep b on a.h = b.h and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+select doc_id_a, doc_id_b, shared_fingerprints
+from pairs
+order by shared_fingerprints desc, doc_id_a, doc_id_b
+limit 20
+""",
+)
+def q_winnowing_fingerprint_pairs(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every 3-gram shingle
+    (portable md5 60-bit), slide a w=4 window over each doc's hash
+    sequence, and keep each full window's MINIMUM hash as a selected
+    fingerprint (deduped per doc — fingerprint identity is the hash,
+    so the classic rightmost-tie position rule is irrelevant here) —
+    the guarantee: any shared run of w+n−1 tokens yields a fully
+    shared window and therefore a shared fingerprint, at ~2/(w+1) the storage of the
+    full shingle set. The fourth member of the dedup-candidate ladder
+    (blocked-sorted-sets, MinHash-LSH, prefix-filter, now winnowing) —
+    unlike the others it also LOCALIZES overlap. Pairs then form by
+    equi-join on fingerprint hash with a df ≤ 50 cap (boilerplate
+    fingerprints shared by >50 docs are blocked from pairing — the
+    ngram_jaccard df-cap policy), top-20 by shared-fingerprint count.
+    The per-doc window work is a bounded sliding frame inside the
+    doc's partition — one shuffle on doc_id, one on the fingerprint
+    key; never all-pairs."""
+    from pyspark.sql import Window
+
+    from .functions.text import shingles, tokens as _toks
+    from .operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.posexplode(shingles(_toks("text"), 3)).alias("pos", "shingle")
+    ).select("doc_id", "pos", portable_hash60(F.col("shingle")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    win = sh.select(
+        "doc_id",
+        F.min("h").over(w).alias("wmin"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    fp = (
+        win.filter(F.col("wn") == 4)
+        .select("doc_id", F.col("wmin").alias("h"))
+        .distinct()
+    )
+    df_tab = fp.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    keep = fp.join(df_tab.filter(F.col("df") <= 50), "h").select("doc_id", "h")
+    ka = keep.select(F.col("doc_id").alias("doc_id_a"), "h")
+    kb = keep.select(F.col("doc_id").alias("doc_id_b"), F.col("h").alias("h2"))
+    return (
+        ka.join(
+            kb,
+            (F.col("h") == F.col("h2")) & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fingerprints"))
+        .orderBy(
+            F.col("shared_fingerprints").desc(),
+            F.col("doc_id_a").asc(),
+            F.col("doc_id_b").asc(),
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "negative_sampling_dist",
+    oracle=f"""
+with tok as (
+  select unnest({SQL_TOKS}) as token from documents
+),
+f as (select token, cast(count(*) as bigint) as n from tok group by token),
+w as (
+  select token, n,
+         cast(round(sqrt(cast(n as double) * sqrt(cast(n as double))), 6)
+              as decimal(18,6)) as wt
+  from f
+),
+z as (select sum(wt) as z from w)
+select token, n, cast(wt as double) as weight,
+       round(cast(wt as double) / cast(z.z as double), 9) as p_neg
+from w cross join z
+order by n desc, token
+limit 20
+""",
+)
+def q_negative_sampling_dist(spark, sf_dir):
+    """word2vec-style negative-sampling distribution: p(token) ∝
+    count^0.75 — the smoothed-unigram table every skip-gram trainer
+    builds. The engine-portability trick: x^0.75 = sqrt(x·sqrt(x)),
+    composing only IEEE-correctly-rounded ops (sqrt, multiply), so
+    both engines produce identical doubles where pow(x, 0.75) would
+    ride libm and could differ in the last ulp. Weights round 6dp
+    then sum as exact decimal for the normalizer Z (order-free);
+    output is the top-20 by (count desc, token). One vocabulary
+    aggregate; Z is a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    nd = F.col("n").cast("double")
+    w = f.select(
+        "token",
+        "n",
+        F.round(F.sqrt(nd * F.sqrt(nd)), 6).cast("decimal(18,6)").alias("wt"),
+    )
+    z = w.agg(F.sum("wt").alias("z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "token",
+            "n",
+            F.col("wt").cast("double").alias("weight"),
+            F.round(F.col("wt").cast("double") / F.col("z").cast("double"), 9).alias(
+                "p_neg"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "ridge_revenue_2feature",
+    oracle="""
+with s as (
+  select cast(count(*) as bigint) as n,
+         sum(cast(l_quantity as decimal(12,4)) * cast(l_quantity as decimal(12,4))) as a11,
+         sum(cast(l_quantity as decimal(12,4)) * cast(l_discount as decimal(12,4))) as a12,
+         sum(cast(l_discount as decimal(12,4)) * cast(l_discount as decimal(12,4))) as a22,
+         sum(cast(l_quantity as decimal(12,4)) * cast(l_extendedprice as decimal(12,2))) as b1,
+         sum(cast(l_discount as decimal(12,4)) * cast(l_extendedprice as decimal(12,2))) as b2
+  from lineitem
+),
+d as (
+  select n,
+         cast(a11 as double) + 1000.0 as a11l,
+         cast(a12 as double) as a12d,
+         cast(a22 as double) + 1000.0 as a22l,
+         cast(b1 as double) as b1d,
+         cast(b2 as double) as b2d
+  from s
+)
+select n,
+       round((a22l * b1d - a12d * b2d) / (a11l * a22l - a12d * a12d), 6)
+         as beta_quantity,
+       round((a11l * b2d - a12d * b1d) / (a11l * a22l - a12d * a12d), 6)
+         as beta_discount
+from d
+""",
+)
+def q_ridge_revenue_2feature(spark, sf_dir):
+    """Ridge regression (closed form, λ=1000) of extendedprice on
+    (quantity, discount) — the 2-feature normal-equations solve every
+    feature-importance sanity check starts from, distributed as ONE
+    sufficient-statistics aggregate (XᵀX and Xᵀy in exact decimal,
+    the ols_value_trend discipline generalized to 2 features) followed
+    by the explicit 2×2 inverse in identically parenthesized doubles.
+    At 100 TB the plan is one map-side-combined pass; the solve is
+    constant work on the driver-sized aggregate row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,4)")
+    d = F.col("l_discount").cast("decimal(12,4)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q * q).alias("a11"),
+        F.sum(q * d).alias("a12"),
+        F.sum(d * d).alias("a22"),
+        F.sum(q * y).alias("b1"),
+        F.sum(d * y).alias("b2"),
+    )
+    a11l = F.col("a11").cast("double") + F.lit(1000.0)
+    a12d = F.col("a12").cast("double")
+    a22l = F.col("a22").cast("double") + F.lit(1000.0)
+    b1d = F.col("b1").cast("double")
+    b2d = F.col("b2").cast("double")
+    det = a11l * a22l - a12d * a12d
+    return s.select(
+        "n",
+        F.round((a22l * b1d - a12d * b2d) / det, 6).alias("beta_quantity"),
+        F.round((a11l * b2d - a12d * b1d) / det, 6).alias("beta_discount"),
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+with g as (
+  select event_type, cast(cast(ts as timestamp) as date) as day,
+         cast(count(*) as bigint) as sz
+  from events group by 1, 2
+)
+select cast(count(*) as bigint) as n_groups,
+       cast(min(sz) as bigint) as k_min,
+       cast(sum(case when sz < 5 then 1 else 0 end) as bigint) as groups_below_5,
+       cast(sum(case when sz < 5 then sz else 0 end) as bigint) as rows_below_5,
+       round(cast(sum(case when sz < 5 then sz else 0 end) as double)
+             / cast(sum(sz) as double), 6) as suppression_rate
+from g
+""",
+)
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit of the (event_type, day) quasi-identifier:
+    group sizes, the corpus k (smallest group), and the suppression
+    cost of enforcing k=5 (how many rows sit in groups smaller than
+    5) — the privacy-governance readout that decides whether a
+    release needs generalization. One groupBy at QI altitude plus a
+    constant-size rollup; at 100 TB the QI cardinality (types × days)
+    bounds all post-scan state."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            "event_type", F.col("ts").cast("timestamp").cast("date").alias("day")
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    below = F.when(F.col("sz") < 5, F.col("sz")).otherwise(F.lit(0))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("sz").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("sz") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_5"),
+        F.sum(below).cast("long").alias("rows_below_5"),
+        F.round(
+            F.sum(below).cast("double") / F.sum("sz").cast("double"), 6
+        ).alias("suppression_rate"),
+    )
