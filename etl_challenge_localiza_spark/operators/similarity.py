@@ -827,7 +827,11 @@ def semdedup_drop_pruned(
         # cap=None path) are untouched byte-for-byte.
         import sys as _sys
 
-        asg = asg.persist()
+        # no persist: the count below recomputes the zero-shuffle
+        # assignment once more during the main action, which is cheap
+        # next to the pair stage and avoids a cached-frame lifetime
+        # leak in long harness sessions (the r11 advisor's persist
+        # hygiene point)
         sizes_now = {
             r["cid"]: r["n"]
             for r in asg.groupBy("cid")
@@ -865,6 +869,12 @@ def semdedup_drop_pruned(
                     next_cid += 1
         if sub_rows:
             split_cids = {ocid for ocid, _, _ in sub_rows}
+            print(
+                f"semdedup cap: split {len(split_cids)} oversized clusters "
+                f"(max size {max(over.values())}, budget {max_cluster_size}) "
+                f"into {len(sub_rows)} sub-clusters",
+                file=_sys.stderr,
+            )
             model_cids = [c for c in model_cids if c not in split_cids] + [
                 cid for _, cid, _ in sub_rows
             ]
