@@ -15318,3 +15318,374 @@ def q_k_anonymity_audit(spark, sf_dir):
             F.sum(below).cast("double") / F.sum("sz").cast("double"), 6
         ).alias("suppression_rate"),
     )
+
+
+@register(
+    "hurst_rs_daily_revenue",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+sizes as (select unnest([8, 16, 32, 64, 128]) as b),
+blk as (
+  select s.b, x.i // s.b as blk, x.i % s.b as t, x.x,
+         sum(x.x) over (partition by s.b, x.i // s.b order by x.i
+                        rows between unbounded preceding and current row) as pfx
+  from x cross join sizes s
+),
+full_blk as (
+  select b, blk, cast(count(*) as bigint) as m,
+         sum(x) as sb, sum(x * x) as qb
+  from blk group by b, blk
+  having count(*) = b
+),
+dev as (
+  select f.b, f.blk,
+         max(cast(f.b as decimal(38,2)) * l.pfx
+             - cast(l.t + 1 as decimal(38,2)) * f.sb)
+           - min(cast(f.b as decimal(38,2)) * l.pfx
+                 - cast(l.t + 1 as decimal(38,2)) * f.sb) as rb,
+         any_value(cast(f.b as decimal(38,4)) * f.qb - f.sb * f.sb) as s2x
+  from full_blk f
+  join blk l on l.b = f.b and l.blk = f.blk
+  group by f.b, f.blk
+),
+rs as (
+  select b,
+         cast(round(cast(rb as double) / sqrt(cast(s2x as double)), 6)
+              as decimal(18,6)) as rsv
+  from dev where cast(s2x as double) > 0
+),
+agg as (
+  select b, cast(count(*) as bigint) as n_blocks,
+         round(cast(sum(rsv) as double) / cast(count(*) as double), 6) as rs_mean
+  from rs group by b
+),
+pts as (
+  select cast(round(ln(cast(b as double)), 9) as decimal(18,9)) as lx,
+         cast(round(ln(rs_mean), 9) as decimal(18,9)) as ly
+  from agg
+),
+ols as (
+  select cast(count(*) as bigint) as n, sum(lx) as sx, sum(ly) as sy,
+         sum(lx * lx) as sxx, sum(lx * ly) as sxy
+  from pts
+),
+h as (
+  select round((cast(n as double) * cast(sxy as double)
+                - cast(sx as double) * cast(sy as double))
+               / (cast(n as double) * cast(sxx as double)
+                  - cast(sx as double) * cast(sx as double)), 4) as hurst
+  from ols
+)
+select a.b as block_size, a.n_blocks, a.rs_mean, h.hurst
+from agg a cross join h
+order by a.b
+""",
+)
+def q_hurst_rs_daily_revenue(spark, sf_dir):
+    """Hurst exponent of daily revenue by rescaled-range (R/S)
+    analysis — the long-memory detector (H≈0.5 random walk, H>0.5
+    trending/persistent) behind capacity forecasting. Per block size
+    b ∈ {{8..128}}: within-block cumulative deviations kept EXACT by
+    the ×b scaling (b·pfx_t − (t+1)·S_b — the CUSUM trick per block),
+    R·b as an exact decimal range, S via b·Q − S² ≥ 0, so R/S is one
+    double division rounded 6dp; per-size means accumulate as decimal
+    (order-free); H is the closed-form OLS slope of ln(R/S) on ln(b)
+    over the 5 size points (9dp-rounded log terms, decimal sums). All
+    work after the facts groupBy runs on the calendar-bounded grid."""
+    from pyspark.sql import Window
+
+    x = _daily_revenue_grid(spark, sf_dir)
+    sizes = spark.createDataFrame([(8,), (16,), (32,), (64,), (128,)], "b int")
+    blk = x.crossJoin(F.broadcast(sizes)).select(
+        "b",
+        (F.col("i") / F.col("b")).cast("long").alias("blk"),
+        (F.col("i") % F.col("b")).alias("t"),
+        "x",
+        "i",
+    )
+    wb = (
+        Window.partitionBy("b", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    blk = blk.withColumn("pfx", F.sum("x").over(wb))
+    fb = (
+        blk.groupBy("b", "blk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m"),
+            F.sum("x").alias("sb"),
+            F.sum(F.col("x") * F.col("x")).alias("qb"),
+        )
+        .filter(F.col("m") == F.col("b"))
+    )
+    dv = F.col("b").cast("decimal(38,2)") * F.col("pfx") - (
+        F.col("t") + 1
+    ).cast("decimal(38,2)") * F.col("sb")
+    dev = (
+        blk.join(fb, ["b", "blk"])
+        .groupBy("b", "blk")
+        .agg(
+            (F.max(dv) - F.min(dv)).alias("rb"),
+            F.any_value(
+                F.col("b").cast("decimal(38,4)") * F.col("qb")
+                - F.col("sb") * F.col("sb")
+            ).alias("s2x"),
+        )
+    )
+    rs = dev.filter(F.col("s2x").cast("double") > 0).select(
+        "b",
+        F.round(
+            F.col("rb").cast("double") / F.sqrt(F.col("s2x").cast("double")), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("rsv"),
+    )
+    agg = rs.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.round(
+            F.sum("rsv").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("rs_mean"),
+    )
+    pts = agg.select(
+        F.round(F.log(F.col("b").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("lx"),
+        F.round(F.log("rs_mean"), 9).cast("decimal(18,9)").alias("ly"),
+    )
+    ols = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    h = ols.select(
+        F.round(
+            (nd * F.col("sxy").cast("double")
+             - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (nd * F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            4,
+        ).alias("hurst")
+    )
+    return (
+        agg.crossJoin(F.broadcast(h))
+        .select(
+            F.col("b").cast("long").alias("block_size"),
+            "n_blocks",
+            "rs_mean",
+            "hurst",
+        )
+        .orderBy("block_size")
+    )
+
+
+@register(
+    "gumbel_monthly_max_fit",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+mx as (
+  select date_trunc('month', day) as mon, max(x) as m
+  from x group by 1
+),
+s as (
+  select cast(count(*) as bigint) as n,
+         sum(m) as sm,
+         sum(m * m) as qm
+  from mx
+)
+select n as n_months,
+       round(cast(sm as double) / cast(n as double), 2) as mean_max,
+       round(sqrt((cast(qm as double)
+                   - cast(sm as double) * cast(sm as double) / cast(n as double))
+                  / (cast(n as double) - 1.0))
+             * sqrt(6.0) / pi(), 4) as gumbel_beta,
+       round(cast(sm as double) / cast(n as double)
+             - 0.5772156649015329
+               * (sqrt((cast(qm as double)
+                        - cast(sm as double) * cast(sm as double)
+                          / cast(n as double))
+                       / (cast(n as double) - 1.0)) * sqrt(6.0) / pi()), 4)
+         as gumbel_mu
+from s
+""",
+)
+def q_gumbel_monthly_max_fit(spark, sf_dir):
+    """Extreme-value (Gumbel) fit of MONTHLY MAXIMUM daily revenue by
+    the method of moments — β = s·√6/π, μ = x̄ − γ·β (γ = the
+    Euler–Mascheroni literal, identical in both engines) — the
+    capacity-planning readout: what peak should next month be
+    provisioned for. Block maxima are exact decimal maxes on the
+    calendar grid; the moment sums are exact decimals; β/μ are one
+    identically parenthesized double expression each (π via the
+    engines' pi(), both the correctly rounded double π)."""
+    import math
+
+    x = _daily_revenue_grid(spark, sf_dir)
+    mx = x.groupBy(F.date_trunc("month", "day").alias("mon")).agg(
+        F.max("x").alias("m")
+    )
+    s = mx.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("m") * F.col("m")).alias("qm"),
+    )
+    nd = F.col("n").cast("double")
+    smd = F.col("sm").cast("double")
+    qmd = F.col("qm").cast("double")
+    sd = F.sqrt((qmd - smd * smd / nd) / (nd - F.lit(1.0)))
+    beta = sd * F.sqrt(F.lit(6.0)) / F.lit(math.pi)
+    return s.select(
+        F.col("n").alias("n_months"),
+        F.round(smd / nd, 2).alias("mean_max"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(smd / nd - F.lit(0.5772156649015329) * beta, 4).alias("gumbel_mu"),
+    )
+
+
+@register(
+    "trimmed_mean_event_values",
+    oracle="""
+with h as (
+  select event_type, value, cast(count(*) as bigint) as c
+  from events group by event_type, value
+),
+p as (
+  select event_type, value, c,
+         sum(c) over (partition by event_type order by value
+                      rows between unbounded preceding and 1 preceding) as lo,
+         sum(c) over (partition by event_type) as n
+  from h
+),
+cut as (
+  select event_type, value, n,
+         greatest(least(coalesce(lo, 0) + c, n - (n // 20))
+                  - greatest(coalesce(lo, 0), n // 20), 0) as keep
+  from p
+)
+select event_type,
+       cast(any_value(n) as bigint) as n_events,
+       cast(any_value(n) - 2 * (any_value(n) // 20) as bigint) as n_kept,
+       round(cast(sum(cast(value as decimal(12,2)) * keep) as double)
+             / cast(any_value(n) - 2 * (any_value(n) // 20) as double), 6)
+         as trimmed_mean
+from cut
+group by event_type
+order by event_type
+""",
+)
+def q_trimmed_mean_event_values(spark, sf_dir):
+    """5%-trimmed mean of value per event type — the robust location
+    estimate between mean (fragile) and median (discards 100% of the
+    tail shape), computed EXACTLY at distinct-value altitude: the
+    (value, count) histogram gets prefix counts, each cell contributes
+    min(hi, N−k) − max(lo, k) of its mass inside the trim window
+    (k = ⌊N/20⌋ per side — integer division both engines), and the
+    trimmed sum is exact decimal·int. No row-level sort or rank ever
+    touches the corpus — the scaled_avg_rank / equi-depth altitude
+    argument applied to trimming."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wp = Window.partitionBy("event_type").orderBy("value")
+    p = h.select(
+        "event_type",
+        "value",
+        "c",
+        F.coalesce(
+            F.sum("c").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("lo"),
+        F.sum("c").over(
+            Window.partitionBy("event_type").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    k = (F.col("n") / 20).cast("long")
+    keep = F.greatest(
+        F.least(F.col("lo") + F.col("c"), F.col("n") - k)
+        - F.greatest(F.col("lo"), k),
+        F.lit(0).cast("long"),
+    )
+    cut = p.select("event_type", "value", "n", keep.alias("keep"))
+    nk = F.any_value(F.col("n")) - 2 * (F.any_value(F.col("n")) / 20).cast("long")
+    return (
+        cut.groupBy("event_type")
+        .agg(
+            F.any_value(F.col("n")).cast("long").alias("n_events"),
+            nk.cast("long").alias("n_kept"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)") * F.col("keep")).cast(
+                    "double"
+                )
+                / nk.cast("double"),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "robust_zscore_anomaly_days",
+    oracle=f"""
+with {_DAILY_GRID_SQL},
+st as (
+  select median(cast(x as double)) as med from x
+),
+dev as (
+  select x.day, x.x, abs(cast(x.x as double) - st.med) as adev, st.med
+  from x cross join st
+),
+sc as (select median(adev) as mad from dev)
+select strftime(d.day, '%Y-%m-%d') as day,
+       cast(d.x as double) as revenue,
+       round((cast(d.x as double) - d.med) / (1.4826 * sc.mad), 4) as robust_z,
+       case when d.adev / (1.4826 * sc.mad) > 3.5 then 1 else 0 end as is_anomaly
+from dev d cross join sc
+order by d.adev / (1.4826 * sc.mad) desc, d.day
+limit 15
+""",
+)
+def q_robust_zscore_anomaly_days(spark, sf_dir):
+    """Anomalous revenue days by robust z-score |x−median|/(1.4826·MAD)
+    with the 3.5 Iglewicz–Hoaglin fence as a flag — the MAD machinery
+    pointed at the time axis: a mean/σ detector would let one
+    black-Friday spike inflate σ and mask the next one; median/MAD
+    cannot be dragged. Two exact medians on the calendar-bounded grid,
+    then one scalar broadcast pass; the TOP-15 by severity always
+    return (flagged is_anomaly past the fence), so the monitor shows
+    the worst days even in a quiet month."""
+    x = _daily_revenue_grid(spark, sf_dir)
+    st = x.agg(F.median(F.col("x").cast("double")).alias("med"))
+    dev = x.crossJoin(F.broadcast(st)).select(
+        "day",
+        "x",
+        "med",
+        F.abs(F.col("x").cast("double") - F.col("med")).alias("adev"),
+    )
+    sc = dev.agg(F.median("adev").alias("mad"))
+    z = F.col("adev") / (F.lit(1.4826) * F.col("mad"))
+    zs = F.round(
+        (F.col("x").cast("double") - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
+        4,
+    )
+    return (
+        dev.crossJoin(F.broadcast(sc))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").cast("double").alias("revenue"),
+            zs.alias("robust_z"),
+            F.when(z > 3.5, 1).otherwise(0).cast("int").alias("is_anomaly"),
+            F.col("adev"),
+            F.col("mad"),
+        )
+        .orderBy((F.col("adev") / (F.lit(1.4826) * F.col("mad"))).desc(), F.col("day"))
+        .limit(15)
+        .drop("adev", "mad")
+    )

@@ -96,12 +96,12 @@ def test_cramers_v_matches_numpy(spark):
     assert out["cramers_v"] == pytest.approx(v, rel=1e-5)
 
 
-def _daily_grid_ref(spark):
+def _daily_grid_ref(spark, sf=SF):
     from pyspark.sql import functions as F
 
     from etl_challenge_localiza_spark.sources.readers import load_table
 
-    orders = load_table(spark, SF, "orders")
+    orders = load_table(spark, sf, "orders")
     rows = (
         orders.groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(F.sum("o_totalprice").alias("r"))
@@ -255,3 +255,104 @@ def test_k_anonymity_hand_case(spark):
     assert out["suppression_rate"] == pytest.approx(
         sum(below) / sum(sizes.values()), abs=1e-6
     )
+
+
+def test_hurst_matches_numpy(spark):
+    import numpy as np
+
+    x = np.array(_daily_grid_ref(spark))
+    out = {r["block_size"]: r for r in _q(spark, "hurst_rs_daily_revenue").collect()}
+    pts = []
+    for b in (8, 16, 32, 64, 128):
+        rss = []
+        for blk in range(len(x) // b):
+            seg = x[blk * b : (blk + 1) * b]
+            dev = np.cumsum(seg - seg.mean())
+            r = dev.max() - dev.min()
+            s = seg.std()  # population std
+            if s > 0:
+                rss.append(r / s)
+        ref = float(np.mean(np.round(rss, 6)))
+        assert out[b]["n_blocks"] == len(rss)
+        assert out[b]["rs_mean"] == pytest.approx(ref, abs=1e-4)
+        pts.append((math.log(b), math.log(out[b]["rs_mean"])))
+    n = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] * p[0] for p in pts)
+    sxy = sum(p[0] * p[1] for p in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    hurst = out[8]["hurst"]
+    assert hurst == pytest.approx(slope, abs=1e-3)
+    assert 0.0 < hurst < 1.0  # a valid Hurst exponent
+
+
+def test_gumbel_matches_numpy(spark):
+    import numpy as np
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+    from etl_challenge_localiza_spark.sources.readers import load_table
+
+    orders = load_table(spark, SF, "orders")
+    rows = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("r"))
+        .collect()
+    )
+    # monthly max over the GAPLESS grid == monthly max over present
+    # days unless a month is entirely absent interior-zero months
+    # would contribute 0; replicate via the same grid
+    x = _daily_grid_ref(spark)
+    import datetime
+
+    d0 = min(r["day"] for r in rows)
+    mx = defaultdict(float)
+    for i, v in enumerate(x):
+        d = d0 + datetime.timedelta(days=i)
+        key = (d.year, d.month)
+        mx[key] = max(mx[key], v)
+    m = np.array(list(mx.values()))
+    beta = m.std(ddof=1) * math.sqrt(6) / math.pi
+    mu = m.mean() - 0.5772156649015329 * beta
+    out = _q(spark, "gumbel_monthly_max_fit").first()
+    assert out["n_months"] == len(m)
+    assert out["gumbel_beta"] == pytest.approx(beta, rel=1e-3)
+    assert out["gumbel_mu"] == pytest.approx(mu, rel=1e-3)
+
+
+def test_trimmed_mean_matches_numpy(spark):
+    import numpy as np
+
+    rows = _events(spark).select("event_type", "value").collect()
+    groups: dict[str, list[float]] = {}
+    for r in rows:
+        groups.setdefault(r["event_type"], []).append(float(r["value"]))
+    out = {r["event_type"]: r for r in _q(spark, "trimmed_mean_event_values").collect()}
+    for t, g in groups.items():
+        a = np.sort(np.array(g))
+        k = len(a) // 20
+        ref = float(a[k : len(a) - k].mean())
+        assert out[t]["n_kept"] == len(a) - 2 * k
+        assert out[t]["trimmed_mean"] == pytest.approx(ref, abs=1e-6)
+
+
+def test_robust_zscore_matches_numpy(spark):
+    # sf0.01: the sf0.001 grid is mostly zero days -> MAD = 0 and the
+    # score degenerates to null (both engines agree; the oracle covers
+    # that case); the numpy comparison needs the dense grid
+    import numpy as np
+
+    sf = "/root/testdata/sf0.01"
+    x = np.array(_daily_grid_ref(spark, sf))
+    med = float(np.median(x))
+    mad = float(np.median(np.abs(x - med)))
+    assert mad > 0
+    z = (x - med) / (1.4826 * mad)
+    order = sorted(range(len(x)), key=lambda i: (-abs(z[i]), i))[:15]
+    out = _q(spark, "robust_zscore_anomaly_days", sf).collect()
+    assert len(out) == 15
+    for row, i in zip(out, order):
+        assert row["revenue"] == pytest.approx(x[i], abs=0.01)
+        assert row["robust_z"] == pytest.approx(z[i], abs=1e-3)
+        assert row["is_anomaly"] == int(abs(z[i]) > 3.5)
