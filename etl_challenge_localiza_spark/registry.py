@@ -14847,7 +14847,7 @@ def q_cusum_two_changepoints(spark, sf_dir):
     )
     stat_full = F.abs(
         F.lit(n).cast("decimal(38,2)") * F.col("pfx")
-        - F.col("t").cast("decimal(38,2)") * F.lit(sx).cast("decimal(14,2)")
+        - F.col("t").cast("decimal(38,2)") * F.lit(sx).cast("decimal(24,2)")
     )
     top = (
         c.withColumn("st", stat_full)
@@ -14875,13 +14875,13 @@ def q_cusum_two_changepoints(spark, sf_dir):
         "day",
         F.when(is_left, F.col("t")).otherwise(F.col("t") - F.lit(t1)).alias("tr"),
         F.when(is_left, F.col("pfx"))
-        .otherwise(F.col("pfx") - F.lit(pfx1).cast("decimal(14,2)"))
+        .otherwise(F.col("pfx") - F.lit(pfx1).cast("decimal(24,2)"))
         .alias("p"),
         F.when(is_left, F.lit(t1)).otherwise(F.lit(n - t1)).cast("long").alias("m"),
-        F.when(is_left, F.lit(pfx1).cast("decimal(14,2)"))
+        F.when(is_left, F.lit(pfx1).cast("decimal(24,2)"))
         .otherwise(
-            (F.lit(sx).cast("decimal(14,2)") - F.lit(pfx1).cast("decimal(14,2)"))
-            .cast("decimal(14,2)")
+            (F.lit(sx).cast("decimal(24,2)") - F.lit(pfx1).cast("decimal(24,2)"))
+            .cast("decimal(24,2)")
         )
         .alias("s"),
     )
