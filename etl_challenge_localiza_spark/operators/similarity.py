@@ -903,6 +903,19 @@ def semdedup_drop_pruned(
                 )
             )
             sub_arr = F.element_at(F.col("sub_map"), F.col("cid"))
+            # LINEAGE BARRIER before the reassignment layer: without
+            # it Catalyst's CollapseProject inlines the O(2√k)-argmin
+            # expression into the when/otherwise branches (cid is
+            # referenced as the map key AND the fallback), re-running
+            # the whole pruned assignment 2-3x per row — measured at
+            # x1000: capped 3330 s vs uncapped 2778 s with a FREE
+            # detector, i.e. the overhead was recompute, not the cap.
+            # localCheckpoint materializes the assignment once (only
+            # when splits actually trigger — the insurance premium is
+            # one corpus materialization); blocks are reclaimed by the
+            # ContextCleaner when the plan is garbage-collected, and
+            # the registry/oracle path (cap=None) never reaches here.
+            asg = asg.localCheckpoint(eager=False)
             asg = asg.crossJoin(F.broadcast(sub_scal)).select(
                 "vec_id",
                 "embedding",
