@@ -49,10 +49,22 @@ def _duck_control(sf_dir: str, oracle_queries: dict[str, str]) -> dict[str, floa
     con.execute(f"set threads to {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     out: dict[str, float] = {}
     for name, sql in oracle_queries.items():
+        # no-transfer drain, symmetric with the Spark noop sink: the
+        # MATERIALIZED wrapper forces full computation of every column
+        # (count(*) alone would let DuckDB prune work the Spark side
+        # pays), while fetch moves one scalar instead of the full
+        # result set — row-heavy oracles (pair/top-N) otherwise pay a
+        # transfer cost Spark doesn't, flattering the ratio (ADVICE r12)
+        wrapped = f"with __bench_q as materialized ({sql}) select count(*) from __bench_q"
+        try:
+            con.sql(wrapped)  # parse+bind only (lazy relation)
+            run_sql = wrapped
+        except Exception:
+            run_sql = sql  # rare shapes the wrapper can't nest
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            con.sql(sql).fetchall()
+            con.sql(run_sql).fetchall()
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
     con.close()
@@ -134,6 +146,8 @@ def main() -> int:
                     if duck_paired
                     else None,
                     "n_paired": len(duck),
+                    "timing": "both no-transfer: spark noop sink / "
+                    "duck materialized-CTE count",
                 },
                 "sf": sf,
             }

@@ -547,8 +547,16 @@ def prefix_filter_jaccard_pairs(
             prefix.groupBy("s")
             .agg(F.count(F.lit(1)).cast("long").alias("c"))
             .agg(
-                F.sum(F.col("c") * (F.col("c") - F.lit(1)) / F.lit(2))
-                .cast("long")
+                # c cast to decimal(38,0) BEFORE the multiply: long
+                # c*(c-1) wraps past c ≈ 3e9 in non-ANSI mode, which
+                # would silently pass the guard in exactly the
+                # pathological-skew regime it exists to refuse
+                F.sum(
+                    F.col("c").cast("decimal(38,0)")
+                    * (F.col("c") - F.lit(1))
+                    / F.lit(2)
+                )
+                .cast("decimal(38,0)")
                 .alias("n_cand")
             )
             .first()

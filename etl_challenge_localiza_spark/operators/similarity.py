@@ -418,7 +418,7 @@ def brp_lsh_ann_pairs(
 
 
 def label_pca_variance(
-    emb: DataFrame, iters: int = 24, d: int = 64
+    emb: DataFrame, iters: int = 24, d: int | None = None
 ) -> DataFrame:
     """Per-label PCA summary — cluster-compactness signal (collapsed
     embedding groups have explained_ratio → 1) via DETERMINISTIC power
@@ -456,6 +456,19 @@ def label_pca_variance(
     from .kmeans import SCALE
 
     spark = emb.sparkSession
+    if d is None:
+        # infer the embedding dimension from the data (one first-row
+        # probe, the brp_lsh_ann_pairs portable-mode pattern) — a
+        # hardcoded d crashes on wider embeddings and pays d² Gram
+        # work on zero padding for narrower ones
+        probe = emb.select(F.size("embedding").alias("dim")).head(1)
+        if not probe:
+            return spark.createDataFrame(
+                [],
+                "label long, n_vectors long, total_variance double, "
+                "leading_eigenvalue double, explained_ratio double",
+            )
+        d = int(probe[0]["dim"])
     xs = emb.select(
         "label",
         F.transform(
@@ -824,22 +837,25 @@ def semdedup_drop_pruned(
         # In-budget clusters (and the oracle-checked cap=None path)
         # are untouched byte-for-byte.
         #
-        # DETECTOR = the fit SAMPLE, not a Spark pass: the first cut
-        # measured real sizes with a groupBy-count over the assignment
-        # — at ×1000 that extra full two-level-argmin pass (plus the
-        # recompute the reassignment layer forces without a persist)
-        # made the capped run 28% SLOWER than uncapped on mildly
-        # skewed data (3557 s vs 2778 s same-day). The sample already
-        # sits on the driver; estimating size(cid) ≈ sample_count ×
-        # N/|sample| costs zero Spark work, and the cap is an
-        # insurance mechanism against PATHOLOGICAL skew, where the
-        # estimate's ±relative error at budget scale is negligible (a
-        # cluster at 2× budget has ~2·budget·|sample|/N sample members
-        # — e.g. ~33 at the ×1000 tier's budget, std ~√33 → detection
-        # is reliable precisely where splitting pays).
+        # DETECTOR = the fit SAMPLE, not a Spark pass over the
+        # assignment: the first cut measured real sizes with a
+        # groupBy-count over the assignment — at ×1000 that extra full
+        # two-level-argmin pass (plus the recompute the reassignment
+        # layer forces without a persist) made the capped run 28%
+        # SLOWER than uncapped on mildly skewed data (3557 s vs 2778 s
+        # same-day). The sample already sits on the driver; estimating
+        # size(cid) ≈ sample_count × N/|sample| needs only N — free
+        # when the sample IS the whole corpus (sub-cap input), one
+        # cheap count job otherwise (a scan, but never the two-level
+        # argmin). The cap is an insurance mechanism against
+        # PATHOLOGICAL skew, where the estimate's ±relative error at
+        # budget scale is negligible (a cluster at 2× budget has
+        # ~2·budget·|sample|/N sample members — e.g. ~33 at the ×1000
+        # tier's budget, std ~√33 → detection is reliable precisely
+        # where splitting pays).
         import sys as _sys
 
-        n_total = emb.count()
+        n_total = len(pts) if len(pts) < sample_cap else emb.count()
         scale_up = n_total / max(len(pts), 1)
         # the sample points' own fine assignment, driver-side (same
         # exact-int argmin, first-min ties on ascending cids)

@@ -14853,21 +14853,25 @@ def q_cusum_two_changepoints(spark, sf_dir):
         c.withColumn("st", stat_full)
         .orderBy(F.col("st").desc(), F.col("day").asc())
         .limit(1)
-        .select("t", "pfx", "st", "day")
+        .select("t", "pfx")
         .first()
     )
     t1, pfx1 = int(top["t"]), top["pfx"]
-    full_row = spark.createDataFrame(
-        [
-            (
-                "full",
-                top["day"].strftime("%Y-%m-%d"),
-                float(top["st"] / n),
-            )
-        ],
-        "segment string, change_day string, cusum_peak double",
-    ).select(
-        "segment", "change_day", F.round("cusum_peak", 2).alias("cusum_peak")
+    # the 'full' row's peak uses the SAME in-engine round(st / n::dec, 2)
+    # expression as the left/right rows — a driver-side Python-Decimal
+    # division would take a different intermediate rounding path than
+    # the oracle on exact .xx5 boundaries (ADVICE r12); the grid is
+    # calendar-bounded so the one-row filter re-scan is negligible
+    full_row = (
+        c.withColumn("st", stat_full)
+        .filter(F.col("t") == F.lit(t1))
+        .select(
+            F.lit("full").alias("segment"),
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.round(F.col("st") / F.lit(n).cast("decimal(38,2)"), 2)
+            .cast("double")
+            .alias("cusum_peak"),
+        )
     )
     is_left = F.col("t") <= F.lit(t1)
     seg = c.select(

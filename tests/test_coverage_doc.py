@@ -31,6 +31,22 @@ def test_totals_match_registry():
     )
 
 
+def test_no_pytest_count_in_totals_block():
+    """VERDICT r12 #3: the totals header once claimed '286 pytest cases'
+    while the tree collected 358 — a hand-maintained count nothing
+    guarded. The fix is structural: the header may not carry a pytest
+    count at all (the per-round count lives in commit messages, where
+    it is stamped at close-out, not hand-edited later)."""
+    text = open(COVERAGE).read()
+    m = re.search(r"\*\*Totals.*?\*\*", text, re.DOTALL)
+    assert m, "COVERAGE.md totals block missing"
+    stale = re.search(r"\d+\s+pytest\s+cases", m.group(0))
+    assert not stale, (
+        "COVERAGE.md totals block carries a pytest-case count "
+        f"({stale.group(0)!r}) — these rot; keep counts out of the header"
+    )
+
+
 def test_every_registry_query_named_in_coverage():
     text = open(COVERAGE).read()
     missing = [name for name in _registry() if name not in text]
