@@ -10424,6 +10424,64 @@ def q_split_leakage_audit(spark, sf_dir):
 
 
 @register(
+    "eval_decontaminate_docs",
+    oracle=f"""
+with t as (
+  select doc_id, {SQL_TOKS} as toks,
+         substr(md5(cast(doc_id as varchar)), 1, 1) = 'f' as is_eval
+  from documents
+),
+g as (
+  select doc_id, is_eval, toks,
+         unnest(generate_series(1, len(toks) - 4)) as s
+  from t
+),
+sh as (
+  select distinct doc_id, is_eval,
+         array_to_string(toks[s:s+4], ' ') as gram
+  from g
+),
+ev as (select distinct gram from sh where is_eval),
+hits as (
+  select s.doc_id,
+         cast(count(*) as bigint) as n_grams,
+         cast(count(e.gram) as bigint) as n_contaminated
+  from sh s left join ev e using (gram)
+  where not s.is_eval
+  group by s.doc_id
+)
+select doc_id, n_grams, n_contaminated,
+       round(cast(n_contaminated as double) / cast(n_grams as double), 6)
+         as contamination_ratio
+from hits
+where n_contaminated > 0
+order by doc_id
+""",
+)
+def q_eval_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (VERDICT r12 #2): treat the ~1/16
+    md5-nibble slice of ``documents`` as a held-out eval set and flag
+    every remaining corpus doc sharing any 5-token n-gram with it —
+    the pre-training hygiene scrub that keeps benchmark answers out of
+    training data. The operator collapses the (small) eval side to one
+    broadcast gram array and scores each corpus doc row-locally with
+    array_intersect — zero corpus shuffle (operators/curation.py:
+    eval_decontaminate). The oracle replays the identical token model
+    (SQL_TOKS) and distinct-gram counting; the only double is the
+    final ratio division, rounded 6dp on both engines."""
+    from .operators.curation import eval_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = (
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+        == "f"
+    )
+    return eval_decontaminate(
+        docs.filter(~is_eval), docs.filter(is_eval), w=5
+    ).orderBy("doc_id")
+
+
+@register(
     "token_budget_subset",
     oracle=f"""
 with {_MODEL_LOGIT_SQL},
