@@ -10465,8 +10465,12 @@ def q_eval_decontaminate_docs(spark, sf_dir):
     the pre-training hygiene scrub that keeps benchmark answers out of
     training data. The operator collapses the (small) eval side to one
     broadcast gram array and scores each corpus doc row-locally with
-    array_intersect — zero corpus shuffle (operators/curation.py:
-    eval_decontaminate). The oracle replays the identical token model
+    array_intersect — ZERO corpus shuffle (operators/curation.py:
+    eval_decontaminate), vs the explode→broadcast-join→groupBy shape
+    of the older benchmark_contamination lane (one corpus shuffle on
+    the exploded gram stream); this is the plan a 100 TB scrub wants,
+    plus ratio output and a first-class operator API taking any
+    (corpus, eval) pair. The oracle replays the identical token model
     (SQL_TOKS) and distinct-gram counting; the only double is the
     final ratio division, rounded 6dp on both engines."""
     from .operators.curation import eval_decontaminate
@@ -16706,4 +16710,149 @@ def q_lsh_param_plan(spark, sf_dir):
             ).alias("crossover_threshold"),
         )
         .orderBy("bands", "jaccard")
+    )
+
+
+@register(
+    "brier_decomposition",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL},
+{_HEUR_LABEL_CTES},
+lm as (select min(logit) as l0, max(logit) as l1 from scored),
+pb as (
+  select h.doc_id, h.label,
+         case when m.l1 > m.l0
+              then (s.logit - m.l0) / (m.l1 - m.l0) else 0.5 end as p,
+         ntile(10) over (order by s.logit, h.doc_id) as bin
+  from heur h join scored s using (doc_id) cross join lm m
+),
+d as (
+  select bin, label,
+         cast(round(p, 9) as decimal(12,9)) as rp,
+         cast(round((p - case when label then 1.0 else 0.0 end)
+                    * (p - case when label then 1.0 else 0.0 end), 9)
+              as decimal(12,9)) as sq
+  from pb
+),
+g as (select cast(count(*) as bigint) as n,
+             cast(sum(case when label then 1 else 0 end) as bigint) as pos,
+             sum(sq) as bsum
+      from d),
+bins as (
+  select bin, cast(count(*) as bigint) as nk,
+         cast(sum(case when label then 1 else 0 end) as bigint) as posk,
+         sum(rp) as spk
+  from d group by bin
+),
+terms as (
+  select cast(round(cast(b.nk as double)
+           * pow(cast(b.spk as double) / b.nk
+                 - cast(b.posk as double) / b.nk, 2), 9) as decimal(20,9)) as rel_t,
+         cast(round(cast(b.nk as double)
+           * pow(cast(b.posk as double) / b.nk
+                 - cast(g.pos as double) / g.n, 2), 9) as decimal(20,9)) as res_t
+  from bins b cross join g
+)
+select g.n as n_docs,
+       round(cast(g.bsum as double) / g.n, 6) as brier,
+       round(cast(sum(t.rel_t) as double) / g.n, 6) as reliability,
+       round(cast(sum(t.res_t) as double) / g.n, 6) as resolution,
+       round((cast(g.pos as double) / g.n)
+             * (1.0 - cast(g.pos as double) / g.n), 6) as uncertainty
+from terms t cross join g
+group by g.n, g.pos, g.bsum
+""",
+)
+def q_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score for the learned quality
+    gate against the heuristic label: total Brier, reliability (how far
+    binned forecasts sit from their bins' outcome rates), resolution
+    (how far bin outcome rates spread from the base rate), and
+    uncertainty (base-rate variance) — the calibration summary that
+    complements model_reliability_bins' per-bin table and
+    model_quality_auc's ranking view with ONE scalar row. Forecast
+    probability = the logit min-max-rescaled (deterministic linear
+    calibration; exact double expression shared by both engines);
+    bins = the same total-order deciles as the reliability lane.
+    Per-doc squared errors and per-bin terms are rounded 9dp into
+    decimals so every accumulation is order-free; the three final
+    divisions are single doubles rounded 6dp. Note the identity
+    Brier = REL − RES + UNC holds exactly only for bin-constant
+    forecasts; with per-doc forecasts the gap is the within-bin
+    forecast/outcome covariance — deliberately NOT folded in, so the
+    reported terms are the standard binned decomposition."""
+    from .operators.curation import hashed_feature_logit, quality_gate
+    from .operators.ranks import exact_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    heur = quality_gate(docs).select("doc_id", F.col("keep").alias("label"))
+    model = hashed_feature_logit(docs).select("doc_id", "logit")
+    lm = model.agg(F.min("logit").alias("l0"), F.max("logit").alias("l1"))
+    joined = heur.join(model, "doc_id")
+    binned = exact_ntile(joined, 10, "logit", "doc_id", out_col="bin")
+    p = F.when(
+        F.col("l1") > F.col("l0"),
+        (F.col("logit") - F.col("l0")) / (F.col("l1") - F.col("l0")),
+    ).otherwise(F.lit(0.5))
+    y = F.when(F.col("label"), F.lit(1.0)).otherwise(F.lit(0.0))
+    d = binned.crossJoin(F.broadcast(lm)).select(
+        "bin",
+        "label",
+        F.round(p, 9).cast("decimal(12,9)").alias("rp"),
+        F.round((p - y) * (p - y), 9).cast("decimal(12,9)").alias("sq"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("pos"),
+        F.sum("sq").alias("bsum"),
+    )
+    bins = d.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nk"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("posk"),
+        F.sum("rp").alias("spk"),
+    )
+    nk_d = F.col("nk").cast("double")
+    terms = bins.crossJoin(F.broadcast(g)).select(
+        F.round(
+            nk_d
+            * F.pow(
+                F.col("spk").cast("double") / F.col("nk")
+                - F.col("posk").cast("double") / F.col("nk"),
+                2,
+            ),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("rel_t"),
+        F.round(
+            nk_d
+            * F.pow(
+                F.col("posk").cast("double") / F.col("nk")
+                - F.col("pos").cast("double") / F.col("n"),
+                2,
+            ),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("res_t"),
+    )
+    ob = F.col("pos").cast("double") / F.col("n")
+    return (
+        terms.crossJoin(F.broadcast(g))
+        .groupBy("n", "pos", "bsum")
+        .agg(
+            F.sum("rel_t").alias("srel"),
+            F.sum("res_t").alias("sres"),
+        )
+        .select(
+            F.col("n").alias("n_docs"),
+            F.round(F.col("bsum").cast("double") / F.col("n"), 6).alias("brier"),
+            F.round(F.col("srel").cast("double") / F.col("n"), 6).alias(
+                "reliability"
+            ),
+            F.round(F.col("sres").cast("double") / F.col("n"), 6).alias(
+                "resolution"
+            ),
+            F.round(ob * (F.lit(1.0) - ob), 6).alias("uncertainty"),
+        )
     )

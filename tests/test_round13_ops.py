@@ -291,3 +291,49 @@ def test_skipgram_ppmi_planted_collocation(spark):
     assert out, "planted collocations must clear the min-count"
     top = out[0]
     assert {top["token_a"], top["token_b"]} <= {"alpha", "beta", "gamma"}
+
+
+def test_brier_decomposition_vs_independent(spark, sf0001):
+    """The decomposition terms match an independent Python replay of
+    the same binned definition (forecast = min-max rescaled logit,
+    deciles by (logit, doc_id))."""
+    from etl_challenge_localiza_spark.operators.curation import (
+        hashed_feature_logit,
+        quality_gate,
+    )
+    from etl_challenge_localiza_spark.registry import QUERIES, load_table
+
+    docs = load_table(spark, sf0001, "documents")
+    heur = {r["doc_id"]: r["keep"] for r in quality_gate(docs).collect()}
+    logit = {r["doc_id"]: r["logit"] for r in hashed_feature_logit(docs).collect()}
+    rows = sorted(logit.items(), key=lambda kv: (kv[1], kv[0]))
+    l0, l1 = min(logit.values()), max(logit.values())
+    n = len(rows)
+    ps, ys, bins = [], [], []
+    for pos, (d, lg) in enumerate(rows):
+        p = (lg - l0) / (l1 - l0) if l1 > l0 else 0.5
+        ps.append(round(p, 9))
+        ys.append(1.0 if heur[d] else 0.0)
+        # SQL-standard ntile over n rows: first n%10 buckets get one extra
+        big, base = n % 10, n // 10
+        bins.append(
+            pos // (base + 1) + 1
+            if pos < big * (base + 1)
+            else big + (pos - big * (base + 1)) // base + 1
+        )
+    brier = sum(round((p - y) ** 2, 9) for p, y in zip(ps, ys)) / n
+    obar = sum(ys) / n
+    rel = res = 0.0
+    for b in set(bins):
+        idx = [i for i, bb in enumerate(bins) if bb == b]
+        nk = len(idx)
+        pbar = sum(ps[i] for i in idx) / nk
+        ok = sum(ys[i] for i in idx) / nk
+        rel += round(nk * (pbar - ok) ** 2, 9)
+        res += round(nk * (ok - obar) ** 2, 9)
+    got = QUERIES["brier_decomposition"].fn(spark, sf0001).first()
+    assert got["n_docs"] == n
+    assert abs(got["brier"] - round(brier, 6)) <= 2e-6
+    assert abs(got["reliability"] - round(rel / n, 6)) <= 2e-6
+    assert abs(got["resolution"] - round(res / n, 6)) <= 2e-6
+    assert got["uncertainty"] == round(obar * (1 - obar), 6)

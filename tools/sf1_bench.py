@@ -176,9 +176,21 @@ def main() -> int:
             best_full = min(best_full, te1 - tf0)
         duck = float("inf")
         if q.oracle is not None:
+            # no-transfer drain symmetric with the Spark noop sink
+            # (bench.py r13: materialized CTE forces full compute,
+            # count(*) moves one scalar instead of the result set)
+            wrapped = (
+                f"with __bench_q as materialized ({q.oracle}) "
+                "select count(*) from __bench_q"
+            )
+            try:
+                con.sql(wrapped)  # parse+bind only
+                run_sql = wrapped
+            except Exception:
+                run_sql = q.oracle
             for _ in range(2):
                 td0 = time.perf_counter()
-                con.sql(q.oracle).fetchall()
+                con.sql(run_sql).fetchall()
                 duck = min(duck, time.perf_counter() - td0)
         rows.append((name, best, best_full, duck))
         d = f"{duck:.2f}" if duck != float("inf") else "—"
