@@ -16856,3 +16856,157 @@ def q_brier_decomposition(spark, sf_dir):
             F.round(ob * (F.lit(1.0) - ob), 6).alias("uncertainty"),
         )
     )
+
+
+@register(
+    "gate_pass_wilson_ci",
+    oracle=f"""
+with {_MODEL_LOGIT_SQL},
+{_HEUR_LABEL_CTES},
+src as (select doc_id, source from documents),
+agg as (
+  select s.source,
+         cast(count(*) as bigint) as n,
+         cast(sum(case when h.label then 1 else 0 end) as bigint) as k
+  from src s join heur h using (doc_id)
+  group by s.source
+)
+select source, n, k,
+       round(cast(k as double) / n, 6) as pass_rate,
+       round((cast(k as double) / n + 1.9208 / n
+              - 1.96 * sqrt((cast(k as double) / n)
+                            * (1.0 - cast(k as double) / n) / n
+                            + 0.9604 / (cast(n as double) * n)))
+             / (1.0 + 3.8416 / n), 6) as wilson_lo,
+       round((cast(k as double) / n + 1.9208 / n
+              + 1.96 * sqrt((cast(k as double) / n)
+                            * (1.0 - cast(k as double) / n) / n
+                            + 0.9604 / (cast(n as double) * n)))
+             / (1.0 + 3.8416 / n), 6) as wilson_hi
+from agg
+order by source
+""",
+)
+def q_gate_pass_wilson_ci(spark, sf_dir):
+    """Per-source heuristic-gate pass rate with a Wilson 95% score
+    interval — the statistically honest way to compare source quality
+    when per-source doc counts differ (a 6/6 source is NOT better than
+    a 940/1000 one; Wilson shrinks toward 1/2 with width ∝ 1/√n,
+    unlike the Wald interval which collapses to zero width at p̂∈{0,1}).
+    z is frozen at 1.96 (z²=3.8416, z²/2=1.9208, z²/4=0.9604 inlined
+    as exact literals) so the whole interval is one closed-form double
+    expression, written identically in both engines and rounded 6dp.
+    One gate pass + one groupBy(source); no windows, no joins beyond
+    the bounded source rollup."""
+    from .operators.curation import quality_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    heur = quality_gate(docs).select("doc_id", F.col("keep").alias("label"))
+    agg = (
+        docs.select("doc_id", "source")
+        .join(heur, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("label"), 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    p = F.col("k").cast("double") / F.col("n")
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("n") + F.lit(0.9604) / (n_d * F.col("n"))
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / F.col("n")
+    center = p + F.lit(1.9208) / F.col("n")
+    return agg.select(
+        "source",
+        "n",
+        "k",
+        F.round(p, 6).alias("pass_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("source")
+
+
+@register(
+    "heaps_law_fit",
+    oracle=f"""
+with tok as (
+  select source, unnest({SQL_TOKS}) as w from documents
+),
+pts as (
+  select source,
+         round(ln(cast(count(*) as double)), 6) as x,
+         round(ln(cast(count(distinct w) as double)), 6) as y
+  from tok group by source
+),
+s as (
+  select cast(count(*) as bigint) as n,
+         cast(sum(cast(x as decimal(18,6))) as decimal(38,6)) as sx,
+         cast(sum(cast(y as decimal(18,6))) as decimal(38,6)) as sy,
+         cast(sum(cast(round(x * y, 6) as decimal(18,6))) as decimal(38,6)) as sxy,
+         cast(sum(cast(round(x * x, 6) as decimal(18,6))) as decimal(38,6)) as sxx
+  from pts
+)
+select n as n_sources,
+       round((cast(sxy as double) - cast(sx as double) * cast(sy as double) / n)
+             / (cast(sxx as double) - cast(sx as double) * cast(sx as double) / n),
+             6) as beta,
+       round(exp((cast(sy as double)
+                  - ((cast(sxy as double) - cast(sx as double) * cast(sy as double) / n)
+                     / (cast(sxx as double) - cast(sx as double) * cast(sx as double) / n))
+                    * cast(sx as double)) / n), 6) as k_coef
+from s
+""",
+)
+def q_heaps_law_fit(spark, sf_dir):
+    """Heaps'-law fit V = K·N^β of vocabulary growth across sources:
+    each source contributes one (ln total tokens, ln distinct tokens)
+    point, and a log-log OLS over the ~20 source points estimates β
+    (natural corpora: 0.4-0.6; β → 1 flags a machine-generated or
+    ID-riddled source mix) — the vocabulary-scaling companion to
+    zipf_token_alpha's frequency-decay fit. Corpus work is ONE
+    groupBy(source) pair of counts; the regression runs at source
+    altitude with 6dp-rounded ln points accumulated as exact decimals
+    (the zipf ln discipline), then two closed-form double divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens("text")).alias("w"))
+    pts = tok.groupBy("source").agg(
+        F.round(F.log(F.count(F.lit(1)).cast("double")), 6).alias("x"),
+        F.round(F.log(F.countDistinct("w").cast("double")), 6).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 6).cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 6).cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("sxx"),
+    )
+    beta = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    ) / (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+    )
+    return s.select(
+        F.col("n").alias("n_sources"),
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            F.exp(
+                (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+                / F.col("n")
+            ),
+            6,
+        ).alias("k_coef"),
+    )
