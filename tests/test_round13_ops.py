@@ -337,3 +337,48 @@ def test_brier_decomposition_vs_independent(spark, sf0001):
     assert abs(got["reliability"] - round(rel / n, 6)) <= 2e-6
     assert abs(got["resolution"] - round(res / n, 6)) <= 2e-6
     assert got["uncertainty"] == round(obar * (1 - obar), 6)
+
+
+def test_wilson_ci_properties(spark, sf0001):
+    """Wilson bounds bracket the pass rate, stay in [0,1], and match an
+    independent closed-form replay."""
+    import math
+
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    for r in QUERIES["gate_pass_wilson_ci"].fn(spark, sf0001).collect():
+        n, k = r["n"], r["k"]
+        p = k / n
+        z2 = 1.96 * 1.96
+        half = 1.96 * math.sqrt(p * (1 - p) / n + z2 / 4 / (n * n))
+        lo = (p + z2 / 2 / n - half) / (1 + z2 / n)
+        hi = (p + z2 / 2 / n + half) / (1 + z2 / n)
+        assert 0.0 <= r["wilson_lo"] <= r["pass_rate"] <= r["wilson_hi"] <= 1.0
+        assert abs(r["wilson_lo"] - round(lo, 6)) <= 1e-6
+        assert abs(r["wilson_hi"] - round(hi, 6)) <= 1e-6
+
+
+def test_heaps_fit_recovers_planted_exponent(spark):
+    """On a corpus built to follow V = 2 * N^0.5 exactly (per source),
+    the log-log OLS recovers beta ~ 0.5."""
+    import etl_challenge_localiza_spark.registry as R
+
+    rows = []
+    did = 0
+    for si, n_tok in enumerate([100, 400, 900, 1600, 2500]):
+        v = int(2 * n_tok**0.5)
+        toks = [f"s{si}w{i % v}" for i in range(n_tok)]
+        rows.append((did, " ".join(toks), "en", f"src{si}", len(" ".join(toks))))
+        did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark, sf, name: docs  # noqa: E731
+        got = R.QUERIES["heaps_law_fit"].fn(spark, "ignored").first()
+    finally:
+        R.load_table = orig
+    assert got["n_sources"] == 5
+    assert abs(got["beta"] - 0.5) < 0.02
+    assert abs(got["k_coef"] - 2.0) < 0.1
