@@ -17010,3 +17010,241 @@ def q_heaps_law_fit(spark, sf_dir):
             6,
         ).alias("k_coef"),
     )
+
+
+@register(
+    "ann_recall_at_k",
+    oracle="""
+with c as (select vec_id as centroid_id,
+                  list_transform(embedding, x -> cast(x as double)) as ce
+           from embeddings where vec_id < 8),
+probes as (select vec_id as pid,
+                  list_transform(embedding, x -> cast(x as double)) as qe
+           from embeddings where vec_id < 5),
+allcos as (
+  select p.pid, e.vec_id,
+         round(list_dot_product(list_transform(e.embedding, x -> cast(x as double)), p.qe)
+               / sqrt(list_sum(list_transform(e.embedding,
+                                              x -> cast(x as double) * cast(x as double)))
+                      * list_sum(list_transform(p.qe, x -> x * x))), 6) as cs
+  from embeddings e cross join probes p
+  where e.vec_id <> p.pid
+),
+exact as (
+  select pid, vec_id from allcos
+  qualify row_number() over (partition by pid order by cs desc, vec_id) <= 10
+),
+assign as (
+  select e.vec_id, c.centroid_id,
+         round(sqrt(list_sum(list_transform(
+             list_zip(list_transform(e.embedding, x -> cast(x as double)), c.ce),
+             p -> (p[1] - p[2]) * (p[1] - p[2])))), 6) as dist
+  from embeddings e, c
+  qualify row_number() over (partition by e.vec_id order by dist, centroid_id) = 1
+),
+qprobe as (
+  select p.pid, c.centroid_id,
+         round(sqrt(list_sum(list_transform(
+             list_zip(p.qe, c.ce), z -> (z[1] - z[2]) * (z[1] - z[2])))), 6) as qd
+  from probes p cross join c
+  qualify row_number() over (partition by p.pid order by qd, centroid_id) <= 2
+),
+cand as (
+  select q.pid, a.vec_id
+  from assign a join qprobe q on a.centroid_id = q.centroid_id
+  where a.vec_id <> q.pid
+),
+approx as (
+  select ac.pid, ac.vec_id
+  from allcos ac join cand on ac.pid = cand.pid and ac.vec_id = cand.vec_id
+  qualify row_number() over (partition by ac.pid order by ac.cs desc, ac.vec_id) <= 10
+),
+hits as (
+  select e.pid, cast(count(a.vec_id) as bigint) as n_hits
+  from exact e
+  left join approx a on e.pid = a.pid and e.vec_id = a.vec_id
+  group by e.pid
+)
+select pid as probe_vec_id, n_hits,
+       round(cast(n_hits as double) / 10.0, 2) as recall_at_10
+from hits order by probe_vec_id
+""",
+)
+def q_ann_recall_at_k(spark, sf_dir):
+    """Recall@10 of the IVF-ANN search lane against exact brute-force
+    cosine, over 5 probe vectors — the eval that turns
+    ivf_search_vec0's 'recall measured against knn_cosine_vec0'
+    docstring claim into a first-class, oracle-checked number (the
+    standard ANN benchmark methodology: ann-benchmarks.com reports
+    exactly this curve point). One corpus-×-probes cosine pass feeds
+    BOTH arms (exact ranks directly; the IVF arm semi-joins it against
+    the nprobe=2 candidate set), so the expensive scan is shared and
+    the recall join runs at 5×10-row altitude. All ranks are over
+    6dp-rounded cosines with vec_id tiebreaks — engine-stable."""
+    from .functions.vectors import cosine
+    from .operators.similarity import euclidean_sq, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("qe")
+    )
+    allcos = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select(
+            "pid",
+            "vec_id",
+            F.round(cosine("embedding", "qe"), 6).alias("cs"),
+        )
+    )
+    wp = Window.partitionBy("pid").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    exact = (
+        allcos.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 10)
+        .select("pid", "vec_id")
+    )
+    assign = ivf_assign(emb, n_centroids=8)
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    qprobe = (
+        probes.crossJoin(F.broadcast(cents))
+        .select(
+            "pid",
+            "centroid_id",
+            F.round(F.sqrt(euclidean_sq("qe", "c_emb")), 6).alias("qd"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    F.col("qd").asc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("pid", "centroid_id")
+    )
+    cand = (
+        assign.join(F.broadcast(qprobe), "centroid_id")
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id")
+    )
+    approx = (
+        allcos.join(cand, ["pid", "vec_id"])
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= 10)
+        .select("pid", F.col("vec_id").alias("avid"))
+    )
+    return (
+        exact.join(
+            approx,
+            (exact["pid"] == approx["pid"]) & (exact["vec_id"] == approx["avid"]),
+            "left",
+        )
+        .groupBy(exact["pid"])
+        .agg(F.count(F.col("avid")).cast("long").alias("n_hits"))
+        .select(
+            F.col("pid").alias("probe_vec_id"),
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / F.lit(10.0), 2).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("probe_vec_id")
+    )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+with d as (
+  select doc_id, len({SQL_TOKS}) as n_toks,
+         ntile(10) over (order by doc_id) as decile
+  from documents
+),
+bounds as (
+  select decile, cast(max(doc_id) as bigint) as max_doc_id,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(n_toks) as bigint) as n_toks
+  from d group by decile
+),
+firsts as (
+  select w, min(doc_id) as first_doc
+  from (select doc_id, unnest({SQL_TOKS}) as w from documents)
+  group by w
+),
+fd as (
+  select d.decile, cast(count(*) as bigint) as new_vocab
+  from firsts f join d on d.doc_id = f.first_doc
+  group by d.decile
+)
+select cast(b.decile as int) as decile, b.max_doc_id,
+       cast(sum(b.n_docs) over (order by b.decile) as bigint) as n_docs_cum,
+       cast(sum(b.n_toks) over (order by b.decile) as bigint) as n_tokens_cum,
+       cast(sum(coalesce(fd.new_vocab, 0)) over (order by b.decile) as bigint)
+         as vocab_cum,
+       round(cast(sum(coalesce(fd.new_vocab, 0)) over (order by b.decile) as double)
+             / cast(sum(b.n_toks) over (order by b.decile) as double), 6)
+         as type_token_ratio
+from bounds b left join fd using (decile)
+order by decile
+""",
+)
+def q_vocab_growth_curve(spark, sf_dir):
+    """Exact vocabulary-growth curve: cumulative distinct tokens and
+    type-token ratio at each doc-count decile of the corpus — the
+    EMPIRICAL curve whose power-law fit heaps_law_fit estimates (read
+    together: the fit says β, this says where the data bends away from
+    it). The classically sequential 'distinct so far' scan is made
+    distributed by the first-occurrence trick: min(doc_id) per token
+    (one corpus groupBy), bucket the first-occurrences by decile, and
+    cumulative-sum NEW vocabulary over the 10-row decile table — the
+    corpus is never ordered, only the bounded bucket frame is."""
+    from .operators.ranks import exact_ntile
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = exact_ntile(
+        docs.select("doc_id", F.size(tokens("text")).cast("long").alias("n_toks")),
+        10,
+        "doc_id",
+        "doc_id",
+        out_col="decile",
+    )
+    bounds = d.groupBy("decile").agg(
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_toks"),
+    )
+    firsts = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    fd = (
+        firsts.join(
+            d.select(F.col("doc_id").alias("first_doc"), "decile"), "first_doc"
+        )
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_vocab"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    joined = bounds.join(fd, "decile", "left").select(
+        "decile",
+        "max_doc_id",
+        "n_docs",
+        "n_toks",
+        F.coalesce("new_vocab", F.lit(0)).alias("nv"),
+    )
+    return joined.select(
+        F.col("decile").cast("int").alias("decile"),
+        "max_doc_id",
+        F.sum("n_docs").over(w).cast("long").alias("n_docs_cum"),
+        F.sum("n_toks").over(w).cast("long").alias("n_tokens_cum"),
+        F.sum("nv").over(w).cast("long").alias("vocab_cum"),
+        F.round(
+            F.sum("nv").over(w).cast("double")
+            / F.sum("n_toks").over(w).cast("double"),
+            6,
+        ).alias("type_token_ratio"),
+    ).orderBy("decile")

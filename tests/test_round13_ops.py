@@ -382,3 +382,40 @@ def test_heaps_fit_recovers_planted_exponent(spark):
     assert got["n_sources"] == 5
     assert abs(got["beta"] - 0.5) < 0.02
     assert abs(got["k_coef"] - 2.0) < 0.1
+
+
+def test_ann_recall_bounds_and_exact_arm(spark, sf0001):
+    """recall@10 is in [0,1] per probe, and the IVF arm can never beat
+    the exact arm (hits <= 10); a probe whose two buckets contain the
+    full exact top-10 scores 1.0."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = QUERIES["ann_recall_at_k"].fn(spark, sf0001).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 10
+        assert r["recall_at_10"] == round(r["n_hits"] / 10.0, 2)
+
+
+def test_vocab_growth_monotone_and_consistent(spark, sf0001):
+    """Cumulative columns are nondecreasing, the last row equals the
+    corpus totals, and vocab_cum never exceeds n_tokens_cum."""
+    from etl_challenge_localiza_spark.registry import QUERIES, load_table
+    from etl_challenge_localiza_spark.functions.text import tokens as toks_fn
+
+    rows = QUERIES["vocab_growth_curve"].fn(spark, sf0001).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_docs_cum"] <= b["n_docs_cum"]
+        assert a["n_tokens_cum"] <= b["n_tokens_cum"]
+        assert a["vocab_cum"] <= b["vocab_cum"]
+    last = rows[-1]
+    docs = load_table(spark, sf0001, "documents")
+    from pyspark.sql import functions as F
+
+    tot = docs.select(F.explode(toks_fn("text")).alias("w")).agg(
+        F.count("*").alias("nt"), F.countDistinct("w").alias("v")
+    ).first()
+    assert last["n_tokens_cum"] == tot["nt"]
+    assert last["vocab_cum"] == tot["v"]
+    assert all(r["vocab_cum"] <= r["n_tokens_cum"] for r in rows)
