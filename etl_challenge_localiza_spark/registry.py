@@ -16224,6 +16224,12 @@ def q_cdc_chunk_dedup(spark, sf_dir):
     )
 
 
+#: candidate-pair budget for the levenshtein audit lane (see its
+#: docstring); each pair costs an O(len^2) DP, so the budget is tighter
+#: than the shingle lanes'.
+_LEV_PAIR_BUDGET = 5_000_000
+
+
 @register(
     "levenshtein_block_pairs",
     oracle="""
@@ -16260,13 +16266,47 @@ def q_levenshtein_block_pairs(spark, sf_dir):
     bucket → doc_id order; adjacent → the lower bucket probes up).
     This is the character-exact audit lane beside the token lanes
     (ngram/minhash/simhash): O(Σ block²) verify pairs each paying an
-    O(len²) DP — bounded here by the 64-char bucket width; a skewed
-    length histogram wants the minhash lane, same trade as
-    prefix_filter_jaccard_pairs."""
+    O(len²) DP — a CORPUS that piles docs into few (lang, bucket)
+    cells goes quadratic, so the same refuse-loudly budget as
+    prefix_filter_jaccard_pairs guards it: one aggregate over the
+    block-count table computes the EXACT candidate pair volume
+    (same-bucket C(c,2) + adjacent-bucket c_b·c_{b+1}) and raises
+    above ``_LEV_PAIR_BUDGET`` (5e6 pairs ≈ minutes of DP work on one
+    box; each pair costs an O(len²) dynamic program, far pricier than
+    a shingle intersection), naming the measured volume and the
+    minhash lane as the scale path."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "lang", "text", F.floor(F.col("n_chars") / 64).alias("lb")
     )
+    blocks = d.groupBy("lang", "lb").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    adj = blocks.alias("x").join(
+        blocks.alias("y"),
+        (F.col("x.lang") == F.col("y.lang"))
+        & (F.col("x.lb") + 1 == F.col("y.lb")),
+    ).agg(
+        F.sum(
+            F.col("x.c").cast("decimal(38,0)") * F.col("y.c")
+        ).alias("n_adj")
+    )
+    same = blocks.agg(
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * (F.col("c") - F.lit(1)) / F.lit(2)
+        )
+        .cast("decimal(38,0)")
+        .alias("n_same")
+    )
+    est_row = same.crossJoin(adj).first()
+    est = int(est_row["n_same"] or 0) + int(est_row["n_adj"] or 0)
+    if est > _LEV_PAIR_BUDGET:
+        raise ValueError(
+            f"levenshtein blocking candidate volume {est} exceeds budget "
+            f"{_LEV_PAIR_BUDGET} (length-bucket skew); each candidate pays "
+            "an O(len²) edit-distance DP — use the minhash/ngram lanes at "
+            "this scale, or audit a sampled slice"
+        )
     left = d.select(
         F.col("doc_id").alias("da"),
         F.col("lang").alias("la"),

@@ -419,3 +419,24 @@ def test_vocab_growth_monotone_and_consistent(spark, sf0001):
     assert last["n_tokens_cum"] == tot["nt"]
     assert last["vocab_cum"] == tot["v"]
     assert all(r["vocab_cum"] <= r["n_tokens_cum"] for r in rows)
+
+
+def test_levenshtein_budget_refuses_on_skew(spark):
+    """A corpus piling docs into one (lang, bucket) past the pair
+    budget refuses loudly, naming the measured volume."""
+    import pytest
+
+    import etl_challenge_localiza_spark.registry as R
+
+    n = 3300  # C(3300,2) ~ 5.44M > 5M budget
+    docs = spark.createDataFrame(
+        [(i, "zz word", "en", "s", 7) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark, sf, name: docs  # noqa: E731
+        with pytest.raises(ValueError, match="exceeds budget"):
+            R.QUERIES["levenshtein_block_pairs"].fn(spark, "ignored")
+    finally:
+        R.load_table = orig
