@@ -474,35 +474,39 @@ def eval_decontaminate(
     also present anywhere in the eval set.
 
     Scale shape — the asymmetry is the whole design: the corpus is
-    ~100 TB but an eval suite is MBs, so the eval n-gram set is
-    collapsed to ONE broadcast scalar (sorted array, the house
-    one-row-crossJoin pattern) and every corpus document scores itself
-    with a per-row ``array_intersect`` against it — ZERO corpus
-    shuffle, no explode, no join key ever leaves the row. Spark's
-    array_intersect hash-probes the (sorted, deduped) eval array per
-    row, so per-doc cost is O(grams + |eval|·0) after the one-time
-    broadcast build. Past broadcast budget (eval gram cardinality
-    ≳ 1e8) the same plan degrades gracefully to an explode +
-    broadcast-hash-join + groupBy(doc_id) — one corpus shuffle — but
-    no published benchmark suite is within 1000x of that today."""
+    ~100 TB but an eval suite is MBs, so the eval gram set rides a
+    BROADCAST hash join whose hash table is built once per task, and
+    the corpus side explodes its grams row-locally into that probe —
+    the only shuffle is the groupBy(doc_id) over grams that actually
+    HIT the eval set (≈zero rows for a clean corpus; never the full
+    gram stream). The first cut instead collapsed the eval side to a
+    one-row array and scored each doc with a per-row array_intersect —
+    measured 42 s vs ~1 s at sf0.1: Spark rebuilds the |eval|-entry
+    hash set per ROW (and the >0 filter pushed into the join condition
+    re-evaluates the intersect), i.e. O(rows·|eval|) where the
+    broadcast join pays O(|eval|) per task + O(grams) per row. The
+    join form also degrades gracefully past any broadcast-array
+    budget."""
     grams = F.array_distinct(shingles(tokens("text"), w))
     ev = (
         spread_small_scan(eval_docs)
         .select(F.explode(grams).alias("g"))
         .distinct()
-        .agg(F.sort_array(F.collect_set("g")).alias("ev_grams"))
     )
     return (
-        corpus.select("doc_id", grams.alias("grams"))
-        .crossJoin(F.broadcast(ev))
+        spread_small_scan(corpus)
+        .select("doc_id", grams.alias("grams"))
         .select(
             "doc_id",
             F.size("grams").cast("long").alias("n_grams"),
-            F.size(F.array_intersect("grams", "ev_grams"))
-            .cast("long")
-            .alias("n_contaminated"),
+            F.explode("grams").alias("g"),
         )
-        .filter(F.col("n_contaminated") > 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_contaminated"),
+        )
         .select(
             "doc_id",
             "n_grams",

@@ -10463,13 +10463,15 @@ def q_eval_decontaminate_docs(spark, sf_dir):
     md5-nibble slice of ``documents`` as a held-out eval set and flag
     every remaining corpus doc sharing any 5-token n-gram with it —
     the pre-training hygiene scrub that keeps benchmark answers out of
-    training data. The operator collapses the (small) eval side to one
-    broadcast gram array and scores each corpus doc row-locally with
-    array_intersect — ZERO corpus shuffle (operators/curation.py:
-    eval_decontaminate), vs the explode→broadcast-join→groupBy shape
-    of the older benchmark_contamination lane (one corpus shuffle on
-    the exploded gram stream); this is the plan a 100 TB scrub wants,
-    plus ratio output and a first-class operator API taking any
+    training data. The eval side rides a BROADCAST hash join (hash
+    built once per task) against the corpus's row-local gram explode;
+    the only shuffle is the groupBy(doc_id) over grams that actually
+    HIT the eval set — ≈zero rows for a clean corpus
+    (operators/curation.py:eval_decontaminate, which also documents
+    why the per-row array_intersect form loses: O(rows·|eval|) set
+    rebuilds, measured 42 s vs ~1 s at sf0.1). Differs from the older
+    benchmark_contamination lane by the ratio output, the held-out
+    md5-slice split, and a first-class operator API taking any
     (corpus, eval) pair. The oracle replays the identical token model
     (SQL_TOKS) and distinct-gram counting; the only double is the
     final ratio division, rounded 6dp on both engines."""
@@ -16251,7 +16253,7 @@ select least(da, db) as doc_id_a,
        greatest(da, db) as doc_id_b,
        cast(levenshtein(ta, tb) as bigint) as edit_distance
 from cand
-where levenshtein(ta, tb) <= 16
+where abs(length(ta) - length(tb)) <= 16 and levenshtein(ta, tb) <= 16
 order by doc_id_a, doc_id_b
 """,
 )
@@ -16275,8 +16277,13 @@ def q_levenshtein_block_pairs(spark, sf_dir):
     box; each pair costs an O(len²) dynamic program, far pricier than
     a shingle intersection), naming the measured volume and the
     minhash lane as the scale path."""
+    from .sources.readers import spread_small_scan
+
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
+    # spread the (small-file) scan BEFORE the pair join: without it the
+    # whole O(len²) DP stage inherits the scan's single input split and
+    # serializes on one core (measured: 16+ min for 1.1M pairs at ×1)
+    d = spread_small_scan(docs).select(
         "doc_id", "lang", "text", F.floor(F.col("n_chars") / 64).alias("lb")
     )
     blocks = d.groupBy("lang", "lb").agg(
@@ -16323,14 +16330,24 @@ def q_levenshtein_block_pairs(spark, sf_dir):
             | ((F.col("lba") == F.col("lb")) & (F.col("da") < F.col("doc_id")))
         ),
     )
-    lev = F.levenshtein(F.col("ta"), F.col("text"))
+    # two-stage verify: a free length prefilter (|len(a)−len(b)| ≤ 16
+    # is NECESSARY for lev ≤ 16, and most cross/adjacent-bucket pairs
+    # fail it), then the BANDED DP — Spark's 3-arg levenshtein runs the
+    # O(len·threshold) Ukkonen band instead of the full O(len²) table
+    # and returns −1 past the threshold (exact below it). Result set
+    # identical to the unbanded form; the oracle keeps plain
+    # levenshtein(...) ≤ 16 (DuckDB has no banded variant).
+    cand = cand.filter(
+        F.abs(F.length(F.col("ta")) - F.length(F.col("text"))) <= 16
+    )
+    lev = F.levenshtein(F.col("ta"), F.col("text"), 16)
     return (
-        cand.filter(lev <= 16)
-        .select(
+        cand.select(
             F.least(F.col("da"), F.col("doc_id")).alias("doc_id_a"),
             F.greatest(F.col("da"), F.col("doc_id")).alias("doc_id_b"),
             lev.cast("long").alias("edit_distance"),
         )
+        .filter(F.col("edit_distance") >= 0)
         .orderBy("doc_id_a", "doc_id_b")
     )
 

@@ -444,15 +444,15 @@ def test_eval_decontaminate_flags_shared_ngram(spark):
     )
 
 
-def test_eval_decontaminate_corpus_side_is_shuffle_free(spark):
-    """The scale contract: the corpus never shuffles — the only
-    exchanges in the plan belong to the (small) eval gram aggregate,
-    and the corpus side joins via broadcast."""
+def test_eval_decontaminate_plan_shape(spark):
+    """The scale contract: the eval gram set rides a BROADCAST hash
+    join (hash built once per task, never per row) and there is no
+    sort-merge join — the only corpus-keyed shuffle is the
+    hit-altitude groupBy(doc_id)."""
     from etl_challenge_localiza_spark.operators.curation import eval_decontaminate
 
     eval_docs = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
     corpus = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
     plan = eval_decontaminate(corpus, eval_docs, w=5)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # no sort-merge join / no hash aggregate keyed on corpus doc_id
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
