@@ -57,10 +57,14 @@ def _duck_control(sf_dir: str, oracle_queries: dict[str, str]) -> dict[str, floa
         # transfer cost Spark doesn't, flattering the ratio (ADVICE r12)
         wrapped = f"with __bench_q as materialized ({sql}) select count(*) from __bench_q"
         try:
-            con.sql(wrapped)  # parse+bind only (lazy relation)
+            # EXECUTE once (not just parse/bind — con.sql alone returns a
+            # lazy relation, so a wrapper that binds but fails at runtime
+            # would otherwise escape the timed loop and abort the whole
+            # bench run; ADVICE r13). Doubles as the warm-up run.
+            con.sql(wrapped).fetchall()
             run_sql = wrapped
         except Exception:
-            run_sql = sql  # rare shapes the wrapper can't nest
+            run_sql = sql  # rare shapes the wrapper can't nest/execute
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -457,18 +457,29 @@ def label_pca_variance(
 
     spark = emb.sparkSession
     if d is None:
-        # infer the embedding dimension from the data (one first-row
-        # probe, the brp_lsh_ann_pairs portable-mode pattern) — a
-        # hardcoded d crashes on wider embeddings and pays d² Gram
-        # work on zero padding for narrower ones
-        probe = emb.select(F.size("embedding").alias("dim")).head(1)
-        if not probe:
+        # infer the embedding dimension from the data with a one-row
+        # MAX aggregate over non-null embeddings — a hardcoded d
+        # crashes on wider embeddings and pays d² Gram work on zero
+        # padding for narrower ones. A head(1) probe (the first cut)
+        # could land on a NULL embedding (TypeError) or, under
+        # non-uniform widths, on whichever row the plan returned first
+        # (nondeterministic d) — ADVICE r13. UNIFORM-WIDTH ASSUMPTION:
+        # the Gram accumulation below zip-indexes every vector against
+        # 0..d-1, so all non-null embeddings must share one width;
+        # max() makes the probe deterministic and null-safe, not
+        # width-mixing-safe.
+        probe = (
+            emb.filter(F.col("embedding").isNotNull())
+            .agg(F.max(F.size("embedding")).alias("dim"))
+            .first()
+        )
+        if probe is None or probe["dim"] is None:
             return spark.createDataFrame(
                 [],
                 "label long, n_vectors long, total_variance double, "
                 "leading_eigenvalue double, explained_ratio double",
             )
-        d = int(probe[0]["dim"])
+        d = int(probe["dim"])
     xs = emb.select(
         "label",
         F.transform(

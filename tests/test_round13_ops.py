@@ -22,53 +22,63 @@ def test_wasserstein_registry_shape(spark):
     assert row["w1_distance"] >= 0.0
 
 
-def test_kendall_tau_hand_case(spark, monkeypatch):
-    """tau-b on a 4-point series with one tie in each variable,
-    hand-computed: x=(1,2,2,4), m=(1,3,2,2)."""
-    # pairs (i<j): (1,2): x<,m< -> C ; (1,3): x<,m< -> C ; (1,4): x<,m< -> C
-    # (2,3): x=,m> -> tie_x ; (2,4): x=,m> -> tie_x... wait m=(1,3,2,2):
-    # (2,3): x 2=2 tie; (2,4): x 2=2... x=(1,2,2,4) so pair(2,3) x tie,
-    # (2,4): x 2<4, m 3>2 -> D; (3,4): x 2<4, m 2=2 -> tie_y
-    xs = [1.0, 2.0, 2.0, 4.0]
-    ms = [1, 3, 2, 2]
+def test_kendall_tau_hand_case(spark):
+    """tau-b hand case driven through the FULL registry function
+    (monkeypatched load_table, the levenshtein-test pattern — ADVICE
+    r13: an inline re-implementation exercised none of the lane's
+    calendar spine, zero-fill, or tie-correction plumbing).
+
+    Orders are constructed so the lane's daily grid comes out as
+    x=(1,2,2,4) revenue over m=(1,3,2,2) orders across 4 contiguous
+    days, plus a GAP day (day 5 absent, day 6 present) so the spine's
+    zero-fill contributes one (x=0, m=0) row:
+
+      final series over 6 grid days: x=(1,2,2,4,0,1), m=(1,3,2,2,0,1)
+
+    Hand enumeration of the 15 pairs: concordant 11, discordant 1
+    (day2 vs day4: revenue up, order count down), x-ties {1:2, 2:2}
+    → 2 pairs, m-ties {1:2, 2:2} → 2 pairs,
+    tau_b = (11-1)/sqrt((15-2)*(15-2)) = 10/13."""
+    import etl_challenge_localiza_spark.registry as R
+
+    prices = {
+        "2024-01-01": ["1.00"],
+        "2024-01-02": ["0.50", "0.75", "0.75"],
+        "2024-01-03": ["1.00", "1.00"],
+        "2024-01-04": ["2.00", "2.00"],
+        # 2024-01-05 is the zero-filled gap day
+        "2024-01-06": ["1.00"],
+    }
+    rows = [(d, p) for d, ps in prices.items() for p in ps]
+    orders = spark.createDataFrame(
+        rows, "o_orderdate string, o_totalprice string"
+    ).select(
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    xs = [1.0, 2.0, 2.0, 4.0, 0.0, 1.0]
+    ms = [1, 3, 2, 2, 0, 1]
     nc = nd = 0
-    for i in range(4):
-        for j in range(i + 1, 4):
+    for i in range(6):
+        for j in range(i + 1, 6):
             p = (xs[i] - xs[j]) * (ms[i] - ms[j])
             if p > 0:
                 nc += 1
-            elif p < 0 and xs[i] != xs[j] and ms[i] != ms[j]:
+            elif p < 0:
                 nd += 1
-    n0 = 6
-    n1 = 1  # one x-tie pair
-    n2 = 1  # one m-tie pair
-    tau = (nc - nd) / math.sqrt((n0 - n1) * (n0 - n2))
-    # replicate with the same pair logic the query uses
-    rows = [(i, xs[i], ms[i]) for i in range(4)]
-    g = spark.createDataFrame(rows, "i long, x double, m long")
-    a, b = g.alias("a"), g.alias("b")
-    got = (
-        a.join(b, F.col("a.i") < F.col("b.i"))
-        .agg(
-            F.sum(
-                F.when(
-                    ((F.col("a.x") < F.col("b.x")) & (F.col("a.m") < F.col("b.m")))
-                    | ((F.col("a.x") > F.col("b.x")) & (F.col("a.m") > F.col("b.m"))),
-                    1,
-                ).otherwise(0)
-            ).alias("nc"),
-            F.sum(
-                F.when(
-                    ((F.col("a.x") < F.col("b.x")) & (F.col("a.m") > F.col("b.m")))
-                    | ((F.col("a.x") > F.col("b.x")) & (F.col("a.m") < F.col("b.m"))),
-                    1,
-                ).otherwise(0)
-            ).alias("nd"),
-        )
-        .first()
-    )
-    assert (got["nc"], got["nd"]) == (nc, nd)
-    assert abs((got["nc"] - got["nd"]) / math.sqrt((n0 - n1) * (n0 - n2)) - tau) < 1e-12
+    n0, n1, n2 = 15, 2, 2
+    assert (nc, nd) == (11, 1)
+    tau = round((nc - nd) / math.sqrt((n0 - n1) * (n0 - n2)), 6)
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark, sf, name: orders  # noqa: E731
+        got = R.QUERIES["kendall_tau_daily"].fn(spark, "ignored").first()
+    finally:
+        R.load_table = orig
+    assert got["n_days"] == 6
+    assert (got["concordant"], got["discordant"]) == (nc, nd)
+    assert (got["ties_revenue"], got["ties_count"]) == (n1, n2)
+    assert got["tau_b"] == tau
 
 
 def test_holt_recurrence_two_steps(spark):

@@ -184,7 +184,10 @@ def main() -> int:
                 "select count(*) from __bench_q"
             )
             try:
-                con.sql(wrapped)  # parse+bind only
+                # execute once, not just parse/bind — a wrapper that
+                # binds but fails at runtime must fall back instead of
+                # aborting the run (ADVICE r13); doubles as warm-up
+                con.sql(wrapped).fetchall()
                 run_sql = wrapped
             except Exception:
                 run_sql = q.oracle
