@@ -16231,6 +16231,12 @@ def q_cdc_chunk_dedup(spark, sf_dir):
 #: than the shingle lanes'.
 _LEV_PAIR_BUDGET = 5_000_000
 
+#: budget-refusal auto-escalation depth (VERDICT r13 #3): on refusal the
+#: lane retries on a deterministic md5-sampled doc slice sized to the
+#: budget (the mg_rescored_topk unattended-ladder pattern) before
+#: raising; 0 restores the refuse-only behavior (tests pin that tier).
+_LEV_MAX_ESCALATIONS = 4
+
 
 @register(
     "levenshtein_block_pairs",
@@ -16251,7 +16257,8 @@ cand as (
 )
 select least(da, db) as doc_id_a,
        greatest(da, db) as doc_id_b,
-       cast(levenshtein(ta, tb) as bigint) as edit_distance
+       cast(levenshtein(ta, tb) as bigint) as edit_distance,
+       cast(1.0 as double) as sampled_fraction
 from cand
 where abs(length(ta) - length(tb)) <= 16 and levenshtein(ta, tb) <= 16
 order by doc_id_a, doc_id_b
@@ -16269,51 +16276,105 @@ def q_levenshtein_block_pairs(spark, sf_dir):
     This is the character-exact audit lane beside the token lanes
     (ngram/minhash/simhash): O(Σ block²) verify pairs each paying an
     O(len²) DP — a CORPUS that piles docs into few (lang, bucket)
-    cells goes quadratic, so the same refuse-loudly budget as
-    prefix_filter_jaccard_pairs guards it: one aggregate over the
-    block-count table computes the EXACT candidate pair volume
-    (same-bucket C(c,2) + adjacent-bucket c_b·c_{b+1}) and raises
-    above ``_LEV_PAIR_BUDGET`` (5e6 pairs ≈ minutes of DP work on one
-    box; each pair costs an O(len²) dynamic program, far pricier than
-    a shingle intersection), naming the measured volume and the
-    minhash lane as the scale path."""
+    cells goes quadratic, so an exact pair-volume budget guards it
+    (same family as prefix_filter_jaccard_pairs): one aggregate over
+    the block-count table computes the EXACT candidate pair volume
+    (same-bucket C(c,2) + adjacent-bucket c_b·c_{b+1}) against
+    ``_LEV_PAIR_BUDGET`` (5e6 pairs ≈ minutes of DP work on one box).
+
+    AUTO-ESCALATION LADDER (VERDICT r13 #3, the mg_rescored_topk
+    unattended-ladder pattern): instead of only refusing, an
+    over-budget corpus retries on a DETERMINISTIC md5-sampled doc
+    slice — keep doc iff md5('levsample:'||doc_id) mod 1e6 < f·1e6,
+    with f chosen so the RE-MEASURED exact volume fits (pair volume
+    scales ~f², so each tier multiplies f by 0.9·√(budget/est) and
+    re-measures — the guarantee comes from re-measurement, never the
+    projection). Every row carries ``sampled_fraction`` (1.0 on the
+    exact tier), so a sampled audit is visibly a sample. Only when
+    ``_LEV_MAX_ESCALATIONS`` tiers fail does it REFUSE loudly, naming
+    the measured volume and the minhash lane as the scale path.
+
+    Scan shape (VERDICT r13 "what's wrong" #1): tier estimates read
+    only a column-pruned (doc_id, lang, n_chars) projection — the text
+    column is never scanned for an estimate — and the accepted tier's
+    full projection is localCheckpoint'ed ONCE, so the self-join's two
+    sides replay the checkpoint instead of re-scanning parquet: one
+    text scan total per call."""
+    import sys as _sys
+
     from .sources.readers import spread_small_scan
 
     docs = load_table(spark, sf_dir, "documents")
-    # spread the (small-file) scan BEFORE the pair join: without it the
-    # whole O(len²) DP stage inherits the scan's single input split and
-    # serializes on one core (measured: 16+ min for 1.1M pairs at ×1)
+    # pruned estimate projection: no text column (parquet reads just
+    # the three narrow columns for every tier probe)
+    dm = docs.select(
+        "doc_id", "lang", F.floor(F.col("n_chars") / 64).alias("lb")
+    )
+    sample_hash = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("levsample:"), F.col("doc_id"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+
+    def _volume(frame) -> int:
+        blocks = frame.groupBy("lang", "lb").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        adj = blocks.alias("x").join(
+            blocks.alias("y"),
+            (F.col("x.lang") == F.col("y.lang"))
+            & (F.col("x.lb") + 1 == F.col("y.lb")),
+        ).agg(
+            F.sum(
+                F.col("x.c").cast("decimal(38,0)") * F.col("y.c")
+            ).alias("n_adj")
+        )
+        same = blocks.agg(
+            F.sum(
+                F.col("c").cast("decimal(38,0)") * (F.col("c") - F.lit(1)) / F.lit(2)
+            )
+            .cast("decimal(38,0)")
+            .alias("n_same")
+        )
+        est_row = same.crossJoin(adj).first()
+        return int(est_row["n_same"] or 0) + int(est_row["n_adj"] or 0)
+
+    thr = 1_000_000  # md5-sample keep threshold out of 1e6 (1e6 = keep all)
+    est = _volume(dm)
+    for tier in range(_LEV_MAX_ESCALATIONS + 1):
+        if est <= _LEV_PAIR_BUDGET:
+            break
+        if tier == _LEV_MAX_ESCALATIONS:
+            raise ValueError(
+                f"levenshtein blocking candidate volume {est} exceeds budget "
+                f"{_LEV_PAIR_BUDGET} even after {_LEV_MAX_ESCALATIONS} "
+                "sampling escalations (length-bucket skew); each candidate "
+                "pays an O(len²) edit-distance DP — use the minhash/ngram "
+                "lanes at this scale"
+            )
+        # pair volume scales ~f²; 0.9 safety margin, then RE-MEASURE
+        thr = max(1, int(thr * 0.9 * (_LEV_PAIR_BUDGET / est) ** 0.5))
+        print(
+            f"levenshtein_block_pairs: volume {est} > budget "
+            f"{_LEV_PAIR_BUDGET}; escalating to md5-sampled slice "
+            f"f={thr / 1e6:.6f}",
+            file=_sys.stderr,
+        )
+        est = _volume(dm.filter(sample_hash < thr))
+    # accepted tier: ONE text scan, checkpointed so the self-join's two
+    # sides replay it; spread BEFORE the pair join so the O(len²) DP
+    # stage never inherits a single-split scan (measured: 16+ min
+    # serialized at ×1 without it)
     d = spread_small_scan(docs).select(
         "doc_id", "lang", "text", F.floor(F.col("n_chars") / 64).alias("lb")
     )
-    blocks = d.groupBy("lang", "lb").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    )
-    adj = blocks.alias("x").join(
-        blocks.alias("y"),
-        (F.col("x.lang") == F.col("y.lang"))
-        & (F.col("x.lb") + 1 == F.col("y.lb")),
-    ).agg(
-        F.sum(
-            F.col("x.c").cast("decimal(38,0)") * F.col("y.c")
-        ).alias("n_adj")
-    )
-    same = blocks.agg(
-        F.sum(
-            F.col("c").cast("decimal(38,0)") * (F.col("c") - F.lit(1)) / F.lit(2)
-        )
-        .cast("decimal(38,0)")
-        .alias("n_same")
-    )
-    est_row = same.crossJoin(adj).first()
-    est = int(est_row["n_same"] or 0) + int(est_row["n_adj"] or 0)
-    if est > _LEV_PAIR_BUDGET:
-        raise ValueError(
-            f"levenshtein blocking candidate volume {est} exceeds budget "
-            f"{_LEV_PAIR_BUDGET} (length-bucket skew); each candidate pays "
-            "an O(len²) edit-distance DP — use the minhash/ngram lanes at "
-            "this scale, or audit a sampled slice"
-        )
+    if thr < 1_000_000:
+        d = d.filter(sample_hash < thr)
+    d = d.localCheckpoint(eager=True)
+    frac = F.lit(thr / 1e6).cast("double")
     left = d.select(
         F.col("doc_id").alias("da"),
         F.col("lang").alias("la"),
@@ -16346,6 +16407,7 @@ def q_levenshtein_block_pairs(spark, sf_dir):
             F.least(F.col("da"), F.col("doc_id")).alias("doc_id_a"),
             F.greatest(F.col("da"), F.col("doc_id")).alias("doc_id_b"),
             lev.cast("long").alias("edit_distance"),
+            frac.alias("sampled_fraction"),
         )
         .filter(F.col("edit_distance") >= 0)
         .orderBy("doc_id_a", "doc_id_b")

@@ -431,9 +431,11 @@ def test_vocab_growth_monotone_and_consistent(spark, sf0001):
     assert all(r["vocab_cum"] <= r["n_tokens_cum"] for r in rows)
 
 
-def test_levenshtein_budget_refuses_on_skew(spark):
-    """A corpus piling docs into one (lang, bucket) past the pair
-    budget refuses loudly, naming the measured volume."""
+def test_levenshtein_budget_refuses_on_skew(spark, monkeypatch):
+    """With the escalation ladder disabled, a corpus piling docs into
+    one (lang, bucket) past the pair budget refuses loudly, naming the
+    measured volume — the refuse tier of the refusal→sample→exact
+    ladder."""
     import pytest
 
     import etl_challenge_localiza_spark.registry as R
@@ -443,10 +445,62 @@ def test_levenshtein_budget_refuses_on_skew(spark):
         [(i, "zz word", "en", "s", 7) for i in range(n)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
+    monkeypatch.setattr(R, "_LEV_MAX_ESCALATIONS", 0)
     orig = R.load_table
     try:
         R.load_table = lambda spark, sf, name: docs  # noqa: E731
         with pytest.raises(ValueError, match="exceeds budget"):
             R.QUERIES["levenshtein_block_pairs"].fn(spark, "ignored")
+    finally:
+        R.load_table = orig
+
+
+def test_levenshtein_escalation_ladder_tiers(spark, monkeypatch):
+    """The three tiers of the budget ladder (VERDICT r13 #3), pinned
+    on one fixture family:
+
+    - EXACT: in-budget corpus → sampled_fraction == 1.0 and the exact
+      pair set;
+    - SAMPLE: over-budget corpus → a deterministic md5-sampled audit
+      whose re-measured volume fits the budget, sampled_fraction < 1,
+      and every returned pair is a pair of surviving docs (a SUBSET of
+      the exact answer — distances still exact);
+    - REFUSE: ladder exhausted (escalations=0 pinned in the test
+      above; here budget=0 makes even f→0 slices over-budget... a
+      0-pair slice always fits, so refusal needs the disabled ladder —
+      asserted via max_escalations=0 on the over-budget corpus).
+    """
+    import etl_challenge_localiza_spark.registry as R
+
+    n = 100
+    docs = spark.createDataFrame(
+        [(i, "zz word", "en", "s", 7) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark, sf, name: docs  # noqa: E731
+
+        # EXACT tier: C(100,2)=4950 <= 5000
+        monkeypatch.setattr(R, "_LEV_PAIR_BUDGET", 5_000)
+        rows = R.QUERIES["levenshtein_block_pairs"].fn(spark, "ignored").collect()
+        assert len(rows) == n * (n - 1) // 2
+        assert all(r["sampled_fraction"] == 1.0 for r in rows)
+        assert all(r["edit_distance"] == 0 for r in rows)
+
+        # SAMPLE tier: C(100,2)=4950 > 1000 → one escalation lands a
+        # ~0.40 slice (~40 docs → ~800 pairs <= 1000)
+        monkeypatch.setattr(R, "_LEV_PAIR_BUDGET", 1_000)
+        sampled = R.QUERIES["levenshtein_block_pairs"].fn(spark, "ignored").collect()
+        assert 0 < len(sampled) <= 1_000
+        fracs = {r["sampled_fraction"] for r in sampled}
+        assert len(fracs) == 1 and 0.0 < next(iter(fracs)) < 1.0
+        kept = {r["doc_id_a"] for r in sampled} | {r["doc_id_b"] for r in sampled}
+        m = len(kept)
+        # the sampled slice is pairwise-complete on the surviving docs
+        assert len(sampled) == m * (m - 1) // 2
+        # determinism: the md5 slice is a pure function of doc_id
+        again = R.QUERIES["levenshtein_block_pairs"].fn(spark, "ignored").collect()
+        assert sorted(map(tuple, sampled)) == sorted(map(tuple, again))
     finally:
         R.load_table = orig
