@@ -394,6 +394,353 @@ def cms_join_size_estimate(
     )
 
 
+def hdr_cells(
+    values: DataFrame, value_col: str, mantissa_bits: int = 7
+) -> DataFrame:
+    """Build the VALUE-SPACE dyadic quantile-sketch cell table
+    (blo, cell_n) over positive integer values — the quantile member
+    of the mergeable-summaries family (VERDICT r13 #2), the
+    HdrHistogram / dyadic-γ DDSketch construction:
+
+    each value v lands in the bucket [blo, blo + 2^s) where
+    e = floor(log2 v) (computed EXACTLY as length(bin(v)) − 1 — pure
+    integer ops both engines share), s = max(e − b, 0) and
+    blo = (v >> s) << s, i.e. v's top b+1 significant bits. Bucket
+    width / bucket lower bound ≤ 2^−b, which is the sketch's whole
+    guarantee: any value in a bucket is within relative error 2^−b of
+    the bucket's lower bound.
+
+    Why THIS member closes the quantile gap rather than KLL or a
+    t-digest (both implemented as operators elsewhere in this family's
+    story — see kll_quantile_sketch): the binning is a pure function
+    of the VALUE, so (a) the construction is deterministic and
+    replayable by a SQL oracle in exact integer arithmetic — full
+    cross-engine value checks, where KLL's compaction depends on scan
+    partitioning and t-digest's centroids on merge order — and (b) the
+    merge law is EXACT: merging half-sketches is cellwise count
+    addition, bit-identical to the whole-corpus build (the CMS cells
+    property; rank-based sketches only merge approximately).
+
+    State bound: ≤ (64 − b)·2^b non-empty cells no matter the data
+    (b=7 → ≤ 7,296), reached only by a corpus spanning all 64 octaves.
+    Counts aggregate at distinct-value altitude first (map-side
+    combine), then fold into cells — one shuffle whose width is
+    min(NDV, cell count)."""
+    v = F.col(value_col).cast("long")
+    e = F.length(F.bin(v)) - 1
+    s = F.greatest(e - mantissa_bits, F.lit(0))
+    # v >> s with a COLUMN shift: exact double halving (dividing by a
+    # power of two only moves the exponent; v < 2^53 so floor is exact)
+    p2 = F.pow(F.lit(2.0), s)
+    blo = (F.floor(v / p2).cast("long") * p2.cast("long")).cast("long")
+    return (
+        values.select(v.alias("v"))
+        .filter(F.col("v") > 0)
+        .groupBy(blo.alias("blo"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cell_n"))
+    )
+
+
+def merge_hdr_cells(a: DataFrame, b: DataFrame) -> DataFrame:
+    """HDR-sketch merge law: cellwise integer count sum (full-outer on
+    the bucket lower bound; absent cell = 0). Because buckets are a
+    pure function of the value, the merged table is BIT-IDENTICAL to
+    the whole-corpus build — exact associativity, any slicing."""
+    bb = b.select("blo", F.col("cell_n").alias("cell_nb"))
+    return (
+        a.join(bb, ["blo"], "full_outer")
+        .select(
+            "blo",
+            (
+                F.coalesce(F.col("cell_n"), F.lit(0))
+                + F.coalesce(F.col("cell_nb"), F.lit(0))
+            )
+            .cast("long")
+            .alias("cell_n"),
+        )
+    )
+
+
+def hdr_quantile_report(
+    df: DataFrame,
+    value_col: str,
+    half_col: str,
+    probes: list[tuple[int, int]],
+    mantissa_bits: int = 7,
+) -> DataFrame:
+    """Quantile report from the HDR sketch, the count_min_report merge-
+    law harness shape: for each probe quantile num/den report
+    (q, est_cents, est_merged_cents, exact_cents, rel_err) where
+
+    - est_cents = sketch answer: target rank r = ceil(q·n) as EXACT
+      integers ((num·n + den − 1) div den), estimate = lower bound of
+      the first bucket (by blo asc) whose cumulative count reaches r;
+    - est_merged_cents = same answer read from TWO half-sketches built
+      INDEPENDENTLY on the ``half_col``-parity slices and combined via
+      the public merge_hdr_cells full-outer sum — a bug in the bucket
+      map, the cell aggregation, or the merge join surfaces as
+      est_merged ≠ est (non-vacuous for the same reason as
+      cms_est_merged, ADVICE r9);
+    - exact_cents = the true order statistic (smallest value whose
+      cumulative exact count ≥ r), the report's ground truth — the
+      expensive full-NDV path that exists HERE as proof while the
+      sketch is what a stream maintains;
+    - rel_err = (exact − est)/exact ∈ [0, 2^−b) — the sketch
+      guarantee as a checked number (pytest-pinned bound).
+
+    Everything after the per-value aggregates is cell-table-sized
+    (≤ (64−b)·2^b rows), broadcast into the probe joins."""
+    h0 = F.col(half_col) % 2 == 0
+    base = df.select(
+        F.col(value_col).cast("long").alias("v"), h0.alias("h0")
+    ).filter(F.col("v") > 0)
+    spark = df.sparkSession
+
+    cells = hdr_cells(base, "v", mantissa_bits)
+    merged = merge_hdr_cells(
+        hdr_cells(base.filter(F.col("h0")), "v", mantissa_bits),
+        hdr_cells(base.filter(~F.col("h0")), "v", mantissa_bits),
+    )
+
+    w = Window.orderBy("blo").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select("blo", F.sum("cell_n").over(w).alias("cum"))
+    cum_m = merged.select("blo", F.sum("cell_n").over(w).alias("cum"))
+    n = cells.agg(F.sum("cell_n").cast("long").alias("n"))
+
+    probes_df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in probes], "num long, den long"
+    )
+    r = probes_df.crossJoin(F.broadcast(n)).select(
+        "num",
+        "den",
+        "n",
+        ((F.col("num") * F.col("n") + F.col("den") - F.lit(1)) / F.col("den"))
+        .cast("long")
+        .alias("r"),
+    )
+
+    def first_reaching(cum_df: DataFrame, out: str) -> DataFrame:
+        return (
+            r.join(F.broadcast(cum_df), F.col("cum") >= F.col("r"))
+            .groupBy("num", "den", "r")
+            .agg(F.min("blo").alias(out))
+        )
+
+    est = first_reaching(cum, "est_cents")
+    est_m = first_reaching(cum_m, "est_merged_cents").drop("r")
+
+    # exact order statistic: distinct-value cumulative counts
+    vals = base.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    vw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vcum = vals.select("v", F.sum("c").over(vw).alias("cum"))
+    exact = (
+        r.join(vcum, F.col("cum") >= F.col("r"))
+        .groupBy("num", "den")
+        .agg(F.min("v").alias("exact_cents"))
+    )
+
+    return (
+        est.join(est_m, ["num", "den"])
+        .join(exact, ["num", "den"])
+        .select(
+            F.round(F.col("num").cast("double") / F.col("den"), 6).alias("q"),
+            F.col("r").alias("target_rank"),
+            "est_cents",
+            "est_merged_cents",
+            "exact_cents",
+            F.round(
+                (F.col("exact_cents") - F.col("est_cents")).cast("double")
+                / F.col("exact_cents"),
+                6,
+            ).alias("rel_err"),
+        )
+        .orderBy("q")
+    )
+
+
+def _kll_partition_sketch(col: str, k: int):
+    """mapInPandas kernel: one deterministic KLL-family compactor
+    sketch per partition, emitted as (kind, level, val) rows —
+    kind='item' rows are the sketch contents (val = item value, weight
+    2^level), kind='comp' rows carry the per-level compaction counts
+    that make the sketch SELF-CERTIFYING (see kll_quantile_sketch)."""
+    import pandas as pd
+
+    def run(batches):
+        levels: list[list[int]] = [[]]
+        comps: dict[int, int] = {}
+
+        def compact(lv: int) -> None:
+            buf = sorted(levels[lv])
+            leftover: list[int] = []
+            if len(buf) % 2 == 1:
+                # leave one item behind so total weight is conserved
+                # exactly (odd halving would inflate weight by 2^lv)
+                leftover = [buf[-1]]
+                buf = buf[:-1]
+            off = comps.get(lv, 0) % 2  # deterministic alternating parity
+            comps[lv] = comps.get(lv, 0) + 1
+            promoted = buf[off::2]
+            levels[lv] = leftover
+            if len(levels) <= lv + 1:
+                levels.append([])
+            levels[lv + 1].extend(promoted)
+
+        for pdf in batches:
+            # feed the WHOLE Arrow batch before compacting: compaction
+            # error is ≤ 2^lv per compaction regardless of buffer size,
+            # so larger buffers mean strictly fewer compactions and a
+            # tighter certificate (memory stays one Arrow batch + the
+            # bounded levels, the MG-kernel contract)
+            levels[0].extend(int(x) for x in pdf[col].to_numpy())
+            lv = 0
+            while lv < len(levels):
+                if len(levels[lv]) >= 2 * k:
+                    compact(lv)  # may extend levels
+                else:
+                    lv += 1
+        out = [("item", lv, v) for lv, vs in enumerate(levels) for v in vs]
+        out += [("comp", lv, c) for lv, c in comps.items()]
+        if out:
+            yield pd.DataFrame(out, columns=["kind", "level", "val"])
+
+    return run
+
+
+def kll_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    probes: list[tuple[int, int]],
+    k: int = 256,
+) -> DataFrame:
+    """KLL-family distributed quantile sketch (Karnin–Lang–Liberty
+    compactor lineage, deterministic-alternation variant — the
+    Manku–Rajagopalan–Lindsay schedule) with an IN-BAND exactness
+    certificate (VERDICT r13 #2):
+
+    1. each partition builds a compactor stack in one Arrow-batched
+       pass (_kll_partition_sketch): level lv holds items of weight
+       2^lv; a full level is sorted and every other item promoted
+       (alternating parity), so ONE compaction of level lv moves any
+       rank estimate by at most 2^lv — the classic compactor bound;
+    2. partition sketches MERGE by level-wise concatenation plus the
+       same compaction rule on over-full levels (driver-side: the
+       total state is ≤ #partitions · k · log(n/k) items — bounded
+       model state, not data);
+    3. the sketch answers rank queries as weighted cumulative counts;
+       estimate for target rank r = smallest sketch item whose
+       weighted rank reaches r.
+
+    CERTIFICATE: every compaction increments a per-level counter, so
+    the sketch carries its own worst-case rank-error bound: per probe,
+    bound = B + W_est − 1 where B = Σ_lv m_lv · 2^lv is the compaction
+    error (m_lv = total compactions at level lv across all partitions
+    and the merge; one compaction of level lv shifts any fixed value's
+    rank estimate by at most 2^lv) and W_est is the total sketch
+    weight at the answering value (the discretization span: the target
+    rank can land anywhere inside the chosen item's weight). The
+    report joins ONE bounded corpus aggregate (true_rank(est) =
+    count(v ≤ est), a conditional-sum battery in a single scan) so the
+    guarantee is a CHECKED number per row: |true_rank − target_rank| ≤
+    bound, pytest-pinned and visible to any reader of the output.
+
+    WHY NO SQL ORACLE (rows-only by design): the sketch contents
+    depend on the scan's partition boundaries and batch sizes — state
+    no SQL engine replays. The in-band true_rank/bound columns are the
+    stronger check; the value-replayable member of the quantile family
+    is the HDR sketch (hdr_cells), whose binning is partition-free.
+
+    Returns (q, target_rank, est, true_rank, abs_rank_err, bound, n):
+    n is the sketch's total weight, exactly the row count (weight is
+    conserved by even-only compaction), cross-checked against the
+    probe scan's count."""
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).cast("long").alias("v"))
+    rows = vals.mapInPandas(
+        _kll_partition_sketch("v", k), schema="kind string, level int, val long"
+    ).collect()
+
+    levels: dict[int, list[int]] = {}
+    comps: dict[int, int] = {}
+    for r0 in rows:
+        if r0["kind"] == "item":
+            levels.setdefault(r0["level"], []).append(int(r0["val"]))
+        else:
+            comps[r0["level"]] = comps.get(r0["level"], 0) + int(r0["val"])
+
+    def compact_level(lv: int) -> None:
+        buf = sorted(levels.get(lv, []))
+        leftover: list[int] = []
+        if len(buf) % 2 == 1:
+            leftover, buf = [buf[-1]], buf[:-1]
+        off = comps.get(lv, 0) % 2
+        comps[lv] = comps.get(lv, 0) + 1
+        levels[lv] = leftover
+        levels.setdefault(lv + 1, []).extend(buf[off::2])
+
+    lv = 0
+    while lv <= max(levels, default=0):
+        if len(levels.get(lv, [])) >= 2 * k:
+            compact_level(lv)
+        else:
+            lv += 1
+
+    items = sorted(
+        (v, 1 << l) for l, vs in levels.items() for v in vs
+    )  # (value, weight) ascending by value
+    n = sum(w for _, w in items)
+    bound = sum(m * (1 << l) for l, m in comps.items())
+
+    report_rows = []
+    for num, den in probes:
+        r_target = (num * n + den - 1) // den if n else 0
+        cum = 0
+        est = items[-1][0] if items else None
+        for v, w in items:
+            cum += w
+            if cum >= r_target:
+                est = v
+                break
+        w_est = sum(w for v, w in items if v == est) if est is not None else 0
+        report_rows.append((num, den, r_target, est, bound + max(w_est - 1, 0)))
+
+    # ONE bounded corpus aggregate: true rank of every estimate (and
+    # the exact row count, cross-checking weight conservation)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_exact")] + [
+        F.sum(F.when(F.col("v") <= F.lit(est), 1).otherwise(0))
+        .cast("long")
+        .alias(f"tr_{i}")
+        for i, (_, _, _, est, _) in enumerate(report_rows)
+        if est is not None
+    ]
+    probe_row = vals.agg(*aggs).first()
+    if probe_row["n_exact"] != n:
+        raise AssertionError(
+            f"KLL weight conservation violated: sketch weight {n} != "
+            f"row count {probe_row['n_exact']}"
+        )
+
+    out = []
+    for i, (num, den, r_target, est, row_bound) in enumerate(report_rows):
+        tr = int(probe_row[f"tr_{i}"]) if est is not None else 0
+        out.append(
+            (
+                round(num / den, 6),
+                int(r_target),
+                int(est) if est is not None else None,
+                tr,
+                abs(tr - r_target),
+                int(row_bound),
+                int(n),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "q double, target_rank long, est long, true_rank long, "
+        "abs_rank_err long, bound long, n long",
+    ).orderBy("q")
+
+
 def mg_rescored_topk(
     df: DataFrame,
     col: str,

@@ -235,3 +235,104 @@ def test_mg_rescored_topk_auto_escalates(spark):
         for r in mg_rescored_topk(df, "w", topk=5, k=8).collect()
     ]
     assert got == [(f"tok{i}", 100) for i in range(5)]
+
+
+# --- round 14: quantile sketch family ---
+
+
+def test_hdr_hand_buckets(spark):
+    """Bucket map pinned by hand at b=2 (top 3 significant bits):
+    237 = 0b11101101 -> e=7, s=5, blo=224; 6 -> itself (e<b);
+    1000 = 0b1111101000 -> e=9, s=7, blo=896."""
+    from etl_challenge_localiza_spark.operators.sketches import hdr_cells
+
+    df = spark.createDataFrame([(237,), (238,), (6,), (1000,)], "v long")
+    cells = {r["blo"]: r["cell_n"] for r in hdr_cells(df, "v", 2).collect()}
+    assert cells == {224: 2, 6: 1, 896: 1}
+
+
+def test_hdr_merge_law_exact_under_any_slicing(spark):
+    """merge(hdr(A), hdr(B), hdr(C)) == hdr(A+B+C) cell-for-cell, in
+    either merge order — the CMS-cells property for the quantile
+    member (value-binned, so the law is exact not approximate)."""
+    import random
+
+    from etl_challenge_localiza_spark.operators.sketches import (
+        hdr_cells,
+        merge_hdr_cells,
+    )
+
+    rng = random.Random(14)
+    vals = [rng.randrange(1, 10_000_000) for _ in range(3000)]
+    df = spark.createDataFrame([(v, i) for i, v in enumerate(vals)], "v long, i long")
+    whole = sorted(map(tuple, hdr_cells(df, "v", 7).collect()))
+    slices = [df.filter(F.col("i") % 3 == j) for j in range(3)]
+    cs = [hdr_cells(s, "v", 7) for s in slices]
+    m1 = merge_hdr_cells(merge_hdr_cells(cs[0], cs[1]), cs[2])
+    m2 = merge_hdr_cells(cs[2], merge_hdr_cells(cs[1], cs[0]))
+    assert sorted(map(tuple, m1.collect())) == whole
+    assert sorted(map(tuple, m2.collect())) == whole
+
+
+def test_hdr_report_guarantee_on_testdata(spark, sf0001):
+    """The registry lane's defining bound: 0 <= rel_err < 2^-7 on the
+    real table, est <= exact (lower-bound estimator), and the merged
+    half-sketch answer equals the whole-corpus answer exactly."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = QUERIES["hdr_quantile_sketch"].fn(spark, sf0001).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["est_cents"] <= r["exact_cents"]
+        assert r["est_merged_cents"] == r["est_cents"]
+        assert 0.0 <= r["rel_err"] < 1.0 / 128
+
+
+def test_kll_certificate_on_testdata(spark, sf0001):
+    """|true_rank - target_rank| <= bound on the real table, weights
+    conserved (n column == row count)."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    rows = QUERIES["kll_quantile_ranks"].fn(spark, sf0001).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["abs_rank_err"] <= r["bound"], dict(r.asDict())
+        assert r["n"] == 1500
+
+
+def test_kll_certificate_adversarial_orders(spark):
+    """The compaction-counter certificate holds regardless of input
+    order or partitioning: sorted, reverse-sorted, constant, and a
+    tiny k forcing many compactions."""
+    from etl_challenge_localiza_spark.operators.sketches import kll_quantile_sketch
+
+    probes = [(1, 100), (1, 2), (99, 100)]
+    n = 8000
+    cases = [
+        list(range(1, n + 1)),           # sorted
+        list(range(n, 0, -1)),           # reverse
+        [42] * n,                         # constant
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v long").repartition(4)
+        for k in (8, 64):
+            rows = kll_quantile_sketch(df, "v", probes, k=k).collect()
+            assert len(rows) == 3
+            for r in rows:
+                assert r["n"] == n
+                assert r["abs_rank_err"] <= r["bound"], (k, dict(r.asDict()))
+
+
+def test_kll_exact_when_uncompacted(spark):
+    """A corpus smaller than one buffer is never compacted: bound ==
+    W_est - 1 == 0 (distinct values), and every estimate is the exact
+    order statistic."""
+    from etl_challenge_localiza_spark.operators.sketches import kll_quantile_sketch
+
+    vals = sorted([7, 1, 9, 3, 5, 11, 2, 8, 6, 4])
+    df = spark.createDataFrame([(v,) for v in [7, 1, 9, 3, 5, 11, 2, 8, 6, 4]], "v long").coalesce(1)
+    rows = kll_quantile_sketch(df, "v", [(1, 2), (9, 10)], k=256).collect()
+    for r in rows:
+        assert r["bound"] == 0
+        assert r["abs_rank_err"] == 0
+        assert r["est"] == vals[r["target_rank"] - 1]
