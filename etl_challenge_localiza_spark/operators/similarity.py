@@ -233,7 +233,17 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
     centroid's bucket. Returns (vec_id, centroid_id, dist) — exact,
     engine-portable.
     """
-    cents = centroid_literal(emb, n_centroids)
+    return ivf_assign_against(emb, centroid_literal(emb, n_centroids))
+
+
+def ivf_assign_against(df: DataFrame, cents: F.Column) -> DataFrame:
+    """ivf_assign's zero-shuffle argmin against an EXPLICIT codebook
+    literal (array of (centroid_id, c_emb) structs) — the shape the
+    streaming index refresher needs: each micro-batch is assigned
+    against the PERSISTED codebook (model parameters loaded once),
+    never re-deriving seeds from the batch, so the assignment is a
+    pure per-vector function and the built index is identical under
+    any micro-batch slicing."""
     # struct ordering is lexicographic → min = (lowest dist, then lowest
     # centroid_id): identical tie semantics to the oracle's row_number.
     best = F.array_min(
@@ -245,7 +255,7 @@ def ivf_assign(emb: DataFrame, n_centroids: int = 8) -> DataFrame:
             ),
         )
     )
-    return emb.select("vec_id", best.alias("b")).select(
+    return df.select("vec_id", best.alias("b")).select(
         "vec_id", F.col("b.centroid_id").alias("centroid_id"), F.col("b.dist").alias("dist")
     )
 

@@ -17487,3 +17487,22 @@ def q_kll_quantile_ranks(spark, sf_dir):
         .alias("cents")
     )
     return kll_quantile_sketch(vals, "cents", probes=_QUANTILE_PROBES, k=256)
+
+
+@register(
+    "streaming_ivf_refresh",
+    oracle=QUERIES["ivf_search_vec0"].oracle,
+)
+def q_streaming_ivf_refresh(spark, sf_dir):
+    """foreachBatch IVF index refresher (VERDICT r13 #4): embeddings
+    arrive as micro-batches, each assigned against the persisted
+    codebook and appended to the centroid-partitioned index via
+    per-batch dynamic partition overwrite (exactly-once from the
+    layout, no marker); the vec-0 probe answered from the streamed
+    index must equal the batch `ivf_search_vec0` exactly — the oracle
+    IS that query's SQL, proving stream-built == batch-built under
+    this slicing (pytest pins other slicings and restart). See
+    streaming/upsert.run_streaming_ivf_refresh."""
+    from .streaming.upsert import run_streaming_ivf_refresh
+
+    return run_streaming_ivf_refresh(spark, sf_dir)

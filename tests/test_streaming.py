@@ -731,3 +731,82 @@ def test_refreshers_exactly_once_under_torn_commit(spark, tmp_path, monkeypatch,
 
     key = lambda r: tuple(str(v) for v in r)
     assert sorted(map(key, out.collect())) == sorted(map(key, clean.collect()))
+
+
+def test_streaming_ivf_refresh_matches_batch_search(spark, sf0001):
+    """The vec-0 probe answered from the stream-built index equals the
+    batch ivf_search_vec0 answer exactly (fixed codebook => assignment
+    is a pure per-vector function)."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+    from etl_challenge_localiza_spark.streaming.upsert import run_streaming_ivf_refresh
+
+    got = run_streaming_ivf_refresh(spark, sf0001, n_input_files=3)
+    want = QUERIES["ivf_search_vec0"].fn(spark, sf0001)
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_streaming_ivf_index_slicing_invariant_and_pruned(spark, sf0001, tmp_path):
+    """(a) The raw index rows (vec_id, centroid_id) are IDENTICAL for
+    2-batch and 5-batch slicings of the same input; (b) a probe read
+    of the persisted index prunes to the probed bucket directories
+    (PartitionFilters on centroid_id, the ivf_index_roundtrip
+    guarantee carried over to the streamed layout)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.streaming.upsert import run_streaming_ivf_refresh
+
+    contents = []
+    idx_paths = []
+    for i, nf in enumerate((2, 5)):
+        state = str(tmp_path / f"ivf{i}")
+        os.makedirs(state)
+        run_streaming_ivf_refresh(spark, sf0001, n_input_files=nf, state_base=state)
+        idx = spark.read.parquet(os.path.join(state, "index"))
+        contents.append(
+            sorted(
+                (r["vec_id"], r["centroid_id"])
+                for r in idx.select("vec_id", "centroid_id").collect()
+            )
+        )
+        idx_paths.append(os.path.join(state, "index"))
+    assert contents[0] == contents[1]
+    assert len(contents[0]) == len(set(contents[0]))  # no duplicate vectors
+
+    probe = spark.read.parquet(idx_paths[0]).filter(
+        F.col("centroid_id").isin([0, 1])
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+
+def test_streaming_ivf_restart_is_idempotent(spark, sf0001, tmp_path):
+    """A second invocation over the same state_base (checkpoint
+    already fully committed) replays nothing: the index row set and
+    the final answer are unchanged — the dynamic-partition-overwrite
+    layout's exactly-once claim."""
+    import os
+
+    from etl_challenge_localiza_spark.streaming.upsert import run_streaming_ivf_refresh
+
+    state = str(tmp_path / "ivfr")
+    os.makedirs(state)
+    first = run_streaming_ivf_refresh(spark, sf0001, n_input_files=3, state_base=state)
+    rows1 = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(state, "index"))
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    second = run_streaming_ivf_refresh(spark, sf0001, n_input_files=3, state_base=state)
+    rows2 = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(os.path.join(state, "index"))
+        .select("vec_id", "centroid_id")
+        .collect()
+    )
+    assert rows1 == rows2
+    key = lambda r: tuple(str(v) for v in r)
+    assert sorted(map(key, first.collect())) == sorted(map(key, second.collect()))
