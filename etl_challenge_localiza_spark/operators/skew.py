@@ -19,6 +19,108 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def planner_join_audit(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    join_name: str,
+    broadcast_rows: int = 100_000,
+    hot_share_salt: float = 0.10,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """One-row 'PLANNER INPUTS' report for an equi-join (VERDICT r13
+    #6): the decision table a 100 TB operator reads before committing
+    to a join strategy, with every estimator value-checked against the
+    exact cardinality it approximates —
+
+    - left_rows / right_rows, ndv_left / ndv_right: exact sizes and
+      key cardinalities (one map-side-combined groupBy per side, the
+      key_skew_profile altitude — NDV-sized frames, never data);
+    - exact_join_rows: Σ_k na(k)·nb(k), the ground truth;
+    - cms_estimate + cms_rel_err: the d×w Count-Min inner-product
+      estimate (cms_join_size_estimate's sketch path) — what a planner
+      would ACTUALLY have at plan time, shown against the truth it
+      estimates;
+    - hot_key_share: max_k na(k)·nb(k) / exact_join_rows — the single
+      hottest key's share of the join OUTPUT, the quantity that decides
+      salting (a key owning 10%+ of the output serializes one shuffle
+      partition no matter how wide the cluster);
+    - strategy: the deterministic recommendation those inputs imply —
+      'broadcast' when either side fits the row threshold (rows as the
+      testable proxy for AQE's byte threshold), else 'shuffle_salted'
+      when hot_key_share exceeds ``hot_share_salt``, else
+      'shuffle_hash'.
+
+    Thresholds are illustrative planner defaults, surfaced as
+    parameters; the REPORT is the point — exact vs estimate in one row
+    per join, so estimator drift is a visible number (pytest drives
+    the salted/shuffle branches on constructed skew)."""
+    from .sketches import cms_join_size_estimate
+
+    k = F.col(key_col).cast("string").alias("k")
+    fa = left.select(k).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("na")
+    )
+    fb = right.select(k).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("nb")
+    )
+    sl = fa.agg(
+        F.sum("na").cast("long").alias("left_rows"),
+        F.count(F.lit(1)).cast("long").alias("ndv_left"),
+    )
+    sr = fb.agg(
+        F.sum("nb").cast("long").alias("right_rows"),
+        F.count(F.lit(1)).cast("long").alias("ndv_right"),
+    )
+    hot = fa.join(fb, "k").agg(
+        F.coalesce(
+            F.max(F.col("na").cast("decimal(38,0)") * F.col("nb")), F.lit(0)
+        )
+        .cast("long")
+        .alias("hot_pair")
+    )
+    cms = cms_join_size_estimate(
+        left.select(F.col(key_col)),
+        right.select(F.col(key_col)),
+        key_col,
+        depth=depth,
+        width=width,
+    ).withColumnRenamed("rel_err", "cms_rel_err").withColumnRenamed(
+        "exact_size", "exact_join_rows"
+    ).withColumnRenamed("cms_estimate", "cms_estimate")
+    hot_share = F.when(
+        F.col("exact_join_rows") > 0,
+        F.round(
+            F.col("hot_pair").cast("double") / F.col("exact_join_rows"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        sl.crossJoin(F.broadcast(sr))
+        .crossJoin(F.broadcast(hot))
+        .crossJoin(F.broadcast(cms))
+        .select(
+            F.lit(join_name).alias("join_name"),
+            "left_rows",
+            "right_rows",
+            "ndv_left",
+            "ndv_right",
+            "exact_join_rows",
+            "cms_estimate",
+            "cms_rel_err",
+            hot_share.alias("hot_key_share"),
+            F.when(
+                F.least(F.col("left_rows"), F.col("right_rows"))
+                <= F.lit(broadcast_rows),
+                F.lit("broadcast"),
+            )
+            .when(hot_share > F.lit(hot_share_salt), F.lit("shuffle_salted"))
+            .otherwise(F.lit("shuffle_hash"))
+            .alias("strategy"),
+        )
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

@@ -17506,3 +17506,119 @@ def q_streaming_ivf_refresh(spark, sf_dir):
     from .streaming.upsert import run_streaming_ivf_refresh
 
     return run_streaming_ivf_refresh(spark, sf_dir)
+
+
+def _planner_audit_sql(name: str, lsql: str, rsql: str) -> str:
+    """One join's planner-inputs row (oracle template for
+    q_planner_join_audit): exact sizes/NDVs, exact join cardinality,
+    hottest-pair share, the CMS inner-product estimate (the
+    cms_join_size_estimate md5-portable cells), and the strategy rule
+    computed from the SAME rounded expressions as the Spark side."""
+    return f"""
+select '{name}' as join_name, x.* from (
+with a as ({lsql}),
+b as ({rsql}),
+fa as (select cast(jk as varchar) as item, cast(count(*) as bigint) as na
+       from a group by 1),
+fb as (select cast(jk as varchar) as item, cast(count(*) as bigint) as nb
+       from b group by 1),
+sl as (select cast(sum(na) as bigint) as left_rows,
+              cast(count(*) as bigint) as ndv_left from fa),
+sr as (select cast(sum(nb) as bigint) as right_rows,
+              cast(count(*) as bigint) as ndv_right from fb),
+exact as (select cast(coalesce(sum(na * nb), 0) as bigint) as exact_join_rows,
+                 cast(coalesce(max(cast(na as hugeint) * nb), 0) as bigint)
+                   as hot_pair
+          from fa join fb using (item)),
+ca as (select t.i as row,
+              cast(concat('0x', substr(md5(concat(t.i, ':', item)), 1, 15))
+                   as bigint) % 256 as bucket,
+              cast(sum(na) as bigint) as cell
+       from fa, range(0, 4) t(i) group by 1, 2),
+cb as (select t.i as row,
+              cast(concat('0x', substr(md5(concat(t.i, ':', item)), 1, 15))
+                   as bigint) % 256 as bucket,
+              cast(sum(nb) as bigint) as cell
+       from fb, range(0, 4) t(i) group by 1, 2),
+rowsums as (select ca.row, sum(ca.cell * cb.cell) as s
+            from ca join cb using (row, bucket) group by ca.row),
+est as (select cast(min(s) as bigint) as cms_estimate from rowsums)
+select left_rows, right_rows, ndv_left, ndv_right, exact_join_rows,
+       cms_estimate,
+       round(cast(cms_estimate - exact_join_rows as double)
+             / cast(exact_join_rows as double), 6) as cms_rel_err,
+       case when exact_join_rows > 0
+            then round(cast(hot_pair as double) / exact_join_rows, 6)
+            else 0.0 end as hot_key_share,
+       case when least(left_rows, right_rows) <= 100000 then 'broadcast'
+            when (case when exact_join_rows > 0
+                       then round(cast(hot_pair as double) / exact_join_rows, 6)
+                       else 0.0 end) > 0.10 then 'shuffle_salted'
+            else 'shuffle_hash' end as strategy
+from sl cross join sr cross join exact cross join est
+) x
+"""
+
+
+@register(
+    "planner_join_audit",
+    oracle=" union all ".join(
+        [
+            _planner_audit_sql(
+                "lineitem_orders",
+                "select l_orderkey as jk from lineitem",
+                "select o_orderkey as jk from orders",
+            ),
+            _planner_audit_sql(
+                "lineitem_part",
+                "select l_partkey as jk from lineitem",
+                "select p_partkey as jk from part",
+            ),
+            _planner_audit_sql(
+                "orders_customer",
+                "select o_custkey as jk from orders",
+                "select c_custkey as jk from customer",
+            ),
+        ]
+    )
+    + " order by join_name",
+)
+def q_planner_join_audit(spark, sf_dir):
+    """PLANNER-INPUTS SELF-AUDIT (VERDICT r13 #6): the decision table
+    a 100 TB operator reads per headline join, one row each for
+    lineitem⋈orders, lineitem⋈part, orders⋈customer — exact sizes /
+    key NDVs / join cardinality, the Count-Min inner-product estimate
+    a planner would actually hold at plan time (shown against the
+    truth it estimates, with its realized relative error), the
+    hottest key's share of the join OUTPUT (the salting trigger), and
+    the deterministic strategy those inputs imply. Composes the
+    existing diagnostics (key_skew_profile altitude,
+    cms_join_size_estimate sketch) into operators/skew.py:
+    planner_join_audit; everything is NDV-or-smaller after the
+    per-side aggregates, so the audit costs one key-width shuffle per
+    side — cheap to run BEFORE committing a partitioning."""
+    from .operators.skew import planner_join_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def jk(df, col):
+        return df.select(F.col(col).alias("jk"))
+
+    parts = [
+        planner_join_audit(
+            jk(li, "l_orderkey"), jk(orders, "o_orderkey"), "jk", "lineitem_orders"
+        ),
+        planner_join_audit(
+            jk(li, "l_partkey"), jk(part, "p_partkey"), "jk", "lineitem_part"
+        ),
+        planner_join_audit(
+            jk(orders, "o_custkey"), jk(cust, "c_custkey"), "jk", "orders_customer"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("join_name")

@@ -85,3 +85,46 @@ def test_salted_join_spreads_hot_key(spark):
     )
     n_salts_used = salted.select("__salt").distinct().count()
     assert n_salts_used == 8
+
+
+def test_planner_join_audit_strategy_branches(spark):
+    """The strategy rule flips on its inputs: (a) a small side ->
+    broadcast; (b) big sides with one key owning most of the join
+    output -> shuffle_salted; (c) big uniform sides -> shuffle_hash.
+    Exact columns are checked against hand-computable cardinalities;
+    the CMS estimate must never underestimate."""
+    from pyspark.sql import functions as F
+
+    from etl_challenge_localiza_spark.operators.skew import planner_join_audit
+
+    # (a) broadcast: tiny right side
+    la = spark.range(0, 1000).select((F.col("id") % 100).alias("jk"))
+    ra = spark.range(0, 50).select(F.col("id").alias("jk"))
+    row = planner_join_audit(la, ra, "jk", "a", broadcast_rows=100).first()
+    assert row["strategy"] == "broadcast"
+    assert row["left_rows"] == 1000 and row["right_rows"] == 50
+    assert row["ndv_left"] == 100 and row["ndv_right"] == 50
+    # keys 0..49 each: na=10, nb=1 -> exact = 500
+    assert row["exact_join_rows"] == 500
+    assert row["cms_estimate"] >= row["exact_join_rows"]
+
+    # (b) salted: key 0 on both sides dominates the output
+    lb = spark.range(0, 2000).select(
+        F.when(F.col("id") < 1000, 0).otherwise(F.col("id")).alias("jk")
+    )
+    rb = spark.range(0, 2000).select(
+        F.when(F.col("id") < 100, 0).otherwise(F.col("id") + 10_000).alias("jk")
+    )
+    row = planner_join_audit(lb, rb, "jk", "b", broadcast_rows=10).first()
+    # only key 0 joins: 1000 * 100 pairs, hot share 1.0
+    assert row["exact_join_rows"] == 100_000
+    assert row["hot_key_share"] == 1.0
+    assert row["strategy"] == "shuffle_salted"
+
+    # (c) uniform: unique keys both sides, hot share ~0
+    lc = spark.range(0, 5000).select(F.col("id").alias("jk"))
+    rc = spark.range(0, 5000).select(F.col("id").alias("jk"))
+    row = planner_join_audit(lc, rc, "jk", "c", broadcast_rows=10).first()
+    assert row["exact_join_rows"] == 5000
+    assert row["hot_key_share"] == round(1 / 5000, 6)
+    assert row["strategy"] == "shuffle_hash"
