@@ -55,15 +55,31 @@ def planner_join_audit(
     Thresholds are illustrative planner defaults, surfaced as
     parameters; the REPORT is the point — exact vs estimate in one row
     per join, so estimator drift is a visible number (pytest drives
-    the salted/shuffle branches on constructed skew)."""
-    from .sketches import cms_join_size_estimate
+    the salted/shuffle branches on constructed skew).
+
+    Plan shape: ONE raw scan per side. The per-key count frame feeds
+    three consumers (size/NDV stats, the exact-cardinality join, the
+    sketch cells), so it is localCheckpoint'ed once — the first cut
+    composed cms_join_size_estimate directly and paid three scans per
+    side (its internal fa + cells re-aggregate the raw input), which
+    the ×30 sweep measured at ×6.6 exec growth; deriving the cells
+    from the count frame is value-identical (cms_cells aggregates at
+    item altitude before hashing anyway — same md5 buckets, same
+    sums) at one scan."""
+    from .sketches import _cms_bucket
 
     k = F.col(key_col).cast("string").alias("k")
-    fa = left.select(k).groupBy("k").agg(
-        F.count(F.lit(1)).cast("long").alias("na")
+    fa = (
+        left.select(k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("na"))
+        .localCheckpoint(eager=True)
     )
-    fb = right.select(k).groupBy("k").agg(
-        F.count(F.lit(1)).cast("long").alias("nb")
+    fb = (
+        right.select(k)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("nb"))
+        .localCheckpoint(eager=True)
     )
     sl = fa.agg(
         F.sum("na").cast("long").alias("left_rows"),
@@ -74,21 +90,57 @@ def planner_join_audit(
         F.count(F.lit(1)).cast("long").alias("ndv_right"),
     )
     hot = fa.join(fb, "k").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join_rows"),
         F.coalesce(
             F.max(F.col("na").cast("decimal(38,0)") * F.col("nb")), F.lit(0)
         )
         .cast("long")
-        .alias("hot_pair")
+        .alias("hot_pair"),
     )
-    cms = cms_join_size_estimate(
-        left.select(F.col(key_col)),
-        right.select(F.col(key_col)),
-        key_col,
-        depth=depth,
-        width=width,
-    ).withColumnRenamed("rel_err", "cms_rel_err").withColumnRenamed(
-        "exact_size", "exact_join_rows"
-    ).withColumnRenamed("cms_estimate", "cms_estimate")
+
+    def cells(f: DataFrame, cnt: str) -> DataFrame:
+        coords = f.select(
+            F.col(cnt).alias("n"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("row"),
+                            _cms_bucket(i, F.col("k"), width).alias("bucket"),
+                        )
+                        for i in range(depth)
+                    ]
+                )
+            ).alias("c"),
+        ).select(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"), "n")
+        return coords.groupBy("row", "bucket").agg(
+            F.sum("n").cast("long").alias("cell_n")
+        )
+
+    ca, cb = cells(fa, "na"), cells(fb, "nb")
+    est = (
+        ca.alias("x")
+        .join(
+            cb.alias("y"),
+            (F.col("x.row") == F.col("y.row"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .groupBy(F.col("x.row"))
+        .agg(F.sum(F.col("x.cell_n") * F.col("y.cell_n")).alias("rowsum"))
+        .agg(F.min("rowsum").cast("long").alias("cms_estimate"))
+    )
+    cms = hot.crossJoin(F.broadcast(est)).select(
+        "exact_join_rows",
+        "hot_pair",
+        "cms_estimate",
+        F.round(
+            (F.col("cms_estimate") - F.col("exact_join_rows")).cast("double")
+            / F.col("exact_join_rows").cast("double"),
+            6,
+        ).alias("cms_rel_err"),
+    )
     hot_share = F.when(
         F.col("exact_join_rows") > 0,
         F.round(
@@ -97,7 +149,6 @@ def planner_join_audit(
     ).otherwise(F.lit(0.0))
     return (
         sl.crossJoin(F.broadcast(sr))
-        .crossJoin(F.broadcast(hot))
         .crossJoin(F.broadcast(cms))
         .select(
             F.lit(join_name).alias("join_name"),
