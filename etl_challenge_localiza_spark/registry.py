@@ -17622,3 +17622,169 @@ def q_planner_join_audit(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("join_name")
+
+
+@register(
+    "sq8_search_vec0",
+    oracle="""
+with v as (
+  select vec_id, label,
+         list_transform(embedding, x -> cast(x as double)) as e
+  from embeddings
+),
+dims as (
+  select i, min(e[i]) as mn, max(e[i]) as mx
+  from v cross join range(1, 65) t(i)
+  group by i
+),
+cd as (
+  select v.vec_id, t.i as i,
+         cast(round(case when d.mx > d.mn
+              then (v.e[t.i] - d.mn) * 255 / (d.mx - d.mn) else 0.0 end)
+              as bigint) as c
+  from v cross join range(1, 65) t(i)
+  join dims d on d.i = t.i
+),
+q as (select i, c as qc from cd where vec_id = 0),
+dist as (
+  select cd.vec_id,
+         cast(sum((cd.c - q.qc) * (cd.c - q.qc)) as bigint) as qdist8
+  from cd join q using (i)
+  where cd.vec_id <> 0
+  group by cd.vec_id
+),
+cand as (select vec_id, qdist8 from dist order by qdist8, vec_id limit 50),
+qe as (select e as qe from v where vec_id = 0),
+s as (
+  select v.vec_id, v.label, c.qdist8,
+         list_dot_product(v.e, q.qe) as dp,
+         list_sum(list_transform(v.e, x -> x * x)) as na,
+         list_sum(list_transform(q.qe, x -> x * x)) as nb
+  from v join cand c using (vec_id) cross join qe q
+)
+select vec_id, label, qdist8, round(dp / sqrt(na * nb), 6) as cos_sim
+from s order by cos_sim desc, vec_id limit 10
+""",
+)
+def q_sq8_search_vec0(spark, sf_dir):
+    """SCALAR-QUANTIZED (SQ8) ANN search — the quantization rung the
+    similarity ladder was missing (VERDICT r13 breadth; beside IVF
+    partitioning, PQ-ADC codebooks, BRP-LSH bucketing, SemDeDup): each
+    dimension is affinely mapped to an 8-bit code
+    c_i = round((x_i − min_i)·255/(max_i − min_i)) using per-dimension
+    corpus min/max (one bounded d-row aggregate — model state), the
+    candidate scan runs entirely on EXACT INTEGER code distances
+    (16× smaller per-vector footprint than float32 at d=64 — the
+    production reason SQ8 exists: the scan stays in cache/IO budget),
+    and the top-50 candidates are reranked by exact full-precision
+    cosine for the final top-10. Every step is engine-portable —
+    identical affine doubles, HALF-UP rounding on nonnegative values,
+    integer distances, the same candidate cut (qdist8, vec_id) — so
+    the oracle replays quantization, scan, and rerank exactly.
+    At 100 TB: the code table is what you'd persist (or fuse with the
+    IVF layout: probe buckets, scan codes, rerank exact)."""
+    from .functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = sorted(
+        emb.select(F.posexplode(F.col("embedding")).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+        .collect(),  # d rows — bounded model state, not a data collect
+        key=lambda r: r["i"],
+    )
+    mn_arr = F.array(*[F.lit(float(r["mn"])) for r in dims])
+    # mx−mn in Python is the same IEEE subtract of the same doubles the
+    # SQL side performs in-engine — identical denominators
+    den_arr = F.array(*[F.lit(float(r["mx"] - r["mn"])) for r in dims])
+
+    def codes(col):
+        return F.transform(
+            col,
+            lambda x, i: F.when(
+                F.element_at(den_arr, i + 1) > 0,
+                F.round(
+                    (x.cast("double") - F.element_at(mn_arr, i + 1))
+                    * F.lit(255)
+                    / F.element_at(den_arr, i + 1)
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("long"),
+        )
+
+    qc_row = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(codes(F.col("embedding")).alias("qc"))
+        .first()  # in-engine HALF-UP rounding (a Python round would
+        # use banker's rounding and diverge at exact halves)
+    )
+    qc_arr = F.array(*[F.lit(int(x)) for x in qc_row["qc"]])
+    qdist8 = F.aggregate(
+        F.zip_with(codes(F.col("embedding")), qc_arr, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", "embedding", qdist8.alias("qdist8"))
+        .orderBy(F.col("qdist8").asc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    return (
+        cand.crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            "qdist8",
+            F.round(cosine("embedding", "q_embedding"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "streaming_hdr_quantiles",
+    oracle="""
+with v as (
+  select cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint) as v
+  from orders
+  where cast(cast(o_totalprice as decimal(14,2)) * 100 as bigint) > 0
+),
+cells as (
+  select ((v >> greatest(length(bin(v))-1-7, 0))
+          << greatest(length(bin(v))-1-7, 0)) as blo,
+         cast(count(*) as bigint) as cell_n
+  from v group by 1
+),
+cum as (select blo, sum(cell_n) over (order by blo) as cum from cells),
+n as (select cast(sum(cell_n) as bigint) as n from cells),
+probes(num, den) as (values (1,100),(1,4),(1,2),(3,4),(9,10),(99,100)),
+r as (select num, den, (num * n.n + den - 1) // den as r from probes, n)
+select round(cast(r.num as double) / r.den, 6) as q,
+       cast(r.r as bigint) as target_rank,
+       cast((select min(blo) from cum where cum >= r.r) as bigint) as est_cents
+from r
+order by q
+""",
+)
+def q_streaming_hdr_quantiles(spark, sf_dir):
+    """Streaming QUANTILE maintenance: the HDR sketch's exact merge
+    law put to work — micro-batches of orders fold into a bounded
+    (≤ 57·2⁷ cells) versioned sketch state via cellwise count sums
+    (streaming/upsert.run_streaming_hdr_refresh), and because
+    value-binned merge is bit-identical to the whole-corpus build, the
+    final probe answers equal the batch SQL replica under ANY
+    micro-batch slicing — the oracle checks exactly that. Completes
+    the streaming refresher family (CDC-latest / MV / CMS / IVF) with
+    its quantile member."""
+    from .streaming.upsert import run_streaming_hdr_refresh
+
+    return run_streaming_hdr_refresh(spark, sf_dir)

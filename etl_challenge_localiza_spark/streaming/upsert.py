@@ -341,6 +341,109 @@ def _staged_document_stream(
     return stream, base
 
 
+def _staged_orders_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_input_files: int,
+    base: str | None = None,
+):
+    """orders-table twin of _staged_event_stream: stage (o_orderkey,
+    o_totalprice) as ``n_input_files`` parquet files, stream one per
+    trigger; same restart-safe reuse rule when ``base`` is given."""
+    if base is None:
+        base = tempfile.mkdtemp(prefix=f"stream_stage_{uuid.uuid4().hex[:8]}_")
+    src = os.path.join(base, "src")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).repartition(n_input_files).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    return stream, base
+
+
+def run_streaming_hdr_refresh(
+    spark: SparkSession,
+    sf_dir: str,
+    probes: list[tuple[int, int]] | None = None,
+    timeout_sec: int = 300,
+    n_input_files: int = 4,
+    mantissa_bits: int = 7,
+    state_base: str | None = None,
+) -> DataFrame:
+    """Continuously-maintained STREAMING quantile sketch: each
+    micro-batch of orders builds its own HDR cell table
+    (operators/sketches.hdr_cells over price cents) and merges it into
+    the accumulating sketch by cellwise count sum (merge_hdr_cells) —
+    bounded state (≤ (64−b)·2^b cells) regardless of volume, the same
+    contract as the streaming CMS refresher but for QUANTILES. Because
+    value-binned merge is EXACTLY the whole-corpus build, the final
+    sketch — and therefore every quantile answer — is bit-identical
+    under ANY micro-batch slicing, which is what the oracle checks
+    (the whole-corpus SQL replica must agree on every probe).
+    Versioned-parquet state via apply_versioned_batch (exactly-once
+    under foreachBatch retry); ``state_base`` as in
+    run_streaming_mv_refresh."""
+    from pyspark.sql import Window
+
+    from ..operators.sketches import hdr_cells, merge_hdr_cells
+
+    if probes is None:
+        probes = [(1, 100), (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)]
+    stream, base = _staged_orders_stream(
+        spark, sf_dir, n_input_files, base=state_base
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        def compute(prev: DataFrame | None) -> DataFrame:
+            cents = batch_df.select(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+                .cast("bigint")
+                .alias("v")
+            )
+            delta = hdr_cells(cents, "v", mantissa_bits)
+            return merge_hdr_cells(prev, delta) if prev is not None else delta
+
+        apply_versioned_batch(batch_df.sparkSession, base, "hdr", batch_id, compute)
+
+    try:
+        _run_foreach_batch(stream, base, _apply, timeout_sec, "streaming HDR refresh")
+        cells = _final_version(spark, base, "hdr", "streaming HDR refresh")
+        w = Window.orderBy("blo").rowsBetween(Window.unboundedPreceding, 0)
+        cum = cells.select("blo", F.sum("cell_n").over(w).alias("cum"))
+        n = cells.agg(F.sum("cell_n").cast("long").alias("n"))
+        pr = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in probes], "num long, den long"
+        )
+        r = pr.crossJoin(F.broadcast(n)).select(
+            "num",
+            "den",
+            (
+                (F.col("num") * F.col("n") + F.col("den") - F.lit(1))
+                / F.col("den")
+            )
+            .cast("long")
+            .alias("r"),
+        )
+        return (
+            r.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+            .groupBy("num", "den", "r")
+            .agg(F.min("blo").alias("est_cents"))
+            .select(
+                F.round(F.col("num").cast("double") / F.col("den"), 6).alias("q"),
+                F.col("r").alias("target_rank"),
+                "est_cents",
+            )
+            .orderBy("q")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if state_base is None:
+            shutil.rmtree(base, ignore_errors=True)
+
+
 def _staged_embedding_stream(
     spark: SparkSession,
     sf_dir: str,

@@ -502,3 +502,20 @@ def test_pq_adc_recall_vs_exact(spark):
     assert hit >= 0.7, f"ADC top-10 fell out of the exact top decile: {hit}"
     mean_rank = sum(rank[v] for v in picks) / len(picks)
     assert mean_rank <= len(exact) / 8, f"ADC enrichment collapsed: {mean_rank}"
+
+
+def test_sq8_rerank_recovers_exact_neighbors(spark, sf0001):
+    """The SQ8 lane's quantize-scan-rerank recovers the exact cosine
+    top-10 on the test corpus (measured 10/10; asserted >= 8/10 for
+    robustness margin), with descending reranked similarity and
+    nonnegative integer code distances."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+
+    sq8 = QUERIES["sq8_search_vec0"].fn(spark, sf0001).collect()
+    knn = QUERIES["knn_cosine_vec0"].fn(spark, sf0001).collect()
+    assert len(sq8) == 10
+    sims = [r["cos_sim"] for r in sq8]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r["qdist8"] >= 0 for r in sq8)
+    overlap = {r["vec_id"] for r in sq8} & {r["vec_id"] for r in knn}
+    assert len(overlap) >= 8

@@ -336,3 +336,21 @@ def test_kll_exact_when_uncompacted(spark):
         assert r["bound"] == 0
         assert r["abs_rank_err"] == 0
         assert r["est"] == vals[r["target_rank"] - 1]
+
+
+def test_streaming_hdr_matches_batch_sketch_and_slicing(spark, sf0001):
+    """The streamed sketch's probe answers equal the batch
+    hdr_quantile_sketch estimates (same cells — exact merge law), and
+    are identical under different micro-batch slicings."""
+    from etl_challenge_localiza_spark.registry import QUERIES
+    from etl_challenge_localiza_spark.streaming.upsert import run_streaming_hdr_refresh
+
+    batch = {
+        r["q"]: r["est_cents"]
+        for r in QUERIES["hdr_quantile_sketch"].fn(spark, sf0001).collect()
+    }
+    got2 = sorted(map(tuple, run_streaming_hdr_refresh(spark, sf0001, n_input_files=2).collect()))
+    got5 = sorted(map(tuple, run_streaming_hdr_refresh(spark, sf0001, n_input_files=5).collect()))
+    assert got2 == got5
+    stream = {q: est for q, _, est in got2}
+    assert stream == batch
