@@ -8776,12 +8776,21 @@ def q_psi_value_drift(spark, sf_dir):
     ref = ev.filter(F.col("ts") < cut).select("value")
     cur = ev.filter(F.col("ts") >= cut).select("value")
     qs = ", ".join(str(x / 10) for x in range(1, 10))
-    bnds = ref.agg(F.expr(f"percentile(value, array({qs}))").alias("b"))
+    # fetch the 9 decile edges ONCE as a bounded model probe (the
+    # centroid_literal pattern — 9 doubles, not a data collect): the
+    # lane previously re-derived the edge aggregate inside EACH
+    # binned() consumer and paid two standalone half-count scans — 6
+    # column scans total (the r13→r14 bench watch on this lane
+    # prompted the plan read, VERDICT r13 #7). Now: one probe scan of
+    # ref + one binning scan per half = 3 scans, one lazy DAG, and the
+    # half totals come from a window over the 10-row bin frame.
+    brow = ref.agg(F.expr(f"percentile(value, array({qs}))").alias("b")).first()
+    edges = [float(x) for x in (brow["b"] or [])]
+    b_lit = F.array(*[F.lit(e) for e in edges])
     def binned(df):
         return (
-            df.crossJoin(F.broadcast(bnds))
-            .select(
-                F.size(F.filter("b", lambda x: F.col("value") > x)).alias("bin")
+            df.select(
+                F.size(F.filter(b_lit, lambda x: F.col("value") > x)).alias("bin")
             )
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -8789,29 +8798,32 @@ def q_psi_value_drift(spark, sf_dir):
     rc = binned(ref).withColumnRenamed("n", "n_ref")
     cc = binned(cur).withColumnRenamed("n", "n_cur")
     bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
-    tot = ref.agg(F.count(F.lit(1)).cast("long").alias("nr")).crossJoin(
-        cur.agg(F.count(F.lit(1)).cast("long").alias("nc"))
-    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()  # 10-row frame — bounded by design
     m = (
         bins.join(rc, "bin", "left")
         .join(cc, "bin", "left")
-        .crossJoin(F.broadcast(tot))
         .select(
             "bin",
             F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
             F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
             (
-                (F.coalesce("n_ref", F.lit(0)) + 1).cast("double")
-                / (F.col("nr") + 10).cast("double")
+                (F.col("n_ref") + 1).cast("double")
+                / (F.sum("n_ref").over(w_all) + 10).cast("double")
             ).alias("p"),
             (
-                (F.coalesce("n_cur", F.lit(0)) + 1).cast("double")
-                / (F.col("nc") + 10).cast("double")
+                (F.col("n_cur") + 1).cast("double")
+                / (F.sum("n_cur").over(w_all) + 10).cast("double")
             ).alias("q"),
         )
     )
     term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
-    from pyspark.sql import Window
 
     return m.select(
         F.col("bin").cast("long").alias("bin"),
