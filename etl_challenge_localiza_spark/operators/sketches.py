@@ -819,3 +819,190 @@ def mg_rescored_topk(
         .limit(topk)
         .select(F.col("item").alias("token"), "n")
     )
+
+
+def _kmv_hash(key: F.Column, salt: str = "kmv7") -> F.Column:
+    """Engine-portable 60-bit uniform hash for the KMV sketch:
+    md5(salt:key) leading 15 hex digits as a bigint in [0, 2^60) —
+    the same md5 portability trick as _cms_bucket, so DuckDB replays
+    it as cast(concat('0x', substr(md5(...), 1, 15)) as bigint)."""
+    hx = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+
+
+def kmv_bottomk(keys: DataFrame, key_col: str, k: int = 256) -> DataFrame:
+    """The KMV (k-minimum-values / bottom-k theta-style) distinct
+    sketch of a key column: the k smallest 60-bit hash values over the
+    DISTINCT keys, carried with their keys. Bounded state (k rows)
+    with an EXACT merge law — bottom-k(bottom-k(A) ∪ bottom-k(B)) ==
+    bottom-k(A ∪ B), because any hash among the union's k smallest is
+    among its own side's k smallest — which makes it the only member
+    of the distinct-sketch family (beside HLL) whose merged state is
+    value-reproducible cross-engine, i.e. fully oracle-checkable.
+
+    Plan: groupBy(key) map-side-combines to an NDV-sized frame, then
+    orderBy(h).limit(k) lowers to TakeOrderedAndProject — each
+    partition keeps its local k smallest and the driver merges
+    k·n_partitions rows; the corpus is never globally sorted."""
+    t = keys.select(F.col(key_col).alias("key")).distinct()
+    return (
+        t.select("key", _kmv_hash(F.col("key")).alias("h"))
+        .orderBy("h", "key")
+        .limit(k)
+    )
+
+
+def kmv_setops_report(
+    df: DataFrame,
+    key_col: str,
+    side_a: F.Column,
+    k: int = 256,
+) -> DataFrame:
+    """One-row KMV set-operation cardinality report over a keyed fact
+    split into two sides (side_a boolean per row; side_b is its
+    complement): exact distinct counts per side / union / intersection
+    next to the KMV estimates a planner or shard-merge would actually
+    have, with realized relative error as a visible number — the
+    distinct-count analogue of planner_join_audit's exact-vs-estimate
+    discipline, and the full-oracle counterpart of the rows-only HLL
+    lanes (hll_sketch_mergeability): here the sketch STATE itself
+    (k-th hash values, sketch sizes, in-sketch intersection count) is
+    engine-portable integer arithmetic, so the oracle value-checks it
+    bit-for-bit rather than bounding it.
+
+    Estimators (classic KMV, Bar-Yossef et al. / theta-sketch form):
+      DV̂ = (k−1) / U(k)  where U(k) = h_k / 2^60  (exact when the
+      sketch holds the whole key set, i.e. NDV < k);
+      Jaccard ≈ |{union bottom-k} ∩ A ∩ B| / |union bottom-k| (the
+      union sketch is a uniform sample of the union's distinct keys);
+      |A ∩ B|̂ = Jaccard · DV̂(A ∪ B).
+
+    Merge law, proven cross-engine: THIS plan builds the union sketch
+    by merging the two k-row side sketches (bottom-k of their union),
+    while the oracle computes the DIRECT bottom-k over all keys — the
+    value-hash equality of kth_hash_union / sketch_union_size /
+    inter_in_sketch IS the merge-law proof, the same independently-
+    built-halves trick as merge_cms_cells / merge_hdr_cells.
+
+    Plan shape: ONE groupBy pass builds the NDV-sized
+    (key, in_a, in_b, h) frame; its three consumers are the exact-
+    counts aggregate and two TakeOrderedAndProject bottom-k jobs. The
+    k-row side sketches are eagerly localCheckpoint'ed — bounded
+    k-row state is the textbook case FOR materialization (contrast
+    planner_join_audit, where pinning NDV-sized frames starved the
+    ×1000 hash aggregates), and it stops the merged-sketch branch
+    from re-running the bottom-k jobs."""
+    t = (
+        df.select(F.col(key_col).alias("key"), side_a.alias("a"))
+        .groupBy("key")
+        .agg(
+            F.bool_or(F.col("a")).alias("in_a"),
+            F.bool_or(~F.col("a")).alias("in_b"),
+        )
+        .select("key", "in_a", "in_b", _kmv_hash(F.col("key")).alias("h"))
+    )
+    cols = ["h", "key", "in_a", "in_b"]
+    ka = (
+        t.filter("in_a").select(*cols).orderBy("h", "key").limit(k)
+    ).localCheckpoint(eager=True)
+    kb = (
+        t.filter("in_b").select(*cols).orderBy("h", "key").limit(k)
+    ).localCheckpoint(eager=True)
+    ku = ka.unionByName(kb).distinct().orderBy("h", "key").limit(k)
+
+    ex = t.agg(
+        F.sum(F.col("in_a").cast("int")).cast("long").alias("exact_a"),
+        F.sum(F.col("in_b").cast("int")).cast("long").alias("exact_b"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("int"))
+        .cast("long")
+        .alias("exact_intersect"),
+    )
+    sa = ka.agg(
+        F.max("h").alias("kth_hash_a"),
+        F.count(F.lit(1)).cast("long").alias("sketch_a_size"),
+    )
+    sb = kb.agg(
+        F.max("h").alias("kth_hash_b"),
+        F.count(F.lit(1)).cast("long").alias("sketch_b_size"),
+    )
+    su = ku.agg(
+        F.max("h").alias("kth_hash_union"),
+        F.count(F.lit(1)).cast("long").alias("sketch_union_size"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("int"))
+        .cast("long")
+        .alias("inter_in_sketch"),
+    )
+
+    # (k-1) * 2^60 — both factors exactly representable, product exact;
+    # the single double division afterwards is deterministic IEEE in
+    # both engines (same expression text in the oracle SQL).
+    c = F.lit(float(k - 1)) * F.lit(1152921504606846976.0)
+
+    def est(sz: str, hk: str):
+        return F.round(
+            F.when(F.col(sz) < k, F.col(sz).cast("double")).otherwise(
+                c / F.col(hk).cast("double")
+            ),
+            6,
+        )
+
+    def rel(e: str, x: str):
+        return F.round(
+            F.abs(F.col(e) - F.col(x).cast("double"))
+            / F.col(x).cast("double"),
+            6,
+        )
+
+    row = (
+        ex.crossJoin(sa)
+        .crossJoin(sb)
+        .crossJoin(su)
+        .select(
+            F.lit(k).cast("long").alias("k"),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_intersect",
+            "sketch_a_size",
+            "sketch_b_size",
+            "sketch_union_size",
+            "kth_hash_a",
+            "kth_hash_b",
+            "kth_hash_union",
+            "inter_in_sketch",
+            est("sketch_a_size", "kth_hash_a").alias("est_a"),
+            est("sketch_b_size", "kth_hash_b").alias("est_b"),
+            est("sketch_union_size", "kth_hash_union").alias("est_union"),
+            F.round(
+                F.when(
+                    F.col("sketch_union_size") < k,
+                    F.col("inter_in_sketch").cast("double"),
+                ).otherwise(
+                    F.col("inter_in_sketch").cast("double")
+                    * c
+                    / (
+                        F.col("sketch_union_size").cast("double")
+                        * F.col("kth_hash_union").cast("double")
+                    )
+                ),
+                6,
+            ).alias("est_intersect"),
+            F.round(
+                F.col("inter_in_sketch").cast("double")
+                / F.col("sketch_union_size").cast("double"),
+                9,
+            ).alias("jaccard_est"),
+            F.round(
+                F.col("exact_intersect").cast("double")
+                / F.col("exact_union").cast("double"),
+                9,
+            ).alias("jaccard_exact"),
+        )
+    )
+    return row.select(
+        "*",
+        rel("est_a", "exact_a").alias("rel_err_a"),
+        rel("est_b", "exact_b").alias("rel_err_b"),
+        rel("est_union", "exact_union").alias("rel_err_union"),
+    )

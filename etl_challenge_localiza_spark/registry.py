@@ -17800,3 +17800,82 @@ def q_streaming_hdr_quantiles(spark, sf_dir):
     from .streaming.upsert import run_streaming_hdr_refresh
 
     return run_streaming_hdr_refresh(spark, sf_dir)
+
+
+@register(
+    "kmv_distinct_setops",
+    oracle="""
+with t as materialized (
+  select o_custkey as key,
+         bool_or(o_orderdate < timestamp '1998-01-01') as in_a,
+         bool_or(o_orderdate >= timestamp '1998-01-01') as in_b,
+         cast(concat('0x', substr(md5('kmv7:' || cast(o_custkey as varchar)), 1, 15)) as bigint) as h
+  from orders
+  group by o_custkey
+),
+ka as (select h, key, in_a, in_b from t where in_a order by h, key limit 256),
+kb as (select h, key, in_a, in_b from t where in_b order by h, key limit 256),
+ku as (select h, key, in_a, in_b from t order by h, key limit 256),
+ex as (
+  select cast(sum(case when in_a then 1 else 0 end) as bigint) as exact_a,
+         cast(sum(case when in_b then 1 else 0 end) as bigint) as exact_b,
+         cast(count(*) as bigint) as exact_union,
+         cast(sum(case when in_a and in_b then 1 else 0 end) as bigint) as exact_intersect
+  from t
+),
+sa as (select max(h) as kth_hash_a, cast(count(*) as bigint) as sketch_a_size from ka),
+sb as (select max(h) as kth_hash_b, cast(count(*) as bigint) as sketch_b_size from kb),
+su as (
+  select max(h) as kth_hash_union,
+         cast(count(*) as bigint) as sketch_union_size,
+         cast(sum(case when in_a and in_b then 1 else 0 end) as bigint) as inter_in_sketch
+  from ku
+),
+row1 as (
+  select cast(256 as bigint) as k,
+         exact_a, exact_b, exact_union, exact_intersect,
+         sketch_a_size, sketch_b_size, sketch_union_size,
+         kth_hash_a, kth_hash_b, kth_hash_union, inter_in_sketch,
+         round(case when sketch_a_size < 256 then cast(sketch_a_size as double)
+               else (255.0 * 1152921504606846976.0) / cast(kth_hash_a as double) end, 6) as est_a,
+         round(case when sketch_b_size < 256 then cast(sketch_b_size as double)
+               else (255.0 * 1152921504606846976.0) / cast(kth_hash_b as double) end, 6) as est_b,
+         round(case when sketch_union_size < 256 then cast(sketch_union_size as double)
+               else (255.0 * 1152921504606846976.0) / cast(kth_hash_union as double) end, 6) as est_union,
+         round(case when sketch_union_size < 256 then cast(inter_in_sketch as double)
+               else cast(inter_in_sketch as double) * (255.0 * 1152921504606846976.0)
+                    / (cast(sketch_union_size as double) * cast(kth_hash_union as double)) end, 6) as est_intersect,
+         round(cast(inter_in_sketch as double) / cast(sketch_union_size as double), 9) as jaccard_est,
+         round(cast(exact_intersect as double) / cast(exact_union as double), 9) as jaccard_exact
+  from ex, sa, sb, su
+)
+select *,
+       round(abs(est_a - cast(exact_a as double)) / cast(exact_a as double), 6) as rel_err_a,
+       round(abs(est_b - cast(exact_b as double)) / cast(exact_b as double), 6) as rel_err_b,
+       round(abs(est_union - cast(exact_union as double)) / cast(exact_union as double), 6) as rel_err_union
+from row1
+""",
+)
+def q_kmv_distinct_setops(spark, sf_dir):
+    """KMV / bottom-k distinct sketch with SET-OPERATION cardinality
+    (operators/sketches.py:kmv_setops_report): customers active before
+    vs since 1998-01-01 — exact per-side / union / intersection
+    distinct counts beside the KMV estimates a shard merge would have,
+    with realized rel_err. The FULL-ORACLE member of the distinct-
+    sketch family: where HLL's register state is engine-internal
+    (hll_sketch_mergeability is rows-only by impossibility argument),
+    KMV's state is portable md5 integers, so the sketch values, the
+    merge law (Spark merges the two side sketches; the oracle computes
+    the direct union bottom-k — value-hash equality IS the proof, the
+    merge_cms_cells trick), and both estimators are value-checked
+    cross-engine. At 100 TB: one NDV-sized groupBy + two
+    TakeOrderedAndProject jobs; k-row state forever after."""
+    from .operators.sketches import kmv_setops_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    return kmv_setops_report(
+        orders,
+        "o_custkey",
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+        k=256,
+    )

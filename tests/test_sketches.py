@@ -354,3 +354,62 @@ def test_streaming_hdr_matches_batch_sketch_and_slicing(spark, sf0001):
     assert got2 == got5
     stream = {q: est for q, _, est in got2}
     assert stream == batch
+
+
+def test_kmv_exact_branch_when_ndv_below_k(spark):
+    """NDV < k → the sketch holds every key: estimates equal the exact
+    distinct counts bit-for-bit and every rel_err is 0.0."""
+    from etl_challenge_localiza_spark.operators.sketches import kmv_setops_report
+
+    rows = [(i % 50, i % 2 == 0) for i in range(400)]
+    df = spark.createDataFrame(rows, "key long, a boolean")
+    r = kmv_setops_report(df, "key", F.col("a"), k=64).collect()[0]
+    assert r["exact_union"] == 50 and r["sketch_union_size"] == 50
+    assert r["est_a"] == float(r["exact_a"])
+    assert r["est_b"] == float(r["exact_b"])
+    assert r["est_union"] == 50.0
+    assert r["est_intersect"] == float(r["exact_intersect"])
+    assert r["rel_err_a"] == r["rel_err_b"] == r["rel_err_union"] == 0.0
+
+
+def test_kmv_merge_law_merged_equals_direct_bottomk(spark):
+    """The report's union sketch is built by MERGING the two k-row
+    side sketches; it must equal the direct bottom-k over all keys
+    (kth hash, size, and in-sketch intersection count) — the exact
+    merge law the oracle proves cross-engine, checked here in-engine
+    on a domain where NDV >> k."""
+    from etl_challenge_localiza_spark.operators.sketches import (
+        kmv_bottomk,
+        kmv_setops_report,
+    )
+
+    rows = [(i, i % 3 != 0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "key long, a boolean")
+    r = kmv_setops_report(df, "key", F.col("a"), k=128).collect()[0]
+    direct = kmv_bottomk(df, "key", k=128).collect()
+    assert r["sketch_union_size"] == 128 == len(direct)
+    assert r["kth_hash_union"] == max(d["h"] for d in direct)
+    # exact set-op fields: sides are i%3!=0 (A) vs i%3==0 (B), disjoint
+    assert r["exact_a"] == sum(1 for i in range(5000) if i % 3 != 0)
+    assert r["exact_b"] == sum(1 for i in range(5000) if i % 3 == 0)
+    assert r["exact_union"] == 5000 and r["exact_intersect"] == 0
+    assert r["inter_in_sketch"] == 0 and r["est_intersect"] == 0.0
+
+
+def test_kmv_estimator_and_jaccard_within_bounds(spark):
+    """KMV DV̂ stderr ≈ DV/√(k−2) (~8.9% at k=128); assert the realized
+    errors on an overlapping two-side domain stay within ~4.5σ, and
+    the union-sample Jaccard estimate lands near the exact Jaccard."""
+    from etl_challenge_localiza_spark.operators.sketches import kmv_setops_report
+
+    # A = [0, 4000), B = [2000, 6000): exact jaccard = 2000/6000
+    rows = [(i, i < 4000) for i in range(6000) if i < 4000 or i >= 2000]
+    rows += [(i, False) for i in range(2000, 4000)]  # B-membership rows
+    df = spark.createDataFrame(rows, "key long, a boolean")
+    r = kmv_setops_report(df, "key", F.col("a"), k=128).collect()[0]
+    assert r["exact_a"] == 4000 and r["exact_b"] == 4000
+    assert r["exact_union"] == 6000 and r["exact_intersect"] == 2000
+    for e in ("rel_err_a", "rel_err_b", "rel_err_union"):
+        assert r[e] < 0.4, (e, r[e])
+    assert abs(r["jaccard_est"] - r["jaccard_exact"]) < 0.25
+    assert r["est_intersect"] > 0
