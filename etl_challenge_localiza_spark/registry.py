@@ -17879,3 +17879,143 @@ def q_kmv_distinct_setops(spark, sf_dir):
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
         k=256,
     )
+
+
+_LSH_CAUGHT_SQL = " or ".join(
+    "("
+    + " and ".join(f"a.mh_{b * 4 + r} = b.mh_{b * 4 + r}" for r in range(4))
+    + ")"
+    for b in range(4)
+)
+
+
+@register(
+    "lsh_recall_audit",
+    oracle=f"""
+with t as materialized (select doc_id, {SQL_TOKS} as toks from documents),
+g as (select doc_id, toks, unnest(generate_series(1, len(toks) - 2)) as g from t),
+shs as materialized (select doc_id, array_to_string(toks[g:g+2], ' ') as shingle from g),
+shd as materialized (select distinct doc_id, shingle from shs),
+sizes as (select doc_id, count(*) as n from shd group by doc_id),
+inter as (
+  select a.doc_id as da, b.doc_id as db, count(*) as ni
+  from shd a join shd b on a.shingle = b.shingle and a.doc_id < b.doc_id
+  group by 1, 2
+),
+pairs as (
+  select da, db,
+         cast(ni as double) / cast(sa.n + sb.n - ni as double) as jaccard
+  from inter
+  join sizes sa on da = sa.doc_id
+  join sizes sb on db = sb.doc_id
+  where cast(ni as double) / cast(sa.n + sb.n - ni as double) >= 0.5
+),
+sh2 as (select doc_id, shingle,
+        cast(cast(concat('0x', substr(md5(shingle), 1, 15)) as bigint) as hugeint) as base
+        from shs),
+sig as materialized (select doc_id,
+       {{_MH_MINS}}
+from sh2 group by doc_id),
+scored as (
+  select p.jaccard,
+         case when {{_LSH_CAUGHT_SQL}} then 1 else 0 end as caught,
+         cast(round(1.0 - (1.0 - p.jaccard*p.jaccard*p.jaccard*p.jaccard)
+                        * (1.0 - p.jaccard*p.jaccard*p.jaccard*p.jaccard)
+                        * (1.0 - p.jaccard*p.jaccard*p.jaccard*p.jaccard)
+                        * (1.0 - p.jaccard*p.jaccard*p.jaccard*p.jaccard), 6)
+              as decimal(18,6)) as theory
+  from pairs p
+  join sig a on a.doc_id = p.da
+  join sig b on b.doc_id = p.db
+)
+select least(cast(floor(jaccard * 10) as bigint), 9) as bin,
+       round(least(cast(floor(jaccard * 10) as bigint), 9) / 10.0, 1) as bin_lo,
+       cast(count(*) as bigint) as n_pairs,
+       cast(sum(caught) as bigint) as n_caught,
+       round(cast(sum(caught) as double) / cast(count(*) as double), 6) as catch_rate,
+       round(cast(sum(theory) as double) / cast(count(*) as double), 6) as theory_catch
+from scored
+group by 1, 2
+order by bin
+""".replace("{_MH_MINS}", _MH_MINS).replace("{_LSH_CAUGHT_SQL}", _LSH_CAUGHT_SQL),
+)
+def q_lsh_recall_audit(spark, sf_dir):
+    """REALIZED recall of the banded MinHash-LSH candidate generator
+    against the complete truth, per exact-Jaccard bin — the empirical
+    validation of lsh_param_plan's theoretical catch curve on this
+    corpus's actual near-dup pairs. Ground truth is the prefix-filter
+    lane (exact and COMPLETE for J ≥ 0.5, no probabilistic knob);
+    for each true pair, 'caught' asks whether the production LSH
+    banding (16 portable md5 minhashes, 4 bands × 4 rows — the exact
+    minhash_near_dup configuration) would have bucketed the pair
+    together, i.e. some band's 4 signature components all match. Per
+    bin: pair count, caught count, empirical catch rate, and the
+    Karlin banding probability 1−(1−j⁴)⁴ averaged over the bin's
+    actual pairs (per-pair 6dp-rounded decimal sum — order-free).
+    Closes the loop between three lanes: dedup_threshold_sweep picks
+    the cut, lsh_param_plan says what banding SHOULD catch,
+    minhash_estimate_error bounds the estimator — and this query says
+    what the banding DID catch. At 100 TB the audit runs on a sampled
+    slice; every stage here (prefix join, signature join at pair
+    altitude) is candidate-bounded, never corpus²."""
+    from functools import reduce
+    from operator import and_, or_
+
+    from .functions.text import shingles, tokens as _toks
+    from .operators.dedup import minhash_signatures, prefix_filter_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = prefix_filter_jaccard_pairs(docs, n=3, threshold=0.5)
+    sh_raw = docs.select(
+        "doc_id", F.explode(shingles(_toks("text"), 3)).alias("shingle")
+    )
+    sig = minhash_signatures(sh_raw, 16, hash_mode="portable")
+    sa = sig.select(
+        F.col("doc_id").alias("doc_id_a"),
+        *[F.col(f"mh_{i}").alias(f"a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_id_b"),
+        *[F.col(f"mh_{i}").alias(f"b{i}") for i in range(16)],
+    )
+    caught = reduce(
+        or_,
+        [
+            reduce(
+                and_,
+                [
+                    F.col(f"a{b * 4 + r}") == F.col(f"b{b * 4 + r}")
+                    for r in range(4)
+                ],
+            )
+            for b in range(4)
+        ],
+    )
+    jj = F.col("jaccard")
+    q1 = F.lit(1.0) - jj * jj * jj * jj
+    theory = F.round(F.lit(1.0) - q1 * q1 * q1 * q1, 6).cast("decimal(18,6)")
+    binc = F.least(F.floor(jj * 10).cast("long"), F.lit(9).cast("long"))
+    scored = (
+        pairs.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .select(
+            binc.alias("bin"),
+            F.round((binc / F.lit(10.0)), 1).alias("bin_lo"),
+            caught.cast("int").alias("caught"),
+            theory.alias("theory"),
+        )
+    )
+    return (
+        scored.groupBy("bin", "bin_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("caught").cast("long").alias("n_caught"),
+            F.round(
+                F.sum("caught").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("catch_rate"),
+            F.round(
+                F.sum("theory").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("theory_catch"),
+        )
+        .orderBy("bin")
+    )

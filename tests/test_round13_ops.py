@@ -504,3 +504,45 @@ def test_levenshtein_escalation_ladder_tiers(spark, monkeypatch):
         assert sorted(map(tuple, sampled)) == sorted(map(tuple, again))
     finally:
         R.load_table = orig
+
+
+def test_lsh_recall_audit_identical_docs_always_caught(spark):
+    """Identical docs have identical minhash signatures, so every
+    band matches: the j=1.0 bin must show catch_rate 1.0 and
+    theory_catch 1.0. A planted moderate-overlap pair lands in a
+    lower bin with theory strictly below 1. Driven through the FULL
+    registry function (monkeypatched load_table)."""
+    import etl_challenge_localiza_spark.registry as R
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    twin = base  # identical -> jaccard 1.0
+    # ~2/3 shingle overlap with base: same prefix, divergent tail
+    near = "alpha beta gamma delta epsilon zeta omega psi chi phi"
+    far = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(0, base), (1, twin), (2, near), (3, far)],
+        "doc_id long, text string",
+    )
+    orig = R.load_table
+    try:
+        R.load_table = lambda spark, sf, name: docs  # noqa: E731
+        rows = {
+            r["bin"]: r
+            for r in R.QUERIES["lsh_recall_audit"].fn(spark, "ignored").collect()
+        }
+    finally:
+        R.load_table = orig
+    assert 9 in rows, rows
+    top = rows[9]
+    assert top["n_pairs"] >= 1
+    assert top["n_caught"] == top["n_pairs"]
+    assert top["catch_rate"] == 1.0
+    assert top["theory_catch"] == 1.0
+    assert top["bin_lo"] == 0.9
+    for r in rows.values():
+        assert 0 <= r["n_caught"] <= r["n_pairs"]
+        assert 0.0 <= r["catch_rate"] <= 1.0
+        assert 0.0 <= r["theory_catch"] <= 1.0
+    lower = [b for b in rows if b < 9]
+    for b in lower:
+        assert rows[b]["theory_catch"] < 1.0
