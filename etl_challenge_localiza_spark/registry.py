@@ -18019,3 +18019,41 @@ def q_lsh_recall_audit(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "streaming_kmv_distinct",
+    oracle="""
+with t as (select distinct o_orderkey as key from orders),
+h as (select key,
+             cast(concat('0x', substr(md5('kmv7:' || cast(key as varchar)), 1, 15)) as bigint) as h
+      from t),
+ks as (select h, key from h order by h, key limit 256),
+s as (select max(h) as kth_hash, cast(count(*) as bigint) as sketch_size from ks),
+ex as (select cast(count(*) as bigint) as exact_dv from t),
+r as (
+  select cast(256 as bigint) as k, sketch_size, kth_hash,
+         round(case when sketch_size < 256 then cast(sketch_size as double)
+               else (255.0 * 1152921504606846976.0) / cast(kth_hash as double) end, 6) as dv_est,
+         exact_dv
+  from s, ex
+)
+select *,
+       round(abs(dv_est - cast(exact_dv as double)) / cast(exact_dv as double), 6) as rel_err
+from r
+""",
+)
+def q_streaming_kmv_distinct(spark, sf_dir):
+    """Streaming DISTINCT-COUNT maintenance: micro-batches of orders
+    fold into the bounded KMV bottom-k state
+    (streaming/upsert.run_streaming_kmv_refresh) — merge is exactly
+    the whole-stream bottom-k, so the final sketch and its
+    DV̂ = (k−1)/U(k) answer are bit-identical under ANY micro-batch
+    slicing; the oracle's whole-corpus SQL replica must agree on the
+    k-th hash, sketch size, estimate, and realized rel_err. The
+    distinct-count member of the streaming refresher family and the
+    streaming face of kmv_distinct_setops — the live "unique IDs seen
+    so far" gauge that HLL gives without value-checkability."""
+    from .streaming.upsert import run_streaming_kmv_refresh
+
+    return run_streaming_kmv_refresh(spark, sf_dir)

@@ -650,3 +650,87 @@ def run_streaming_cms_refresh(
     finally:
         if state_base is None:
             shutil.rmtree(base, ignore_errors=True)
+
+
+def run_streaming_kmv_refresh(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 256,
+    timeout_sec: int = 300,
+    n_input_files: int = 4,
+    state_base: str | None = None,
+) -> DataFrame:
+    """Continuously-maintained STREAMING distinct-count sketch: each
+    micro-batch of orders folds its keys into the bounded KMV bottom-k
+    state (operators/sketches.kmv_bottomk) — merge = bottom-k of the
+    union of the previous k-row state and the batch's k-row delta,
+    which is EXACTLY the bottom-k of all keys seen so far (any hash
+    among the running bottom-k is in its own batch's bottom-k), so
+    the final sketch — and the DV̂ = (k−1)/U(k) estimate it answers —
+    is bit-identical under ANY micro-batch slicing. The distinct-count
+    member of the streaming refresher family (CDC-latest / MV / CMS /
+    HDR-quantiles / IVF), and the streaming face of
+    kmv_distinct_setops: state is k rows of portable md5 integers,
+    so the whole-corpus SQL replica value-checks it exactly where the
+    HLL-based alternative would be engine-internal. Exactly-once via
+    apply_versioned_batch (versioned-parquet state, marker commit
+    after write); ``state_base`` as in run_streaming_mv_refresh."""
+    from ..operators.sketches import kmv_bottomk
+
+    stream, base = _staged_orders_stream(
+        spark, sf_dir, n_input_files, base=state_base
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        def compute(prev: DataFrame | None) -> DataFrame:
+            delta = kmv_bottomk(batch_df, "o_orderkey", k)
+            if prev is None:
+                return delta
+            return (
+                prev.unionByName(delta)
+                .distinct()
+                .orderBy("h", "key")
+                .limit(k)
+            )
+
+        apply_versioned_batch(batch_df.sparkSession, base, "kmv", batch_id, compute)
+
+    try:
+        _run_foreach_batch(stream, base, _apply, timeout_sec, "streaming KMV refresh")
+        sk = _final_version(spark, base, "kmv", "streaming KMV refresh")
+        s = sk.agg(
+            F.max("h").alias("kth_hash"),
+            F.count(F.lit(1)).cast("long").alias("sketch_size"),
+        )
+        ex = spark.read.parquet(os.path.join(base, "src")).agg(
+            F.countDistinct("o_orderkey").cast("long").alias("exact_dv")
+        )
+        c = F.lit(float(k - 1)) * F.lit(1152921504606846976.0)
+        est = F.round(
+            F.when(
+                F.col("sketch_size") < k, F.col("sketch_size").cast("double")
+            ).otherwise(c / F.col("kth_hash").cast("double")),
+            6,
+        )
+        return (
+            s.crossJoin(F.broadcast(ex))
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                "sketch_size",
+                "kth_hash",
+                est.alias("dv_est"),
+                "exact_dv",
+            )
+            .select(
+                "*",
+                F.round(
+                    F.abs(F.col("dv_est") - F.col("exact_dv").cast("double"))
+                    / F.col("exact_dv").cast("double"),
+                    6,
+                ).alias("rel_err"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if state_base is None:
+            shutil.rmtree(base, ignore_errors=True)

@@ -413,3 +413,25 @@ def test_kmv_estimator_and_jaccard_within_bounds(spark):
         assert r[e] < 0.4, (e, r[e])
     assert abs(r["jaccard_est"] - r["jaccard_exact"]) < 0.25
     assert r["est_intersect"] > 0
+
+
+def test_streaming_kmv_matches_batch_and_slicing(spark, sf0001):
+    """The streamed KMV state equals the direct whole-table bottom-k
+    (exact merge law under foreachBatch folding), and the report is
+    identical under different micro-batch slicings."""
+    from etl_challenge_localiza_spark.operators.sketches import kmv_bottomk
+    from etl_challenge_localiza_spark.sources.readers import load_table
+    from etl_challenge_localiza_spark.streaming.upsert import (
+        run_streaming_kmv_refresh,
+    )
+
+    got2 = run_streaming_kmv_refresh(spark, sf0001, n_input_files=2).collect()
+    got5 = run_streaming_kmv_refresh(spark, sf0001, n_input_files=5).collect()
+    assert sorted(map(tuple, got2)) == sorted(map(tuple, got5))
+    r = got2[0]
+    direct = kmv_bottomk(
+        load_table(spark, sf0001, "orders"), "o_orderkey", 256
+    ).collect()
+    assert r["sketch_size"] == len(direct)
+    assert r["kth_hash"] == max(d["h"] for d in direct)
+    assert r["exact_dv"] >= r["sketch_size"]
