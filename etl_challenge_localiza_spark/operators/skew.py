@@ -57,29 +57,42 @@ def planner_join_audit(
     per join, so estimator drift is a visible number (pytest drives
     the salted/shuffle branches on constructed skew).
 
-    Plan shape: ONE raw scan per side. The per-key count frame feeds
-    three consumers (size/NDV stats, the exact-cardinality join, the
-    sketch cells), so it is localCheckpoint'ed once — the first cut
-    composed cms_join_size_estimate directly and paid three scans per
-    side (its internal fa + cells re-aggregate the raw input), which
-    the ×30 sweep measured at ×6.6 exec growth; deriving the cells
-    from the count frame is value-identical (cms_cells aggregates at
-    item altitude before hashing anyway — same md5 buckets, same
-    sums) at one scan."""
+    Plan shape: the per-key count frame feeds three consumers
+    (size/NDV stats, the exact-cardinality join, the sketch cells).
+    It is persisted DISK_ONLY — computed once, disk-backed, re-read
+    by each consumer — after two measured failures at the ×1000 tier
+    (150M+ keys/side): an eager localCheckpoint PINNED the NDV-sized
+    frames in storage memory until the spillable hash aggregates
+    starved (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY — cached
+    blocks under construction are un-evictable), while no
+    materialization at all recomputed the full fact-scan aggregate
+    per consumer (×1000 exec 2673 s single-box). DISK_ONLY takes the
+    middle path: block construction streams to disk with a bounded
+    memory footprint, nothing pins the execution-memory pool, and on
+    a cluster each executor re-reads its local blocks. Keys stay in
+    their NATIVE type end-to-end (the first cut cast every key to
+    string for the md5 bucket and paid string hash aggregates over
+    the full fact — ×6.6 exec growth at ×30; the cast now happens
+    only inside the bucket hash over the already-NDV-sized count
+    frame). The cells are value-identical to cms_cells'
+    (item-altitude counts before hashing — same md5 buckets, same
+    sums)."""
+    from pyspark import StorageLevel
+
     from .sketches import _cms_bucket
 
-    k = F.col(key_col).cast("string").alias("k")
+    k = F.col(key_col).alias("k")
     fa = (
         left.select(k)
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("na"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.DISK_ONLY)
     )
     fb = (
         right.select(k)
         .groupBy("k")
         .agg(F.count(F.lit(1)).cast("long").alias("nb"))
-        .localCheckpoint(eager=True)
+        .persist(StorageLevel.DISK_ONLY)
     )
     sl = fa.agg(
         F.sum("na").cast("long").alias("left_rows"),
@@ -108,7 +121,9 @@ def planner_join_audit(
                     *[
                         F.struct(
                             F.lit(i).alias("row"),
-                            _cms_bucket(i, F.col("k"), width).alias("bucket"),
+                            _cms_bucket(
+                                i, F.col("k").cast("string"), width
+                            ).alias("bucket"),
                         )
                         for i in range(depth)
                     ]
