@@ -39,15 +39,13 @@ RUNTIME_CONF = {
     # 10-20% faster on the bench queries (small shuffles collapse to
     # few partitions instead of 32 near-empty tasks).
     "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
-    # 16 MB advisory post-shuffle partition size (default 64 MB).
-    # Byte-based coalescing under-parallelizes CPU-DENSE small-byte
-    # stages: at the ×30 tier, 64 MB collapsed user_sessions' window
-    # stage to one task and q9/q21/q5's join-agg stages to 2-7 tasks
-    # (round-9 gap attribution; 2-6× wall on that class at 16 MB,
-    # sf0.1 bench unchanged). At cluster scale this can only INCREASE
-    # small-stage parallelism: coalescing merges partitions up to the
-    # advisory size and never splits, so large shuffles — already at
-    # or above the initial partition count — are unaffected.
+    # 16 MB advisory post-shuffle partition size as the NO-CONTEXT
+    # fallback only: whenever a query entry point knows its sf_dir,
+    # tune() overrides this with the dataset-derived value from
+    # _advisory_bytes_for (total_input/shuffle_width clamped to
+    # [1 MB, 256 MB]) — small inputs keep CPU-dense reduce stages
+    # parallel, huge inputs get the guide-recommended 256 MB
+    # partitions instead of millions of 16 MB ones.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.ansi.enabled": "false",
@@ -76,6 +74,49 @@ def shuffle_width(spark: SparkSession) -> int:
 #: (one os.walk per directory per process).
 _SF_PARTS: dict[str, int] = {}
 
+#: cache of dataset total bytes per sf_dir (shared by the partition
+#: and advisory-size derivations; one os.walk per directory).
+_SF_BYTES: dict[str, int] = {}
+
+
+def _total_bytes(sf_dir: str) -> int:
+    total = _SF_BYTES.get(sf_dir)
+    if total is None:
+        total = 0
+        try:
+            for root, _dirs, files in os.walk(sf_dir):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        except OSError:
+            pass
+        _SF_BYTES[sf_dir] = total
+    return total
+
+
+def _advisory_bytes_for(sf_dir: str) -> int:
+    """Size AQE's advisory post-shuffle partition to the DATASET, not a
+    constant (guide §2.2/§9: partition size should track the data;
+    a constant tuned for either local mode or the cluster is wrong at
+    the other end).
+
+    ``total_input / shuffle_width``, clamped to [1 MB, 256 MB]:
+
+    - small SFs (sf0.1 ≈ 17 MB input): ~1 MB — without this, byte-based
+      coalescing collapsed CPU-DENSE small-byte reduce stages (window
+      dedup, as-of unions, per-doc aggregates) to ONE task while 31
+      cores idled; measured 15-30% exec win across the txn/asof/
+      attribution lanes at sf0.1 (OPTIMIZATION_r14.md).
+    - cluster scale: the ratio passes through the 256 MB cap — the
+      guide's own starting configuration (§9) — so big shuffles get
+      FEWER, LARGER partitions than the old fixed 16 MB advisory,
+      which at 100 TB would have produced millions of tiny reduce
+      partitions (quadratic block growth, §2.2).
+    """
+    return max(1 << 20, min(256 << 20, _total_bytes(sf_dir) // max(1, _partitions_for(sf_dir))))
+
 
 def _partitions_for(sf_dir: str) -> int:
     """Size ``spark.sql.shuffle.partitions`` to the dataset, not the
@@ -93,17 +134,7 @@ def _partitions_for(sf_dir: str) -> int:
     """
     parts = _SF_PARTS.get(sf_dir)
     if parts is None:
-        total = 0
-        try:
-            for root, _dirs, files in os.walk(sf_dir):
-                for f in files:
-                    try:
-                        total += os.path.getsize(os.path.join(root, f))
-                    except OSError:
-                        pass
-        except OSError:
-            pass
-        parts = max(16, min(DEFAULT_CPUS, total // (4 << 20)))
+        parts = max(16, min(DEFAULT_CPUS, _total_bytes(sf_dir) // (4 << 20)))
         _SF_PARTS[sf_dir] = parts
     return parts
 
@@ -119,6 +150,9 @@ def tune(spark: SparkSession, sf_dir: str | None = None) -> SparkSession:
     conf = dict(RUNTIME_CONF)
     if sf_dir is not None:
         conf["spark.sql.shuffle.partitions"] = str(_partitions_for(sf_dir))
+        conf["spark.sql.adaptive.advisoryPartitionSizeInBytes"] = str(
+            _advisory_bytes_for(sf_dir)
+        )
     for k, v in conf.items():
         try:
             spark.conf.set(k, v)
