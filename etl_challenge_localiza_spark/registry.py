@@ -9347,10 +9347,11 @@ def q_attribution_multi_touch(spark, sf_dir):
         .filter((F.col("t_t") >= F.col("t_c") - w) & (F.col("t_t") < F.col("t_c")))
         .select("conv_id", "value", "channel")
     )
-    n = pairs.groupBy("conv_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_touches")
-    )
-    credit = pairs.join(n, "conv_id").select(
+    # window count over the conv_id partitioning instead of groupBy +
+    # join-back (guide §2.4) — one exchange fewer, same values.
+    credit = pairs.withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    ).select(
         "channel",
         "conv_id",
         (F.col("value") / F.col("n_touches").cast("double")).alias("credit"),
@@ -9466,10 +9467,13 @@ def q_attribution_multi_touch_capped(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     conv, capped = _capped_touch_slots(ev)
     capped = capped.select("conv_id", "value", "channel")
-    n = capped.groupBy("conv_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_touches")
-    )
-    credit = capped.join(n, "conv_id").select(
+    # per-conversion touch count via ONE window over the conv_id
+    # partitioning instead of groupBy + join-back (optimization r14,
+    # guide §2.4: two operations keyed the same way share one
+    # exchange) — same values, one fewer aggregate + join.
+    credit = capped.withColumn(
+        "n_touches", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    ).select(
         "channel",
         "conv_id",
         (F.col("value") / F.col("n_touches").cast("double")).alias("credit"),
@@ -11743,8 +11747,12 @@ def q_attribution_time_decay(spark, sf_dir):
             6,
         ).cast("decimal(10,6)"),
     )
-    sw = wt.groupBy("conv_id").agg(F.sum("w").alias("sw"))
-    credit = wt.join(sw, "conv_id").select(
+    # per-conversion weight sum via ONE window instead of groupBy +
+    # join-back (guide §2.4); decimal sum is order-free exact, so the
+    # values are identical.
+    credit = wt.withColumn(
+        "sw", F.sum("w").over(Window.partitionBy("conv_id"))
+    ).select(
         "channel",
         "conv_id",
         (
