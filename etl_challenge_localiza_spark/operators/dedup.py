@@ -367,10 +367,21 @@ def minhash_near_dup_pairs(
     # no broadcast hint: the candidate list is data-dependent (grows
     # with the corpus dup rate) — AQE broadcasts it while small and can
     # fall back to a shuffle join when it isn't (same policy as the
-    # hot-shingle list above)
-    sh_cand = sh_raw.join(
-        cand_docs, "doc_id", "left_semi"
-    ).dropDuplicates(["doc_id", "shingle"])
+    # hot-shingle list above).
+    # The semi join runs BELOW the explode (optimization r14): Spark
+    # cannot push a join through Generate, so filtering sh_raw would
+    # re-tokenize and re-shingle the ENTIRE corpus only to discard
+    # every non-candidate row. Pruning docs first means the verify
+    # path re-parses candidate docs only (candidates ≪ corpus at any
+    # sane dup rate; sf0.1: the 2.2 s re-explode stage drops to
+    # candidate size). Same rows out: the join key is doc_id either
+    # way and explode is per-doc.
+    sh_cand = (
+        spread_small_scan(docs)
+        .join(cand_docs, "doc_id", "left_semi")
+        .select("doc_id", F.explode(shingle_expr).alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
     sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh_cand.select(F.col("doc_id").alias("a_doc_id"), F.col("shingle").alias("a_sh"))
     b = sh_cand.select(F.col("doc_id").alias("b_doc_id"), F.col("shingle").alias("b_sh"))
