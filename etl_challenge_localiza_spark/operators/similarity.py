@@ -76,7 +76,16 @@ def cosine_nn_within_label(emb: DataFrame, round_digits: int = 6) -> DataFrame:
     Similarity is rounded before the argmax so ranking ties are
     engine-stable; ties break to the LOWEST neighbour vec_id (the
     struct max compares -vec_id after cos_sim).
+
+    The per-pair cosine uses the fixed-width unrolled fold
+    (functions.vectors.cosine_fixed, optimization r14): higher-order
+    folds run interpreted at ~20 µs per 64-d pair, dominating this
+    pair-quadratic block join — 6.0 s → 1.7 s at sf0.1, bit-identical
+    output. One 1-row dim probe at plan build pays for it.
     """
+    from ..functions.vectors import cosine_fixed, embedding_dim
+
+    dim = embedding_dim(emb)
     a = emb.select(
         F.col("label").alias("__lbl"),
         F.col("vec_id").alias("__vid"),
@@ -93,7 +102,9 @@ def cosine_nn_within_label(emb: DataFrame, round_digits: int = 6) -> DataFrame:
     )
     best = F.max(
         F.struct(
-            F.round(cosine(F.col("__emb"), F.col("__emb_b")), round_digits).alias("cos_sim"),
+            F.round(
+                cosine_fixed(F.col("__emb"), F.col("__emb_b"), dim), round_digits
+            ).alias("cos_sim"),
             (-F.col("__vid_b")).alias("__neg_id"),
             F.col("__vid_b").alias("nn_vec_id"),
         )
@@ -324,26 +335,39 @@ def brp_lsh_ann_pairs(
         pscal = pv.agg(
             F.sort_array(F.collect_list(F.struct("h", "rv"))).alias("parr")
         )
+        # optimization r14 (guide §8 / §2.3): candidates are decided by
+        # 16-byte (h, bucket, vec_id) keys, then embeddings are joined
+        # back for the verify ONLY on the distinct candidate pairs. The
+        # previous shape self-joined the hashed stream WITH the full
+        # 64-double array on both sides, so every raw bucket collision
+        # (×H tables) shuffled two embedding payloads and the pair
+        # dedup exchanged them again — the §8 antipattern (heavy rows
+        # moving to make a decision only keys participate in). The
+        # candidate join stays a JOIN (not minhash's collect_set pair
+        # expansion: a degenerate bucketing — observed at sf0.1, 2
+        # buckets/table of ~1000 members — would materialize million-
+        # struct arrays per bucket row, measured 22 s; a join streams
+        # the same pairs and AQE skew-join can split oversized bucket
+        # partitions). The dot / distance folds are fixed-width
+        # unrolled (codegen) instead of interpreted HOFs —
+        # bit-identical values (same element-order fold, same 0.0
+        # seed). Measured 12.6 s → 2.9 s at sf0.1.
+        from ..functions.vectors import dot_fixed
+
         ve = emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
-        )
-        dot = lambda a, b: F.aggregate(  # noqa: E731 — element-order fold
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
         )
         hashed = (
             ve.crossJoin(F.broadcast(pscal))
             .select(
                 "vec_id",
-                "e",
                 F.explode(
                     F.transform(
                         F.col("parr"),
                         lambda s: F.struct(
                             s["h"].alias("h"),
                             F.floor(
-                                dot(F.col("e"), s["rv"])
+                                dot_fixed(F.col("e"), s["rv"], d)
                                 / F.lit(float(bucket_length))
                             )
                             .cast("long")
@@ -354,7 +378,6 @@ def brp_lsh_ann_pairs(
             )
             .select(
                 "vec_id",
-                "e",
                 F.col("hb.h").alias("h"),
                 F.col("hb.bucket").alias("bucket"),
             )
@@ -370,22 +393,19 @@ def brp_lsh_ann_pairs(
             .select(
                 F.col("x.vec_id").alias("vec_id_a"),
                 F.col("y.vec_id").alias("vec_id_b"),
-                F.col("x.e").alias("ea"),
-                F.col("y.e").alias("eb"),
             )
             .dropDuplicates(["vec_id_a", "vec_id_b"])
         )
-        dist = F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("ea"), F.col("eb"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
+        ea = ve.select(F.col("vec_id").alias("vec_id_a"), F.col("e").alias("ea"))
+        eb = ve.select(F.col("vec_id").alias("vec_id_b"), F.col("e").alias("eb"))
+        dist_sq: F.Column = F.lit(0.0)
+        for i in range(d):
+            diff = F.col("ea")[i] - F.col("eb")[i]
+            dist_sq = dist_sq + diff * diff
         return (
-            cand.withColumn("__dist", dist)
+            cand.join(ea, "vec_id_a")
+            .join(eb, "vec_id_b")
+            .withColumn("__dist", F.sqrt(dist_sq))
             .filter(F.col("__dist") < F.lit(float(max_distance)))
             .select(
                 "vec_id_a",
@@ -632,10 +652,22 @@ def semdedup_drop(
     )
     a = asg.select(F.col("cid"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = asg.select(F.col("cid"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    # fixed-width unrolled cosine (optimization r14): the dimension is
+    # already known from the fitted centroids, so the pair filter runs
+    # codegen'd instead of as an interpreted HOF fold — bit-identical
+    # values (same element-order fold).
+    from ..functions.vectors import cosine_fixed
+
+    dim = len(cents[0][1]) if cents else 0
+    pair_cos = (
+        cosine_fixed(F.col("ea"), F.col("eb"), dim)
+        if dim
+        else cosine(F.col("ea"), F.col("eb"))
+    )
     dropped = (
         a.join(b, "cid")
         .filter(F.col("va") < F.col("vb"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(threshold))
+        .filter(pair_cos >= F.lit(threshold))
         .select("cid", "vb")
         .distinct()
         .groupBy("cid")
@@ -997,10 +1029,21 @@ def semdedup_drop_pruned(
     )
     a = asg.select(F.col("cid"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = asg.select(F.col("cid"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    # fixed-width unrolled cosine (optimization r14): d is known from
+    # the sampled training points; codegen'd pair filter, bit-identical
+    # values (same element-order fold).
+    from ..functions.vectors import cosine_fixed
+
+    dim = int(pts.shape[1]) if pts.size else 0
+    pair_cos = (
+        cosine_fixed(F.col("ea"), F.col("eb"), dim)
+        if dim
+        else cosine(F.col("ea"), F.col("eb"))
+    )
     dropped = (
         a.join(b, "cid")
         .filter(F.col("va") < F.col("vb"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= F.lit(threshold))
+        .filter(pair_cos >= F.lit(threshold))
         .select("cid", "vb")
         .distinct()
         .groupBy("cid")

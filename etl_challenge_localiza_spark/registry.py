@@ -3271,9 +3271,10 @@ def q_embedding_top_pairs(spark, sf_dir):
     self-join (never all-pairs) + TakeOrderedAndProject: each task
     keeps a 20-row heap, only those reach the driver-side merge — no
     global sort. Tiebreak (cos desc, vec_a, vec_b) is total."""
-    from .operators.similarity import cosine
+    from .functions.vectors import cosine_fixed, embedding_dim
 
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
     a = emb.select(
         F.col("label").alias("label"),
         F.col("vec_id").alias("vec_a"),
@@ -3290,7 +3291,9 @@ def q_embedding_top_pairs(spark, sf_dir):
             "vec_a",
             "vec_b",
             "label",
-            F.round(cosine(F.col("__ea"), F.col("__eb")), 6).alias("cos_sim"),
+            # fixed-width unrolled cosine (codegen, bit-identical to
+            # the HOF fold — optimization r14)
+            F.round(cosine_fixed(F.col("__ea"), F.col("__eb"), dim), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
         .limit(20)
@@ -5594,15 +5597,18 @@ def q_embedding_near_dup_drop(spark, sf_dir):
     anti join carries no hint (AQE broadcasts while small). The
     IVF/LSH bucketing (ivf_assignments, brp_lsh_ann_pairs) replaces the
     label block when no natural key exists at 100 TB."""
-    from .operators.similarity import cosine
+    from .functions.vectors import cosine_fixed, embedding_dim
 
     emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
     a = emb.select(F.col("label").alias("lbl"), F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("label").alias("lbl"), F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
     pairs = (
         a.join(b, ["lbl"])
         .filter(F.col("va") < F.col("vb"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.999)
+        # fixed-width unrolled cosine (codegen, bit-identical to the
+        # HOF fold — optimization r14)
+        .filter(cosine_fixed(F.col("ea"), F.col("eb"), dim) >= 0.999)
         .select("vb")
         .distinct()
     )
@@ -9934,15 +9940,17 @@ def q_hard_negatives_ann(spark, sf_dir):
     -neg_id) struct, so one row per anchor reaches the exchange. At
     100 TB the anchor batch streams through the same shape, or the
     IVF/BRP bucket path replaces the scan for recall@k trade-offs."""
-    from .functions.vectors import dot, norm_sq
+    from .functions.vectors import dot_fixed, embedding_dim, norm_sq_fixed
 
     # norms are per-VECTOR quantities: fold them once per row on each
     # side (10^4 + anchor folds) instead of per PAIR (3 array folds ->
     # 1; measured 10.3 -> 4.5 s warm at sf0.1). The cosine VALUE is
     # bit-identical, so the oracle and determinism hashes are unmoved.
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nsq", norm_sq("embedding")
-    )
+    # r14: folds are fixed-width unrolled (codegen, not interpreted
+    # HOFs) — same element-order values.
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = embedding_dim(emb)
+    emb = emb.withColumn("nsq", norm_sq_fixed("embedding", dim))
     a = emb.filter(F.col("vec_id") < 200).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
@@ -9953,7 +9961,7 @@ def q_hard_negatives_ann(spark, sf_dir):
         F.col("label") != F.col("a_label")
     )
     cs = F.round(
-        dot("embedding", "a_emb") / F.sqrt(F.col("nsq") * F.col("a_nsq")), 6
+        dot_fixed("embedding", "a_emb", dim) / F.sqrt(F.col("nsq") * F.col("a_nsq")), 6
     )
     scored = pairs.select(
         F.col("a_id"),

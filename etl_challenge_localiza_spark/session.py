@@ -57,6 +57,17 @@ RUNTIME_CONF = {
     # noise. At cluster scale the same conditions gate the choice, so
     # oversized build sides still get sort-merge.
     "spark.sql.join.preferSortMergeJoin": "false",
+    # Align Spark's whole-stage-codegen bailout with the JIT's real
+    # limit: HotSpot refuses to compile methods over 8000 bytes
+    # (-XX:DontCompileHugeMethods), so a fused stage whose produce()
+    # exceeds it runs in the BYTECODE INTERPRETER — Spark's default
+    # bailout (65535) keeps such stages fused anyway. Found on
+    # brp_lsh_ann_pairs: the dedup+joins+64-term-distance stage ran
+    # interpreted at ~35 µs/row; with the bailout at 8000 Spark falls
+    # back to per-operator codegen (every method JIT-able) — 20.9 s →
+    # 3.1 s at sf0.1. Scale-independent: it keys off generated-code
+    # size, not data size.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
     "spark.sql.ansi.enabled": "false",
     "spark.sql.shuffle.partitions": str(DEFAULT_CPUS),
     # The events table stores TIMESTAMP(NANOS) parquet, which Spark has
