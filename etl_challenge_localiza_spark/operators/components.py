@@ -38,14 +38,17 @@ _CONF_ERRORS = (PySparkException, Py4JError)
 
 
 @contextmanager
-def iterative_loop_confs(spark, n_rows: int, rows_per_partition: int = 1_000_000):
+def iterative_loop_confs(spark, n_rows: int, rows_per_partition: int = 100_000):
     """Shared sizing policy for driver-sequenced fixpoint loops
     (connected components, PageRank): narrow the shuffle width to the
-    REDUCED loop data (one partition per ~1M rows, capped at the
-    session setting, floor 1) and suspend AQE for the loop's duration
-    — iterating tiny cached joins at full width under AQE costs
-    ~1-2 s/round in re-planning + task dispatch alone (profiled round
-    5). At 10^9+ rows the loop keeps full width.
+    REDUCED loop data (one partition per ~100K rows — r14: was 1M,
+    which ran the 1.17M-edge pagerank sweeps single-task; 100K
+    measured 10.6 s → 5.9 s full-call there while sub-100K-edge loops
+    still collapse to one partition — capped at the session setting,
+    floor 1) and suspend AQE for the loop's duration — iterating tiny
+    cached joins at full width under AQE costs ~1-2 s/round in
+    re-planning + task dispatch alone (profiled round 5). At large
+    row counts the loop keeps full width.
 
     Narrows SESSION-GLOBAL confs and restores them on exit; assumes no
     concurrent query shares the SparkSession (the engine's batch entry

@@ -30,6 +30,8 @@ shared :func:`operators.components.iterative_loop_confs` sizing policy
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -37,6 +39,11 @@ from .components import iterative_loop_confs
 
 #: fixed-point scale: ranks are integers in units of 1e-12.
 RANK_SCALE = 1_000_000_000_000
+
+#: edge-count ceiling for the driver-local exact-integer fast path —
+#: a driver-memory bound, not a machine-width tune (see
+#: components.CC_LOCAL_EDGE_BUDGET for the policy rationale).
+PR_LOCAL_EDGE_BUDGET = int(os.environ.get("SPARK_GRAFT_PR_LOCAL_EDGES", "500000"))
 
 
 def pagerank_scaled(
@@ -64,6 +71,75 @@ def pagerank_scaled(
         .cache()
     )
     n_edges = e.count()
+    if n_edges <= PR_LOCAL_EDGE_BUDGET:
+        # SMALL-GRAPH FAST PATH (optimization r14, same rationale as
+        # components.connected_components): each distributed sweep
+        # costs 2 joins + an agg + a cache fill + a scalar collect of
+        # driver-blocking dispatch regardless of graph size. Below the
+        # bounded budget, run the sweeps in exact Python integers —
+        # arbitrary precision covers the decimal(38,0) damping
+        # multiply, and floor-div equals Spark's `div` on the
+        # nonnegative ranks — so ranks AND sweeps_run are
+        # bit-identical (pinned by tests/test_pagerank.py fastpath
+        # test). Past the budget the distributed loop handles any
+        # size.
+        try:
+            rows = e.collect()
+            out_type = e.schema[0].dataType
+        finally:
+            nodes.unpersist()
+            e.unpersist()
+        adj: dict = {}
+        deg: dict = {}
+        node_set = set()
+        for r_ in rows:
+            s_, d_ = r_[0], r_[1]
+            if s_ is None or d_ is None:
+                continue
+            node_set.add(s_)
+            node_set.add(d_)
+            deg[s_] = deg.get(s_, 0) + 1
+            adj.setdefault(s_, []).append(d_)
+        base_ = (RANK_SCALE * (damping_den - damping_num)) // damping_den
+        rank = {n: RANK_SCALE for n in node_set}
+        sweeps_run = 0
+        converged = False
+        for _ in range(max_sweeps):
+            s_acc = {n: 0 for n in node_set}
+            for src_, dsts in adj.items():
+                c = rank[src_] // deg[src_]
+                for dst_ in dsts:
+                    s_acc[dst_] += c
+            new_rank = {
+                n: base_ + (damping_num * s_acc[n]) // damping_den
+                for n in node_set
+            }
+            delta = sum(abs(new_rank[n] - rank[n]) for n in node_set)
+            rank = new_rank
+            sweeps_run += 1
+            if delta <= tol_scaled:
+                converged = True
+                break
+        if not converged and require_convergence:
+            raise RuntimeError(
+                f"pagerank did not converge in {max_sweeps} sweeps "
+                f"(L1 delta still > {tol_scaled}); raise max_sweeps"
+            )
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            [StructField("id", out_type), StructField("r", LongType())]
+        )
+        out_rows = sorted(rank.items())
+        slices = max(
+            1, min(spark.sparkContext.defaultParallelism, len(out_rows) // 50_000)
+        )
+        return (
+            spark.createDataFrame(
+                spark.sparkContext.parallelize(out_rows, slices), schema=out_schema
+            ),
+            sweeps_run,
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     base = (RANK_SCALE * (damping_den - damping_num)) // damping_den
     ranks = nodes.select("id", F.lit(RANK_SCALE).alias("r"))

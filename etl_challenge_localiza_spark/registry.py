@@ -5935,9 +5935,15 @@ def q_pagerank_trade_graph(spark, sf_dir):
         )
         .distinct()
     )
+    # no distinct after symmetrizing (optimization r14): fwd's src is
+    # a custkey (< 1e6) and dst a suppkey + 1e6 (>= 1e6), so the
+    # flipped copy's (src, dst) domains are disjoint from fwd's — the
+    # union of two internally-distinct, provably-disjoint sets is
+    # already distinct, and the old dedup was a full extra shuffle of
+    # the symmetrized edge list for zero dropped rows.
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    )
     ranks, _ = pagerank_scaled(edges, max_sweeps=3)
     # materialize the tiny final result (the ranks frame is already
     # lineage-free; top-20 is a TakeOrderedAndProject)

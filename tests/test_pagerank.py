@@ -56,3 +56,30 @@ def test_convergence_within_max_sweeps_satisfies_require(spark):
     )
     assert sweeps == 1
     assert {r["r"] for r in ranks.collect()} == {RANK_SCALE}
+
+
+def test_fast_path_matches_distributed_loop(spark, monkeypatch):
+    """The r14 driver-local exact-integer fast path must reproduce the
+    distributed loop bit-for-bit — ranks AND sweeps_run — on an
+    irregular multi-component graph."""
+    import etl_challenge_localiza_spark.operators.pagerank as P
+
+    pairs = []
+    for i in range(30):
+        for j in range(i + 1, 30):
+            if i // 10 != j // 10:
+                continue
+            if (i * 2654435761 + j * 40503 + 5) % 97 < 22:
+                pairs.append((i, j))
+                pairs.append((j, i))
+    pairs.append((40, 41))  # dangling-ish extra component
+
+    def run(budget):
+        monkeypatch.setattr(P, "PR_LOCAL_EDGE_BUDGET", budget)
+        ranks, sweeps = P.pagerank_scaled(_edges(spark, pairs), max_sweeps=3)
+        return sorted((r["id"], r["r"]) for r in ranks.collect()), sweeps
+
+    fast, s_fast = run(10**9)
+    loop, s_loop = run(0)
+    assert fast == loop
+    assert s_fast == s_loop
