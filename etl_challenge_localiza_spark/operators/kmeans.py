@@ -28,10 +28,75 @@ oracle's fixed unrolled CTE sweeps stay bit-equal.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000
+
+#: vector-count ceiling for the driver-local exact Lloyd fast path —
+#: a driver-memory bound (~64 MB of int64 at d=64), not a machine-width
+#: tune (components.CC_LOCAL_EDGE_BUDGET policy).
+KM_LOCAL_VECS_BUDGET = int(os.environ.get("SPARK_GRAFT_KM_LOCAL_VECS", "100000"))
+
+
+def _round_half_up(x: float) -> int:
+    """Spark's Round(double, 0): BigDecimal.valueOf(x).setScale(0,
+    HALF_UP) — valueOf goes through Double.toString's shortest decimal
+    form, which Python's repr() reproduces."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP))
+
+
+def _kmeans_fit_local(rows, k: int, max_sweeps: int) -> tuple[list, int]:
+    """Exact local Lloyd over collected (vec_id, v) rows — bit-identical
+    to the distributed sweeps: int64 distances (computed in float64,
+    which is exact here: every product ≤ (1e6·SCALEd)² ≈ 1e12 and every
+    64-term sum ≤ ~1e14, both < 2^53), first-min argmin over cid-sorted
+    centroids (= the struct-min lowest-cid tiebreak), integer
+    coordinate sums divided once in double and HALF_UP rounded exactly
+    as Spark's Round."""
+    import numpy as np
+
+    pts = sorted((int(r[0]), list(r[1])) for r in rows)
+    cents = [(vid, list(v)) for vid, v in pts if vid < k]
+    if not pts or not cents:
+        return cents, 1  # empty assignment: first sweep is a fixpoint
+    # exactness guard: every dist2 term is bounded by 4·d·m² for the
+    # largest |coordinate| m; if that could cross 2^53 the float64
+    # shortcut is no longer exact-int and the caller must use the
+    # distributed int64 path instead.
+    m = max((max(abs(x) for x in v) if v else 0) for _vid, v in pts)
+    d_ = len(pts[0][1])
+    if 4 * d_ * m * m >= (1 << 53):
+        return None, -1  # signal: not exactly representable locally
+    P = np.array([v for _vid, v in pts], dtype=np.float64)
+    p_sq = (P * P).sum(axis=1)
+    sweeps_run = 0
+    for _ in range(max_sweeps):
+        C = np.array([v for _cid, v in cents], dtype=np.float64)
+        # dist2 = |p|^2 - 2 p·c + |c|^2 — exact in float64 at these
+        # magnitudes; argmin takes the FIRST minimum (lowest cid).
+        d2 = p_sq[:, None] - 2.0 * (P @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d2.argmin(axis=1)
+        new = []
+        for ci, (cid, vec) in enumerate(cents):
+            members = P[assign == ci]
+            if len(members):
+                cnt = len(members)
+                sums = members.sum(axis=0)  # exact (bounded < 2^53)
+                new.append(
+                    (cid, [_round_half_up(float(s) / cnt) for s in sums])
+                )
+            else:
+                new.append((cid, vec))
+        sweeps_run += 1
+        if new == cents:
+            break
+        cents = new
+    return cents, sweeps_run
 
 
 def scaled_vectors(emb: DataFrame) -> DataFrame:
@@ -92,6 +157,29 @@ def kmeans_fit(
     vectors by vec_id — the IVF seed convention). Returns the final
     scaled-int centroids and the number of sweeps actually run."""
     vecs = scaled_vectors(emb)
+    # bounded-corpus fast path (optimization r14, the CC/pagerank
+    # pattern): each distributed sweep costs an assignment job + a
+    # k·d collect of driver dispatch no matter how small the corpus.
+    # Below the budget, collect the scaled vectors once and run the
+    # SAME exact-integer Lloyd locally — bit-identical centroids and
+    # sweep count (pinned by tests/test_kmeans.py). The count probe is
+    # memoized per cached DataFrame, so repeated fits on one table pay
+    # it once per session.
+    n = getattr(emb, "_sg_row_count", None)
+    if n is None:
+        n = emb.count()
+        try:
+            emb._sg_row_count = n
+        except Exception:
+            pass
+    if n <= KM_LOCAL_VECS_BUDGET:
+        cents_l, sweeps_l = _kmeans_fit_local(
+            [(r["vec_id"], r["v"]) for r in vecs.collect()], k, max_sweeps
+        )
+        if sweeps_l != -1:
+            return cents_l, sweeps_l
+        # fell through: magnitudes too large for the exact float64
+        # shortcut — continue on the distributed int64 path below
     seeds = vecs.filter(F.col("vec_id") < k).collect()
     cents = sorted((int(r["vec_id"]), list(r["v"])) for r in seeds)
     sweeps_run = 0

@@ -105,3 +105,40 @@ def test_inertia_nonincreasing_across_sweeps(spark):
         inertias.append(sum(r["inertia"] for r in rows))
     assert inertias[0] >= inertias[1] >= inertias[2]
     assert inertias[2] > 0
+
+
+def test_local_fastpath_matches_distributed(spark, monkeypatch):
+    """r14 bounded local Lloyd must reproduce the distributed sweeps
+    bit-for-bit: centroids AND sweeps_run, including empty clusters
+    and early stop."""
+    import etl_challenge_localiza_spark.operators.kmeans as K
+
+    rows = []
+    for i in range(60):
+        h = (i * 2654435761 + 11) % 1000
+        rows.append((i, [float((h + j * 37) % 97) / 50.0 - 1.0 for j in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    monkeypatch.setattr(K, "KM_LOCAL_VECS_BUDGET", 10**9)
+    fast_c, fast_s = K.kmeans_fit(emb, k=5, max_sweeps=4)
+    monkeypatch.setattr(K, "KM_LOCAL_VECS_BUDGET", 0)
+    slow_c, slow_s = K.kmeans_fit(emb, k=5, max_sweeps=4)
+    assert fast_c == slow_c
+    assert fast_s == slow_s
+
+
+def test_local_fastpath_magnitude_guard_falls_back(spark, monkeypatch):
+    """Coordinates big enough to break float64 exactness must route to
+    the distributed path (and still agree with it, trivially)."""
+    import etl_challenge_localiza_spark.operators.kmeans as K
+
+    big = 6.0e9  # scaled to 6e15 -> 4*d*m^2 >> 2^53
+    emb = spark.createDataFrame(
+        [(0, [big, -big]), (1, [-big, big]), (2, [big, big])],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(K, "KM_LOCAL_VECS_BUDGET", 10**9)
+    fast_c, fast_s = K.kmeans_fit(emb, k=2, max_sweeps=2)
+    monkeypatch.setattr(K, "KM_LOCAL_VECS_BUDGET", 0)
+    slow_c, slow_s = K.kmeans_fit(emb, k=2, max_sweeps=2)
+    assert fast_c == slow_c and fast_s == slow_s
