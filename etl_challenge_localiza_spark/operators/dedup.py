@@ -373,32 +373,38 @@ def minhash_near_dup_pairs(
     # re-tokenize and re-shingle the ENTIRE corpus only to discard
     # every non-candidate row. Pruning docs first means the verify
     # path re-parses candidate docs only (candidates ≪ corpus at any
-    # sane dup rate; sf0.1: the 2.2 s re-explode stage drops to
-    # candidate size). Same rows out: the join key is doc_id either
-    # way and explode is per-doc.
-    sh_cand = (
+    # sane dup rate). Same rows out: the join key is doc_id either way
+    # and explode is per-doc.
+    #
+    # Intersections via per-doc SETS, not a shingle-level join
+    # (optimization r14, second segment — the copurchase_user_jaccard
+    # shape): one collect_set aggregate per candidate doc replaces the
+    # dropDuplicates exchange + separate sizes aggregate + two-sided
+    # (doc, shingle) join + per-pair count aggregate of the first cut.
+    # Each pair then moves its two bounded sets once and
+    # array_intersect counts |A∩B| JVM-side. Per-doc sets are bounded
+    # by document length (shingle count), so the aggregation state is
+    # the same O(|doc|) the join shuffle carried. Exchange count on the
+    # verify path: 4 -> 2 (interleaved medians at sf0.1: full query
+    # 1.55 -> 1.20 s, output bit-equal).
+    sets = (
         spread_small_scan(docs)
         .join(cand_docs, "doc_id", "left_semi")
         .select("doc_id", F.explode(shingle_expr).alias("shingle"))
-        .dropDuplicates(["doc_id", "shingle"])
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("shingle")).alias("ss"))
     )
-    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh_cand.select(F.col("doc_id").alias("a_doc_id"), F.col("shingle").alias("a_sh"))
-    b = sh_cand.select(F.col("doc_id").alias("b_doc_id"), F.col("shingle").alias("b_sh"))
-    ca = cand.join(a, "a_doc_id")
-    inter = (
-        ca.join(b, (ca["b_doc_id"] == b["b_doc_id"]) & (ca["a_sh"] == b["b_sh"]))
-        .select(ca["a_doc_id"].alias("a_doc_id"), ca["b_doc_id"].alias("b_doc_id"))
-        .groupBy("a_doc_id", "b_doc_id")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    a = sets.select(F.col("doc_id").alias("a_doc_id"), F.col("ss").alias("ssa"))
+    b = sets.select(F.col("doc_id").alias("b_doc_id"), F.col("ss").alias("ssb"))
+    n_inter = F.size(F.array_intersect("ssa", "ssb")).cast("long")
+    n_a = F.size("ssa").cast("long")
+    n_b = F.size("ssb").cast("long")
     return (
-        inter.join(sizes.withColumnRenamed("doc_id", "a_doc_id").withColumnRenamed("n_shingles", "n_a"), "a_doc_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_doc_id").withColumnRenamed("n_shingles", "n_b"), "b_doc_id")
+        cand.join(a, "a_doc_id")
+        .join(b, "b_doc_id")
         .withColumn(
             "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+            n_inter.cast("double") / (n_a + n_b - n_inter).cast("double"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select(

@@ -88,7 +88,18 @@ def register(name: str, oracle: str | None = None, headline: bool = False):
 # ---------------------------------------------------------------------------
 
 def transactions_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    from .sources.readers import spread_small_scan
+
+    # Spread the RAW events scan before the per-row-heavy projection
+    # (get_json_object + trims + casts): the local single-row-group
+    # parquet file yields a one-task scan, and parsing 100 K JSON
+    # props on one core dominated every txn-family query. Spreading
+    # AFTER the projection (measured & rejected in the first r14
+    # segment) keeps the parse serial and only adds a shuffle; raw-side
+    # spread parallelizes the parse itself — interleaved medians at
+    # sf0.1: txn_clean 0.69 -> 0.45 s. On a cluster-scale table the
+    # scan is already wide and spread_small_scan returns it unchanged.
+    ev = spread_small_scan(load_table(spark, sf_dir, "events"))
     nation = load_table(spark, sf_dir, "nation")
     return (
         ev.join(
