@@ -81,9 +81,47 @@ def embedding_dim(df, col: str = "embedding") -> int:
     return int(d)
 
 
+# String operands take the SQL-text fast path (optimization r14,
+# second segment): building a 64-d unrolled fold through the Column
+# API costs ~6 py4j round trips per element (~2.0 s of pure
+# plan-BUILD time per cosine at d=64, measured), while one F.expr
+# over the equivalent SQL text builds in ~4 ms and parses JVM-side
+# into the IDENTICAL expression tree (same left-fold order, same
+# 0.0D seed, same casts — collect()-equal, asserted by
+# tests/test_vectors_fixed.py). Column operands keep the API loop
+# (no reliable SQL text for an arbitrary Column); every call site in
+# this repo passes SQL text.
+
+
+def dot_fixed_sql(a: str, b: str, d: int) -> str:
+    """SQL text of Σ aᵢ·bᵢ over width ``d``; ``a``/``b`` are SQL
+    expressions of array type (a column name, or e.g. a lambda
+    variable's field inside a higher-order function)."""
+    terms = " + ".join(
+        f"cast({a}[{i}] as double) * cast({b}[{i}] as double)" for i in range(d)
+    )
+    return f"0.0D + {terms}" if d else "0.0D"
+
+
+def norm_sq_fixed_sql(a: str, d: int) -> str:
+    terms = " + ".join(
+        f"cast({a}[{i}] as double) * cast({a}[{i}] as double)" for i in range(d)
+    )
+    return f"0.0D + {terms}" if d else "0.0D"
+
+
+def cosine_fixed_sql(a: str, b: str, d: int) -> str:
+    return (
+        f"({dot_fixed_sql(a, b, d)}) / "
+        f"sqrt(({norm_sq_fixed_sql(a, d)}) * ({norm_sq_fixed_sql(b, d)}))"
+    )
+
+
 def dot_fixed(a: Column | str, b: Column | str, d: int) -> Column:
     """Σ aᵢ·bᵢ unrolled over a known width ``d`` — identical values to
     :func:`dot` (same element-order left fold, 0.0 seed), codegen-able."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_fixed_sql(a, b, d))
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     acc: Column = F.lit(0.0)
@@ -93,7 +131,8 @@ def dot_fixed(a: Column | str, b: Column | str, d: int) -> Column:
 
 
 def norm_sq_fixed(a: Column | str, d: int) -> Column:
-    a = F.col(a) if isinstance(a, str) else a
+    if isinstance(a, str):
+        return F.expr(norm_sq_fixed_sql(a, d))
     acc: Column = F.lit(0.0)
     for i in range(d):
         acc = acc + _d(a[i]) * _d(a[i])
@@ -101,6 +140,8 @@ def norm_sq_fixed(a: Column | str, d: int) -> Column:
 
 
 def cosine_fixed(a: Column | str, b: Column | str, d: int) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_fixed_sql(a, b, d))
     return dot_fixed(a, b, d) / F.sqrt(norm_sq_fixed(a, d) * norm_sq_fixed(b, d))
 
 

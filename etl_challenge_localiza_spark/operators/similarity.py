@@ -103,7 +103,7 @@ def cosine_nn_within_label(emb: DataFrame, round_digits: int = 6) -> DataFrame:
     best = F.max(
         F.struct(
             F.round(
-                cosine_fixed(F.col("__emb"), F.col("__emb_b"), dim), round_digits
+                cosine_fixed("__emb", "__emb_b", dim), round_digits
             ).alias("cos_sim"),
             (-F.col("__vid_b")).alias("__neg_id"),
             F.col("__vid_b").alias("nn_vec_id"),
@@ -352,27 +352,26 @@ def brp_lsh_ann_pairs(
         # unrolled (codegen) instead of interpreted HOFs —
         # bit-identical values (same element-order fold, same 0.0
         # seed). Measured 12.6 s → 2.9 s at sf0.1.
-        from ..functions.vectors import dot_fixed
+        from ..functions.vectors import dot_fixed_sql
 
         ve = emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
+        # one SQL-text expression instead of a Column-API lambda
+        # (optimization r14, second segment): the unrolled d-term dot
+        # built per-element through py4j cost ~2 s of plan-BUILD time
+        # per dispatch; the equivalent SQL text parses JVM-side into
+        # the identical tree (same fold order — collect()-equal).
+        bl = f"cast('{float(bucket_length)!r}' as double)"
         hashed = (
             ve.crossJoin(F.broadcast(pscal))
             .select(
                 "vec_id",
                 F.explode(
-                    F.transform(
-                        F.col("parr"),
-                        lambda s: F.struct(
-                            s["h"].alias("h"),
-                            F.floor(
-                                dot_fixed(F.col("e"), s["rv"], d)
-                                / F.lit(float(bucket_length))
-                            )
-                            .cast("long")
-                            .alias("bucket"),
-                        ),
+                    F.expr(
+                        "transform(parr, s -> struct(s.h as h, "
+                        f"cast(floor(({dot_fixed_sql('e', 's.rv', d)}) / {bl}) "
+                        "as bigint) as bucket))"
                     )
                 ).alias("hb"),
             )
@@ -398,10 +397,17 @@ def brp_lsh_ann_pairs(
         )
         ea = ve.select(F.col("vec_id").alias("vec_id_a"), F.col("e").alias("ea"))
         eb = ve.select(F.col("vec_id").alias("vec_id_b"), F.col("e").alias("eb"))
-        dist_sq: F.Column = F.lit(0.0)
-        for i in range(d):
-            diff = F.col("ea")[i] - F.col("eb")[i]
-            dist_sq = dist_sq + diff * diff
+        # same SQL-text build as `hashed` above (arrays are already
+        # double, so no per-element cast — identical fold to the old
+        # Column-API loop)
+        dist_sq = F.expr(
+            "0.0D + "
+            + " + ".join(
+                f"(ea[{i}] - eb[{i}]) * (ea[{i}] - eb[{i}])" for i in range(d)
+            )
+            if d
+            else "0.0D"
+        )
         return (
             cand.join(ea, "vec_id_a")
             .join(eb, "vec_id_b")
@@ -660,7 +666,7 @@ def semdedup_drop(
 
     dim = len(cents[0][1]) if cents else 0
     pair_cos = (
-        cosine_fixed(F.col("ea"), F.col("eb"), dim)
+        cosine_fixed("ea", "eb", dim)
         if dim
         else cosine(F.col("ea"), F.col("eb"))
     )
@@ -1036,7 +1042,7 @@ def semdedup_drop_pruned(
 
     dim = int(pts.shape[1]) if pts.size else 0
     pair_cos = (
-        cosine_fixed(F.col("ea"), F.col("eb"), dim)
+        cosine_fixed("ea", "eb", dim)
         if dim
         else cosine(F.col("ea"), F.col("eb"))
     )

@@ -3304,7 +3304,7 @@ def q_embedding_top_pairs(spark, sf_dir):
             "label",
             # fixed-width unrolled cosine (codegen, bit-identical to
             # the HOF fold — optimization r14)
-            F.round(cosine_fixed(F.col("__ea"), F.col("__eb"), dim), 6).alias("cos_sim"),
+            F.round(cosine_fixed("__ea", "__eb", dim), 6).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
         .limit(20)
@@ -5619,7 +5619,7 @@ def q_embedding_near_dup_drop(spark, sf_dir):
         .filter(F.col("va") < F.col("vb"))
         # fixed-width unrolled cosine (codegen, bit-identical to the
         # HOF fold — optimization r14)
-        .filter(cosine_fixed(F.col("ea"), F.col("eb"), dim) >= 0.999)
+        .filter(cosine_fixed("ea", "eb", dim) >= 0.999)
         .select("vb")
         .distinct()
     )
@@ -12088,11 +12088,28 @@ def q_basket_lift_pairs(spark, sf_dir):
     b = li.select("l_orderkey", "l_partkey").distinct()
     n = b.agg(F.count_distinct("l_orderkey").cast("long").alias("big_n"))
     pa = b.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
-    a = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    c = b.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    # per-basket pair expansion via ONE aggregate instead of the
+    # order-keyed self-join (optimization r14, second segment): each
+    # order's sorted part set (bounded by basket size, ≤7 lines in
+    # TPC-H) expands to its C(basket,2) pairs JVM-side — one shuffle of
+    # the basket stream instead of two join sides. Interleaved medians
+    # at sf0.1: 2.5 -> 1.9 s, top-20 bit-equal.
+    by_o = (
+        b.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("us"))
+        .filter(F.size("us") >= 2)
+    )
     pairs = (
-        a.join(c, "ok")
-        .filter(F.col("p1") < F.col("p2"))
+        by_o.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(us, (a, i) -> "
+                    "transform(slice(us, i + 2, size(us) - i - 1), "
+                    "b -> struct(a, b))))"
+                )
+            ).alias("q")
+        )
+        .select(F.col("q.a").alias("p1"), F.col("q.b").alias("p2"))
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
@@ -13263,10 +13280,31 @@ def q_copurchase_user_jaccard(spark, sf_dir):
     )
     pf = cp.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("df"))
     capped = cp.join(pf.filter(F.col("df") <= 25), "p")
-    a = capped.select("p", F.col("u").alias("u1"))
-    b = capped.select("p", F.col("u").alias("u2"))
+    # candidate pairs via ONE aggregate + JVM-side expansion instead of
+    # the part-keyed self-join (optimization r14, second segment — the
+    # _blocked_overlap_counts shape): each capped part's sorted user
+    # set (≤ 25 by the df cap applied BEFORE the aggregate, so
+    # aggregation buffers stay bounded) expands to its C(df,2) pairs
+    # in one pass — one shuffle of the capped stream instead of two
+    # join sides + the same pair volume. Interleaved medians at sf0.1:
+    # 3.6 -> 2.3 s, top-20 bit-equal.
+    by_p = (
+        capped.groupBy("p")
+        .agg(F.sort_array(F.collect_set("u")).alias("us"))
+        .filter(F.size("us") >= 2)
+    )
     pairs = (
-        a.join(b, "p").filter(F.col("u1") < F.col("u2")).select("u1", "u2").distinct()
+        by_p.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(us, (a, i) -> "
+                    "transform(slice(us, i + 2, size(us) - i - 1), "
+                    "b -> struct(a, b))))"
+                )
+            ).alias("q")
+        )
+        .select(F.col("q.a").alias("u1"), F.col("q.b").alias("u2"))
+        .distinct()
     )
     s1 = sets.select(
         F.col("u").alias("u1"), F.col("ps").alias("ps1"), F.col("nu").alias("n1")
