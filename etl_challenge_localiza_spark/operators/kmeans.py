@@ -122,7 +122,10 @@ def _centroid_scalar(spark, cents: list[tuple[int, list[int]]]):
     ``_best(F.col("cents_arr"))`` — the argmin math is unchanged
     (exact int64 dist2, array_min first-min ties), so results are
     bit-identical to the literal path."""
-    df = spark.createDataFrame(
+    from ..functions.localrel import values_table
+
+    df = values_table(
+        spark,
         [(int(cid), [int(x) for x in vec]) for cid, vec in cents],
         "cid int, c array<long>",
     )

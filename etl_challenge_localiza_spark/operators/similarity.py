@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localrel import values_table
 from ..functions.vectors import cosine, l2_norm
 from ..session import shuffle_width
 
@@ -84,9 +85,17 @@ def cosine_nn_within_label(emb: DataFrame, round_digits: int = 6) -> DataFrame:
     output. One 1-row dim probe at plan build pays for it.
     """
     from ..functions.vectors import cosine_fixed, embedding_dim
+    from ..sources.readers import spread_small_scan
 
     dim = embedding_dim(emb)
-    a = emb.select(
+    # spread the PROBE side (optimization r14, second segment): the
+    # local single-row-group scan is one task and the label join
+    # broadcasts the build side, so the whole pair enumeration +
+    # partial argmax ran serially in the scan stage (3.3 s CPU on one
+    # task at sf0.1). Round-robin spreading the probe rows fans the
+    # quadratic work across the cores; the aggregate output is
+    # order-independent (max over a multiset).
+    a = spread_small_scan(emb).select(
         F.col("label").alias("__lbl"),
         F.col("vec_id").alias("__vid"),
         F.col("embedding").alias("__emb"),
@@ -329,8 +338,10 @@ def brp_lsh_ann_pairs(
                 [], "vec_id_a long, vec_id_b long, euclidean_dist double"
             )
         d = len(head[0][0])
-        pv = emb.sparkSession.createDataFrame(
-            brp_lsh_projections(num_hash_tables, d), "h int, rv array<double>"
+        pv = values_table(
+            emb.sparkSession,
+            brp_lsh_projections(num_hash_tables, d),
+            "h int, rv array<double>",
         )
         pscal = pv.agg(
             F.sort_array(F.collect_list(F.struct("h", "rv"))).alias("parr")
@@ -629,9 +640,17 @@ def semdedup_drop(
     double fold (functions/vectors.py) — bit-identical to DuckDB's
     list_dot_product, so the threshold cut is engine-stable."""
     from .kmeans import SCALE, _best, _centroid_scalar, kmeans_fit
+    from ..sources.readers import spread_small_scan
 
     spark = emb.sparkSession
     cents, _ = kmeans_fit(emb, k, max_sweeps)
+    # spread before the assignment projection (optimization r14,
+    # second segment): the argmin over k centroids is an interpreted
+    # HOF per row and the local single-row-group scan is ONE task —
+    # the whole assignment ran serially (2.4 s at sf0.1) below the
+    # pinned repartition. Round-robin spreading the raw rows first
+    # fans it out; on a cluster-width scan this is a no-op.
+    emb = spread_small_scan(emb)
     vecs = emb.select(
         "vec_id",
         "embedding",
@@ -680,7 +699,7 @@ def semdedup_drop(
         .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
     )
     sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    model = spark.createDataFrame([(int(cid),) for cid, _ in cents], "cid int")
+    model = values_table(spark, [(int(cid),) for cid, _ in cents], "cid int")
     return (
         model.join(sizes, "cid", "left")
         .join(dropped, "cid", "left")
@@ -851,7 +870,7 @@ def semdedup_drop_pruned(
         for ci in fine
         for cid, vec in fine[ci]
     ]
-    cb = spark.createDataFrame(fine_rows, "cell int, cid int, c array<long>")
+    cb = values_table(spark, fine_rows, "cell int, cid int, c array<long>")
     fine_scal = cb.groupBy("cell").agg(
         F.sort_array(F.collect_list(F.struct("cid", "c"))).alias("cell_arr")
     ).agg(
@@ -859,11 +878,17 @@ def semdedup_drop_pruned(
             F.sort_array(F.collect_list(F.struct("cell", "cell_arr")))
         ).alias("fine_map")
     )
-    coarse_scal = spark.createDataFrame(
-        [(int(cid), vec) for cid, vec in coarse_cents], "cid int, c array<long>"
+    coarse_scal = values_table(
+        spark, [(int(cid), [int(x) for x in vec]) for cid, vec in coarse_cents],
+        "cid int, c array<long>"
     ).agg(F.sort_array(F.collect_list(F.struct("cid", "c"))).alias("coarse_arr"))
 
-    vecs = emb.select(
+    # spread before the two-level assignment (same rationale as
+    # semdedup_drop: the interpreted argmin otherwise runs serially on
+    # the one-task local scan; no-op on a cluster-width scan)
+    from ..sources.readers import spread_small_scan
+
+    vecs = spread_small_scan(emb).select(
         "vec_id",
         "embedding",
         F.transform(
@@ -970,8 +995,8 @@ def semdedup_drop_pruned(
             model_cids = [c for c in model_cids if c not in split_cids] + [
                 cid for _, cid, _ in sub_rows
             ]
-            sub_cb = spark.createDataFrame(
-                sub_rows, "ocid int, cid int, c array<long>"
+            sub_cb = values_table(
+                spark, sub_rows, "ocid int, cid int, c array<long>"
             )
             sub_scal = (
                 sub_cb.groupBy("ocid")
@@ -1056,7 +1081,7 @@ def semdedup_drop_pruned(
         .agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
     )
     sizes = asg.groupBy("cid").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
-    model = spark.createDataFrame([(c,) for c in model_cids], "cid int")
+    model = values_table(spark, [(c,) for c in model_cids], "cid int")
     return (
         model.join(sizes, "cid", "left")
         .join(dropped, "cid", "left")
