@@ -170,10 +170,25 @@ def connected_components(
         a_type = e0.schema[0].dataType
         from pyspark.sql.types import StructField, StructType
 
+        rows = sorted(label.items())
+        type_sql = a_type.simpleString()
+        if type_sql in ("tinyint", "smallint", "int", "bigint") and len(rows) <= 50_000:
+            # (row cap: a VALUES literal is parsed text — fine for the
+            # label maps near-dup graphs produce, wrong for a
+            # budget-sized million-node map, which keeps the RDD path)
+            # integral node ids (every registry graph): ship the label
+            # map as a SQL VALUES LocalRelation — zero jobs and zero
+            # Python worker tasks per consumption, vs one pickled-RDD
+            # task even at the data-sized slice count below
+            # (functions.localrel rationale)
+            from ..functions.localrel import values_table
+
+            return values_table(
+                spark_, rows, f"node {type_sql}, component {type_sql}"
+            )
         out_schema = StructType(
             [StructField("node", a_type), StructField("component", a_type)]
         )
-        rows = sorted(label.items())
         # size the local relation's partitioning to the data: the
         # default (defaultParallelism slices) hands every downstream
         # consumer 32 near-empty partitions of task dispatch for a

@@ -392,6 +392,14 @@ def brp_lsh_ann_pairs(
                 F.col("hb.bucket").alias("bucket"),
             )
         )
+        # Pin the candidate-join width (the semdedup pinning rationale):
+        # the hashed stream is a few KB, so AQE's byte-based coalescing
+        # ran the bucket self-join — whose OUTPUT is the ~per-bucket-
+        # quadratic candidate stream — on ONE post-shuffle partition
+        # (measured: a single task emitting the full match volume at
+        # sf0.1). An explicit-width repartition on the join key is
+        # exempt from coalescing; both aliases share the one exchange.
+        hashed = hashed.repartition(shuffle_width(emb.sparkSession), "h", "bucket")
         cand = (
             hashed.alias("x")
             .join(
@@ -607,7 +615,8 @@ def label_pca_variance(
                 r6(lam / float(trg)) if trg != 0 else None,
             )
         )
-    return spark.createDataFrame(
+    return values_table(
+        spark,
         out_rows,
         "label long, n_vectors long, total_variance double, "
         "leading_eigenvalue double, explained_ratio double",
