@@ -140,7 +140,11 @@ def pagerank_scaled(
             ),
             sweeps_run,
         )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # fold the loop-invariant out-degree INTO the cached edge list once
+    # (optimization r14, second segment): the old loop re-joined outdeg
+    # every sweep — one whole join stage per sweep for a value that
+    # never changes. ed replaces e as the loop's cached edge relation.
+    ed = e.join(e.groupBy("src").agg(F.count(F.lit(1)).alias("d")), "src").cache()
     base = (RANK_SCALE * (damping_den - damping_num)) // damping_den
     ranks = nodes.select("id", F.lit(RANK_SCALE).alias("r"))
     cached = None
@@ -148,11 +152,9 @@ def pagerank_scaled(
     try:
         with iterative_loop_confs(spark, n_edges):
             for _ in range(max_sweeps):
-                contrib = (
-                    e.join(ranks.withColumnRenamed("id", "src"), "src")
-                    .join(outdeg, "src")
-                    .select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
-                )
+                contrib = ed.join(
+                    ranks.withColumnRenamed("id", "src"), "src"
+                ).select(F.col("dst").alias("id"), F.expr("r div d").alias("c"))
                 summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
                 # damping in decimal(38,0): s is a sum of int64
                 # contributions (a hub with in-flow past ~5.4e17 would
@@ -160,9 +162,13 @@ def pagerank_scaled(
                 # a hugeint-summing oracle); 128-bit headroom makes the
                 # sweep safe at any graph mass a 100 TB edge set can
                 # produce.
+                # ranks is its own node spine (rank frames carry every
+                # node from sweep 0 on), so the sum attaches with ONE
+                # left join instead of the old nodes-join-summed-join-
+                # ranks pair — two join stages per sweep become one.
                 stepped = (
-                    nodes.join(summed, "id", "left")
-                    .join(ranks.withColumnRenamed("r", "__prev"), "id")
+                    ranks.withColumnRenamed("r", "__prev")
+                    .join(summed, "id", "left")
                     .select(
                         "id",
                         (
@@ -204,4 +210,5 @@ def pagerank_scaled(
         if cached is not None:
             cached.unpersist()
         nodes.unpersist()
+        ed.unpersist()
         e.unpersist()

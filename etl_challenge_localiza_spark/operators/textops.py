@@ -28,7 +28,7 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     """Per-document stats: token count, char length, fingerprint,
     content hash. One codegen'd projection pass."""
     tok = tokens("text")
-    return docs.select(
+    return spread_small_scan(docs).select(
         "doc_id",
         F.size(tok).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars_measured"),
@@ -54,7 +54,7 @@ def token_topk(docs: DataFrame, k: int = 20) -> DataFrame:
     no global sort. Ties broken by token text for determinism.
     """
     return (
-        docs.select(F.explode(tokens("text")).alias("token"))
+        spread_small_scan(docs).select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
@@ -66,7 +66,7 @@ def doc_quality(docs: DataFrame) -> DataFrame:
     """Quality-score heuristic per document (length/diversity/stopword
     terms — the classic pre-training quality-filter shape)."""
     tok = tokens("text")
-    return docs.select(
+    return spread_small_scan(docs).select(
         "doc_id",
         F.size(tok).cast("long").alias("n_tokens"),
         distinct_ratio(tok).alias("distinct_ratio"),
@@ -92,7 +92,12 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     production path is HashingTF+IDF from pyspark.ml over the same
     token arrays.
     """
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    # spread the one-task local scan before the tokenize+explode
+    # (optimization r14, second segment — the txn-family rationale:
+    # parallelize the per-row parse itself, not the stream after it);
+    # the N aggregate below keeps the unspread frame (column-pruned
+    # count, no parse)
+    tok = spread_small_scan(docs).select("doc_id", F.explode(tokens("text")).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
     # N rides along as a broadcast 1-row aggregate (cross join) instead
