@@ -4471,8 +4471,15 @@ def q_doc_token_entropy(spark, sf_dir):
     array_sort(...) tree from a per-element lambda re-sorts the array
     per element (measured: quadratic, ~45 s at sf0.1 vs ~1 s staged).
     Per-row fold order vs the oracle's aggregate order differ in float
-    accumulation → rounded to 9 dp on both engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    accumulation → rounded to 9 dp on both engines.
+
+    The zero-shuffle design makes the whole computation run INSIDE the
+    scan stage — one task on the local single-row-group file, with
+    every HOF lambda interpreted — so the scan is spread first
+    (optimization r14, second segment; no-op at cluster scan width)."""
+    from .sources.readers import spread_small_scan
+
+    docs = spread_small_scan(load_table(spark, sf_dir, "documents"))
     d1 = docs.select(
         "doc_id", F.array_sort(tokens("text")).alias("s")
     ).filter(F.size("s") > 0)
