@@ -361,9 +361,11 @@ def minhash_near_dup_pairs(
     # shared subtrees resolve to ReusedExchange, and cached blocks from
     # a lazy-returned frame would never be unpersisted (they accumulate
     # across repeated invocations).
-    cand_docs = (
-        by_bucket.select(F.explode("docs").alias("doc_id")).distinct()
-    )
+    # no .distinct(): the only consumer is a LEFT SEMI join, which
+    # dedups matches by construction — the old distinct paid a full
+    # exchange of the candidate-doc stream for nothing (optimization
+    # r14, second segment)
+    cand_docs = by_bucket.select(F.explode("docs").alias("doc_id"))
     # no broadcast hint: the candidate list is data-dependent (grows
     # with the corpus dup rate) — AQE broadcasts it while small and can
     # fall back to a shuffle join when it isn't (same policy as the

@@ -1817,7 +1817,13 @@ def q_approx_event_stats(spark, sf_dir):
     error inspection. Accuracy is asserted with explicit tolerances in
     tests/test_approx.py (HLL++ rel-err <= 3*rsd; approx p90 inside the
     exact p85..p95 envelope)."""
-    ev = load_table(spark, sf_dir, "events")
+    from .sources.readers import spread_small_scan
+
+    # spread the one-task local scan: the exact percentile/HLL partial
+    # aggregates buffer every value and ran serially inside the scan
+    # stage (optimization r14, second segment; no-op at cluster scan
+    # width — exec 3.8 -> ~1 s at sf0.1)
+    ev = spread_small_scan(load_table(spark, sf_dir, "events"))
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").cast("long").alias("approx_users"),
         F.count_distinct("user_id").cast("long").alias("exact_users"),
@@ -17010,15 +17016,26 @@ def q_brier_decomposition(spark, sf_dir):
         F.round(p, 9).cast("decimal(12,9)").alias("rp"),
         F.round((p - y) * (p - y), 9).cast("decimal(12,9)").alias("sq"),
     )
-    g = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("pos"),
-        F.sum("sq").alias("bsum"),
-    )
+    # ONE aggregation over d feeds everything (optimization r14,
+    # second segment): the first cut aggregated d twice (global g +
+    # per-bin bins) and then consumed g from two more places — four
+    # executions of the whole heuristic+logit+ntile pipeline, since
+    # the differently-pruned subtrees defeat ReuseExchange. Folding
+    # the squared-error sum into the per-bin aggregate and deriving
+    # the global row from the 10 bin rows makes every consumer hang
+    # off the ONE per-bin exchange (ReusedExchange). Values identical:
+    # nk/posk are integer sums and sq/rp are 9-dp decimals, so the
+    # two-level re-association is exact.
     bins = d.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("nk"),
         F.sum(F.when(F.col("label"), 1).otherwise(0)).cast("long").alias("posk"),
         F.sum("rp").alias("spk"),
+        F.sum("sq").alias("sbk"),
+    )
+    g = bins.agg(
+        F.sum("nk").cast("long").alias("n"),
+        F.sum("posk").cast("long").alias("pos"),
+        F.sum("sbk").alias("bsum"),
     )
     nk_d = F.col("nk").cast("double")
     terms = bins.crossJoin(F.broadcast(g)).select(
