@@ -54,7 +54,15 @@ def _render(v, typ: str) -> str:
         inner = typ[6:-1].strip()
         return "array(" + ", ".join(_render(x, inner) for x in v) + ")"
     if typ in ("double", "float"):
-        return f"cast('{float(v)!r}' as {typ})"
+        import math
+
+        f = float(v)
+        if not math.isfinite(f):
+            # 'inf'/'nan' SQL-cast behavior is locale-ish ('inf' casts
+            # to NULL); refuse so the caller falls back to
+            # createDataFrame, which ships the IEEE value faithfully
+            raise ValueError("values_table cannot render non-finite floats")
+        return f"cast('{f!r}' as {typ})"
     if typ in _INT_TYPES:
         return f"cast({int(v)} as {typ})"
     if typ == "boolean":
