@@ -8,6 +8,14 @@ Each query executes to completion through the noop sink (full compute,
 no driver-side result transfer), so the measured time is the engine's
 distributed work, comparable across runs.
 
+The final stdout line is kept COMPACT (required keys + totals) and
+explicitly flushed; full per-query detail (full-call, service-mode,
+per-query duck control) is written to a sidecar JSON
+($SPARK_GRAFT_BENCH_SIDECAR, default BENCH_detail.json beside this
+file) BEFORE the line prints — the old single giant line was twice
+truncated mid-write in the driver's tail capture, losing the
+round-over-round PERF pairing (VERDICT r14 #1).
+
 Three timers per query plus a paired control, all in the JSON:
 
 - exec-only (the headline metric, r1-comparable): distributed
@@ -133,6 +141,49 @@ def main() -> int:
         print(f"  duck {n}: {d:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    duck_control = {
+        "spark_exec": spark_paired,
+        "duck_exec": duck_paired,
+        "ratio": round(spark_paired / duck_paired, 3) if duck_paired else None,
+        "n_paired": len(duck),
+        "timing": "both no-transfer: spark noop sink / "
+        "duck materialized-CTE count",
+    }
+    # One-line JSON contract hardening (VERDICT r14 #1): the final
+    # stdout line carries the driver-required keys (metric/value/unit/
+    # queries/sf) plus compact TOTALS only, explicitly flushed; the
+    # full per-query detail (full-call, service-mode, per-query duck)
+    # goes to a SIDECAR file written BEFORE the line is printed — two
+    # of the last three rounds lost their round-over-round PERF pairing
+    # to the old single giant line being truncated mid-write in the
+    # driver's tail capture. Nothing is dropped: every number the old
+    # line carried is in the sidecar, and the headline `queries` map
+    # (the r1-comparable exec metric) stays in the line unchanged.
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "full_call_total": round(sum(timings_full.values()), 3),
+        "queries_full": timings_full,
+        "service_mode_total": round(sum(timings_service.values()), 3),
+        "queries_service": timings_service,
+        "duck_control": dict(duck_control, per_query=duck),
+        "sf": sf,
+    }
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"),
+    )
+    try:
+        with open(sidecar, "w") as f:
+            json.dump(detail, f, indent=1)
+            f.write("\n")
+            f.flush()
+            os.fsync(f.fileno())
+        print(f"  per-query detail sidecar: {sidecar}", file=sys.stderr)
+    except OSError as e:
+        print(f"  sidecar write failed ({e}); detail on stderr only", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -140,23 +191,15 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "full_call_total": round(sum(timings_full.values()), 3),
-                "queries_full": timings_full,
-                "service_mode_total": round(sum(timings_service.values()), 3),
-                "duck_control": {
-                    "spark_exec": spark_paired,
-                    "duck_exec": duck_paired,
-                    "ratio": round(spark_paired / duck_paired, 3)
-                    if duck_paired
-                    else None,
-                    "n_paired": len(duck),
-                    "timing": "both no-transfer: spark noop sink / "
-                    "duck materialized-CTE count",
-                },
+                "full_call_total": detail["full_call_total"],
+                "service_mode_total": detail["service_mode_total"],
+                "duck_control": duck_control,
                 "sf": sf,
             }
-        )
+        ),
+        flush=True,
     )
+    sys.stdout.flush()
     return 0
 
 

@@ -52,6 +52,14 @@ def _render(v, typ: str) -> str:
         return f"cast(null as {typ})"
     if typ.startswith("array<") and typ.endswith(">"):
         inner = typ[6:-1].strip()
+        if not len(v):
+            # a bare `array()` types as array<string>; in a VALUES list
+            # whose other rows (or declared schema) are array<bigint>/
+            # array<double>, analysis would fail OUTSIDE the caller's
+            # try block (spark.sql), defeating the documented
+            # createDataFrame fallback — make the element type explicit
+            # (ADVICE r14)
+            return f"cast(array() as {typ})"
         return "array(" + ", ".join(_render(x, inner) for x in v) + ")"
     if typ in ("double", "float"):
         import math

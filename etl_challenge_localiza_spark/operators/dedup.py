@@ -577,9 +577,35 @@ def prefix_filter_jaccard_pairs(
     w = Window.partitionBy("doc_id").orderBy(
         F.col("df").asc(), F.col("s").asc()
     )
+    # EXACT rational threshold arithmetic (ADVICE r14): the double
+    # forms — ceil(t·n), na >= t·nb, ceil(t/(1+t)·(na+nb)) — can land
+    # 1 ulp past an exact integer boundary, making a filter one unit
+    # TIGHTER than the math and pruning a pair whose exact Jaccard
+    # meets the threshold (or shortening a prefix by one). A double t
+    # is exactly tp/tq (as_integer_ratio, tq a power of two), so every
+    # comparison below is integer-exact in decimal(38,0):
+    #   ceil(t·n)              = (tp·n + tq − 1) div tq
+    #   na >= t·nb            <=> na·tq >= tp·nb
+    #   1+least >= t/(1+t)·s  <=> (1+least)·(tp+tq) >= tp·s
+    # If tq is too wide for a long literal (t < ~2^-3 with a full
+    # mantissa), halve the fraction rounding the NUMERATOR down: the
+    # filters then use a slightly SMALLER t' <= t, which only LOOSENS
+    # them (longer prefixes, more candidates) — the exact verify
+    # downstream decides membership, so looseness is always safe.
+    tp, tq = float(threshold).as_integer_ratio()
+    while tq > (1 << 55):
+        tp, tq = tp >> 1, tq >> 1
+
+    def _dec(c):
+        return c.cast("decimal(38,0)")
+
     prefix_len = (
         F.col("n_sh")
-        - F.ceil(F.lit(float(threshold)) * F.col("n_sh"))
+        - F.call_function(
+            "div",
+            _dec(F.col("n_sh")) * F.lit(tp) + F.lit(tq - 1),
+            F.lit(tq),
+        )
         + F.lit(1)
     )
     prefix = (
@@ -645,12 +671,12 @@ def prefix_filter_jaccard_pairs(
             (F.col("pa.s") == F.col("pb.s"))
             & (F.col("pa.doc_id") < F.col("pb.doc_id"))
             & (
-                F.col("pa.n_sh").cast("double")
-                >= F.lit(float(threshold)) * F.col("pb.n_sh")
+                _dec(F.col("pa.n_sh")) * F.lit(tq)
+                >= _dec(F.col("pb.n_sh")) * F.lit(tp)
             )
             & (
-                F.col("pb.n_sh").cast("double")
-                >= F.lit(float(threshold)) * F.col("pa.n_sh")
+                _dec(F.col("pb.n_sh")) * F.lit(tq)
+                >= _dec(F.col("pa.n_sh")) * F.lit(tp)
             ),
         )
         .groupBy(
@@ -663,14 +689,14 @@ def prefix_filter_jaccard_pairs(
             F.first("pb.n_sh").alias("nb"),
         )
         .filter(
-            F.lit(1)
-            + F.least(
-                F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+            _dec(
+                F.lit(1)
+                + F.least(
+                    F.col("na") - F.col("ia"), F.col("nb") - F.col("ib")
+                )
             )
-            >= F.ceil(
-                F.lit(float(threshold) / (1.0 + float(threshold)))
-                * (F.col("na") + F.col("nb"))
-            )
+            * F.lit(tp + tq)
+            >= _dec(F.col("na") + F.col("nb")) * F.lit(tp)
         )
         .select("da", "db", "na", "nb")
     )

@@ -9416,6 +9416,17 @@ def _attribution_channel_totals(conv, credit) -> DataFrame:
     falls back to the conversion value — the oracle's sum(value)).
     Interleaved medians at sf0.1: capped 1.29 -> 1.14 s, others within
     noise, collect() bit-equal on all three lanes.
+
+    The '(direct)' group is GUARANTEED (ADVICE r14 medium): the
+    oracles' UNION ALL branch is an ungrouped aggregate that always
+    emits one row — ('(direct)', 0, 0, NULL) when every conversion has
+    a credited touch — while a groupBy emits no group when no
+    NULL-channel rows exist. One all-NULL marker row (ch='(direct)',
+    everything else NULL) unioned below the join fixes that with zero
+    extra exchanges: count_distinct/count ignore its NULLs and
+    sum(NULL) contributes nothing, so on data WITH direct conversions
+    every value is bit-identical to before, and on data without any
+    the group materializes as the oracle's (0, 0, NULL) row.
     """
     joined = conv.select("conv_id", "value").join(credit, "conv_id", "left")
     j = joined.select(
@@ -9425,6 +9436,14 @@ def _attribution_channel_totals(conv, credit) -> DataFrame:
         "credit",
         "value",
     )
+    marker = j.sparkSession.range(1).select(
+        F.lit("(direct)").alias("ch"),
+        *[
+            F.lit(None).cast(j.schema[c].dataType).alias(c)
+            for c in ("channel", "conv_id", "credit", "value")
+        ],
+    )
+    j = j.unionByName(marker)
     return (
         j.groupBy("ch")
         .agg(
