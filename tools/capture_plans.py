@@ -1,10 +1,11 @@
 """Capture .explain("formatted") for headline registry queries into
-plans/r14/<query>_<tag>.txt (guide §1: record the plan shape before and
+plans/r<N>/<query>_<tag>.txt (guide §1: record the plan shape before and
 after every optimization so claims are checkable without running Spark).
 
 Usage:
     python -m tools.capture_plans before            # all headliners
     python -m tools.capture_plans after q1 q2 ...   # a subset
+Round dir via $SPARK_GRAFT_PLANS_ROUND (default r15).
 """
 
 from __future__ import annotations
@@ -17,7 +18,8 @@ def main() -> int:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    rnd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
 
     from etl_challenge_localiza_spark.registry import QUERIES
